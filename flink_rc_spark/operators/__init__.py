@@ -1,0 +1,9 @@
+# query-registering modules (imported for their side effect)
+import flink_rc_spark.operators.scans  # noqa: F401
+import flink_rc_spark.operators.filters  # noqa: F401
+import flink_rc_spark.operators.joins  # noqa: F401
+import flink_rc_spark.operators.aggregates  # noqa: F401
+import flink_rc_spark.operators.windows  # noqa: F401
+import flink_rc_spark.operators.sorts  # noqa: F401
+import flink_rc_spark.operators.setops  # noqa: F401
+import flink_rc_spark.operators.subqueries  # noqa: F401

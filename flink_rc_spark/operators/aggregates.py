@@ -1,0 +1,320 @@
+"""Aggregation queries (SURVEY.md §2.2 "Aggregations").
+
+The flagship ``q_agg_group`` is the TPC-H Q1 shape — scan → filter →
+project → hash aggregate → sort, i.e. the full Spark lifecycle.
+
+Scale story (100 TB): groupBy aggregates get partial (map-side) +
+final aggregation from Catalyst automatically, so the shuffle carries
+one row per (group × partition), not per input row. Low-cardinality
+groups (returnflag × linestatus ≈ 6) make the exchange negligible at
+any scale. All double sums go through DECIMAL (see functions/exact.py)
+so results are order-independent — bit-identical whether computed on 32
+partitions locally or 10k partitions on a cluster, and hash-equal to
+the DuckDB oracle.
+
+Reference parity: the reference has no grouped aggregation at all —
+its only aggregate is a streamed MSE (SURVEY.md §2.1 R10); this module
+is part of the beyond-reference relational surface mandated by
+BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_rc_spark.functions.exact import davg, dec, dlit, dsum
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources import load
+
+
+@register(
+    "q_agg_global",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(l_extendedprice) AS avg_price,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem
+    """,
+)
+def q_agg_global(spark, sf_dir):
+    """Ungrouped count/sum/avg/min/max over lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "q_agg_group",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                        * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
+                    AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(l_extendedprice) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_group(spark, sf_dir):
+    """FLAGSHIP — TPC-H Q1 shape: pricing summary report.
+
+    Also served by ``entry()`` at sf0.001. Partial+final hash
+    aggregation; ~6 output groups regardless of scale.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    dprice = dec("l_extendedprice")
+    disc_price = dprice * (dlit(1) - dec("l_discount"))
+    charge = disc_price * (dlit(1) + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_distinct_qty
+        FROM lineitem
+    """,
+)
+def q_agg_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) and SUM(DISTINCT).
+
+    Scale note: multiple distinct aggregates expand to Expand + two-phase
+    aggregation; at 100 TB prefer one distinct per query or
+    approx_count_distinct (q_agg_approx) when exactness isn't required.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum_distinct(dec("l_quantity")).cast("double").alias("sum_distinct_qty"),
+    )
+
+
+@register(
+    "q_agg_approx",
+    oracle=None,  # approximate by design → rows-only check
+)
+def q_agg_approx(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    cardinality estimation: constant memory per group, no Expand."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) > 12
+    """,
+)
+def q_agg_having(spark, sf_dir):
+    """Post-aggregation filter (HAVING)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+        SELECT n_name, c_mktsegment,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals; join side (nation, 25 rows) broadcasts."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("sum_bal"))
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    """CUBE over two grouping columns (Expand ×4 then hash agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS with grouping() indicator flags (via Spark SQL)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_agg_conditional",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(o_totalprice AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS total_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(o_totalprice AS DECIMAL(12,2))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS total_o,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def q_agg_conditional(spark, sf_dir):
+    """Pivot-style conditional aggregation: SUM(CASE WHEN ...)."""
+    o = load(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", dec("o_totalprice")).otherwise(zero)
+        )
+        .cast("double")
+        .alias("total_f"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "O", dec("o_totalprice")).otherwise(zero)
+        )
+        .cast("double")
+        .alias("total_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", F.lit(1))).alias("n_p"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+               ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    """Statistical aggregates — incl. regr_slope/intercept, which is the
+    reference's linear readout fit (SURVEY.md §2.1 R5) in its 1-D case
+    expressed as pure SQL. Rounded identically on both sides (these are
+    not order-independent like decimal sums; noise ≪ round unit).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+        SELECT o_orderpriority,
+               ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), ',')
+                   AS statuses,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def q_agg_collect(spark, sf_dir):
+    """collect_set with deterministic ordering, emitted as a joined
+    string so the value-hash is stable across engines."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count("*").alias("n"),
+    )

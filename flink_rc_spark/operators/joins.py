@@ -1,0 +1,325 @@
+"""Join queries (SURVEY.md §2.2 "Joins").
+
+Scale story (100 TB):
+- Fact⋈fact equi-joins (lineitem⋈orders) shuffle both sides on the
+  key → sort-merge join; AQE converts to broadcast when a side turns
+  out small and splits skewed partitions. On a real lake, bucketing
+  both facts by orderkey removes this shuffle entirely.
+- Dimension joins (nation, region, customer-at-small-SF) are
+  broadcast explicitly with ``F.broadcast`` — no shuffle of the fact
+  side at any scale.
+- The interval self-join and as-of join shuffle once on the equi key
+  and do per-key ordered work — the time-range predicate is applied
+  inside the sort-merge join, never as a cartesian product (asserted
+  by plan tests).
+
+Reference parity: the reference's only join-like operator is pairing
+two streams by sequence index (SURVEY.md §2.1 R8, expected in
+lm/LinearRegression.java [K:med, unverified]) — covered here by the
+general equi-join surface; everything else is beyond-reference
+(BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_rc_spark.functions.exact import dec, dlit
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources import load
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """Generic as-of join: each left row gets the payload of the latest
+    right row with ``right.ts <= left.ts`` on the same key.
+
+    Implemented as union + ordered window (``last(..., ignorenulls)``
+    over unbounded-preceding) — ONE shuffle on (key, ts); no range
+    explosion. At 100 TB this scales with the shuffle, and skewed keys
+    can be salted because the window only needs per-key time order.
+    DuckDB expresses the same thing natively as ASOF JOIN (oracle).
+    Equal timestamps: the right row sorts before the left probe
+    (side 0 < 1), matching ASOF's inclusive ``<=``.
+    """
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_payload],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *right_payload,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = l_tag.unionByName(r_tag)
+    for c in right_payload:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return merged.filter(F.col("_side") == 1).drop("_k", "_ts", "_side")
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, o_orderstatus, o_orderpriority, l_quantity
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 150000.0
+    """,
+)
+def q_join_inner(spark, sf_dir):
+    """Fact⋈fact equi inner join (sort-merge / AQE-broadcast)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000.0)
+    return li.join(o, li.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "o_orderstatus", "o_orderpriority", "l_quantity"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    """Explicit broadcast of the 5-row dimension — zero shuffle of the
+    probe side at any scale (plan-asserted)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+)
+def q_join_left(spark, sf_dir):
+    """Left outer join — customers without orders keep NULL order cols."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_join_right(spark, sf_dir):
+    """Right outer join (mirror of q_join_left, probe side flipped)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM (SELECT * FROM customer WHERE c_custkey < 500) c
+        FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 50000.0) o
+          ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full(spark, sf_dir):
+    """Full outer join with NULL padding on both sides."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+    """,
+)
+def q_join_semi(spark, sf_dir):
+    """EXISTS → left semi join (emits each matching left row once)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 400000.0)
+    """,
+)
+def q_join_anti(spark, sf_dir):
+    """NOT EXISTS → left anti join (customers with no >400k order)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+        SELECT r_regionkey, n_nationkey, r_name, n_name
+        FROM region JOIN nation ON r_regionkey < n_regionkey
+    """,
+)
+def q_join_theta(spark, sf_dir):
+    """Pure non-equi (theta) join — broadcast nested loop on a tiny
+    side. At scale, theta joins need a broadcastable side or a
+    bucketized range-join rewrite (see asof_join for the pattern)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.join(F.broadcast(n), r.r_regionkey < n.n_regionkey).select(
+        "r_regionkey", "n_nationkey", "r_name", "n_name"
+    )
+
+
+@register(
+    "q_join_multiway",
+    oracle="""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+)
+def q_join_multiway(spark, sf_dir):
+    """4-way star join (TPC-H Q5 shape): two fact shuffles + one
+    broadcast dim; Catalyst/AQE pick per-join strategy."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * (dlit(1) - dec("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_join_selfjoin",
+    oracle="""
+        SELECT a.event_id AS eid_a, b.event_id AS eid_b, a.user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 1 HOUR
+        WHERE a.event_type = 'error'
+    """,
+)
+def q_join_selfjoin(spark, sf_dir):
+    """Interval self-join: for each error event, all events of the same
+    user within the following hour. Equi key (user_id) keeps this a
+    hash/sort-merge join with a range residual — never cartesian."""
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid_a"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = e.select(
+        F.col("event_id").alias("eid_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.user_id == b.user_b)
+            & (b.ts_b > a.ts_a)
+            & (b.ts_b <= a.ts_a + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("eid_a", "eid_b", "user_id")
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+        SELECT e.event_id, e.user_id, p.event_id AS prev_purchase_id
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id
+                        FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: each event ↦ the latest purchase of the same user at
+    or before its timestamp (union + ordered window; see asof_join)."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("prev_purchase_id")
+    )
+    left = e.select("event_id", "user_id", "ts")
+    out = asof_join(
+        left,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["prev_purchase_id"],
+    )
+    return out.select("event_id", "user_id", "prev_purchase_id")
+
+
+@register(
+    "q_join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def q_join_cross(spark, sf_dir):
+    """Explicit small cross join (5 × 25)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

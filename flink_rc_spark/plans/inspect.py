@@ -1,0 +1,62 @@
+"""Physical-plan inspection helpers.
+
+The engine relies on Catalyst for optimization (SURVEY.md §4.2); these
+helpers make that reliance *testable*: plan-audit tests assert that
+filters actually reach the parquet scan, small dimensions actually
+broadcast, and hot paths stay inside whole-stage codegen. At 100 TB a
+plan that silently full-scans or sort-merge-joins a 25-row dimension
+is the difference between minutes and hours — so we gate on the plan,
+not just the result.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().explainString(  # noqa: SLF001
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Assert each fragment appears in a PushedFilters clause of the scan."""
+    plan = formatted_plan(df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    for frag in fragments:
+        assert frag in pushed, f"filter {frag!r} not pushed to scan:\n{plan}"
+
+
+def assert_pruned_columns(df: DataFrame, allowed: set[str], table_hint: str) -> None:
+    """Assert the scan's ReadSchema only contains ``allowed`` columns."""
+    plan = formatted_plan(df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"no ReadSchema found in plan:\n{plan}"
+    for s in schemas:
+        cols = {c.split(":")[0].strip() for c in s.split(",") if c.strip()}
+        if not cols:
+            continue
+        # only check the scan belonging to the hinted table
+        if not any(c.startswith(table_hint) for c in cols):
+            continue
+        extra = cols - allowed
+        assert not extra, f"scan reads unpruned columns {extra}:\n{plan}"
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"expected a broadcast join:\n{plan}"
+    )
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, f"unexpected cartesian product:\n{plan}"
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return len(re.findall(r"WholeStageCodegen", formatted_plan(df)))

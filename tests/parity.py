@@ -1,0 +1,88 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs a declared query's Spark builder and its DuckDB oracle on the same
+sf dir and compares: row count, column set, and order-insensitive
+values (exact — no tolerance — because the driver hashes values; the
+engine's decimal-exact aggregation policy is what makes this possible
+for doubles).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+from flink_rc_spark.sources.tables import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            pdf[c] = s.astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(s):
+            pdf[c] = s.astype("bool") if not s.isna().any() else s.astype("object")
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            pdf[c] = s.astype("float64")
+        elif s.dtype == object:
+            pdf[c] = s.map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    return pdf
+
+
+def _sortable(pdf: pd.DataFrame) -> pd.DataFrame:
+    if len(pdf.columns) == 0 or len(pdf) == 0:
+        return pdf
+    return pdf.sort_values(
+        by=list(pdf.columns), kind="mergesort", na_position="last"
+    ).reset_index(drop=True)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str) -> None:
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{key}: column mismatch spark={list(a.columns)} duck={list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{key}: row count spark={len(a)} duck={len(b)}"
+    a, b = _sortable(a), _sortable(b)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+            ok = ((av.isna() & bv.isna()) | (av == bv)).all()
+            if not ok:
+                diff = (av - bv).abs().max()
+                raise AssertionError(
+                    f"{key}.{c}: float values differ (max abs diff {diff}); "
+                    f"spark head={av.head(5).tolist()} duck head={bv.head(5).tolist()}"
+                )
+        else:
+            mism = ~((av.isna() & bv.isna()) | (av == bv))
+            if mism.any():
+                i = int(np.argmax(mism.values))
+                raise AssertionError(
+                    f"{key}.{c}: value mismatch at sorted row {i}: "
+                    f"spark={av.iloc[i]!r} duck={bv.iloc[i]!r} "
+                    f"(dtypes {av.dtype}/{bv.dtype}, {int(mism.sum())} rows differ)"
+                )
+
+
+def run_parity(spark, con, sf_dir: str, key: str, builder, oracle: str) -> None:
+    spark_pdf = builder(spark, sf_dir).toPandas()
+    duck_pdf = con.execute(oracle).df()
+    compare_frames(spark_pdf, duck_pdf, key)

@@ -1,0 +1,45 @@
+"""Declared-query parity vs DuckDB — local mirror of the driver's t2.
+
+Every registered query with an oracle is compared exactly (row count +
+columns + order-insensitive values). Queries without an oracle get a
+smoke run (schema resolves, returns rows).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_rc_spark.registry import REGISTRY, load_all
+
+load_all()
+
+WITH_ORACLE = sorted(k for k, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY = sorted(k for k, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("key", WITH_ORACLE)
+def test_oracle_parity(spark, duck, sf_dir, key):
+    from tests.parity import run_parity
+
+    spec = REGISTRY[key]
+    run_parity(spark, duck, sf_dir, key, spec.builder, spec.oracle)
+
+
+@pytest.mark.parametrize("key", ROWS_ONLY)
+def test_rows_only_smoke(spark, sf_dir, key):
+    spec = REGISTRY[key]
+    df = spec.builder(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_query_key_unique_and_documented():
+    for k, s in REGISTRY.items():
+        assert s.doc.strip(), f"{k} lacks a docstring/doc"
