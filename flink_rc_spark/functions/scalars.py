@@ -1,1 +1,298 @@
-"""Filled in a later milestone."""
+"""Scalar-function queries (SURVEY.md §2.2 "Scalar functions").
+
+Row-level expressions stay inside whole-stage codegen (no Python).
+Dialect care vs the DuckDB oracle, learned by probing:
+- DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all default;
+- transcendentals (exp/ln/pow) are libm-dependent → rounded to 6
+  decimals on both sides; sqrt is IEEE-exact so left raw;
+- double→string formatting diverges for |x| ≥ 1e7 (Spark "1.0E7") →
+  casts to string go through decimal or small-magnitude doubles only;
+- Spark floor/ceil return BIGINT → oracle casts to match;
+- DuckDB EXTRACT returns BIGINT → both sides cast to INT;
+- element_at / list indexing is 1-based in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources import load
+
+
+@register(
+    "q_str_funcs",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_name) AS name_upper,
+               LOWER(p_brand) AS brand_lower,
+               TRIM(p_type) AS type_trim,
+               SUBSTRING(p_name, 1, 5) AS name_head,
+               LENGTH(p_name) AS name_len,
+               CONCAT(p_brand, ':', p_type) AS brand_type,
+               LPAD(p_brand, 12, '*') AS brand_pad,
+               REPLACE(p_type, 'a', '#') AS type_repl,
+               STRING_SPLIT(p_name, ' ')[1] AS first_word
+        FROM part
+    """,
+)
+def q_str_funcs(spark, sf_dir):
+    """upper/lower/trim/substr/length/concat/lpad/replace/split."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.replace(F.col("p_type"), F.lit("a"), F.lit("#")).alias("type_repl"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+    )
+
+
+@register(
+    "q_str_regex",
+    oracle="""
+        SELECT p_partkey,
+               REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word,
+               REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               REGEXP_MATCHES(p_name, '^[a-m]') AS starts_first_half
+        FROM part
+    """,
+)
+def q_str_regex(spark, sf_dir):
+    """regexp_extract / regexp_replace / rlike (Spark replaces all
+    matches by default — oracle passes the 'g' flag to match)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^[a-m]").alias("starts_first_half"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+               CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mo,
+               CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dy,
+               DATE_TRUNC('month', o_orderdate) AS month_start,
+               o_orderdate + INTERVAL 30 DAY AS due_date,
+               CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate)
+                    AS INTEGER) AS days_since_1995
+        FROM orders
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    """year/month/day extraction, date_trunc, interval arithmetic,
+    day difference from an epoch."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_1995"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_discount - 0.05) AS abs_c,
+               ROUND(l_extendedprice, -2) AS price_round_100,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+               CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+               SQRT(l_quantity) AS qty_sqrt,
+               ROUND(EXP(l_discount), 6) AS exp_disc,
+               ROUND(LN(l_extendedprice), 6) AS ln_price,
+               ROUND(LOG10(l_extendedprice), 6) AS log10_price,
+               POW(l_quantity, 2) AS qty_sq,
+               MOD(l_linenumber, 3) AS ln_mod3,
+               CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sign_c
+        FROM lineitem
+        WHERE l_orderkey <= 2000
+    """,
+)
+def q_math_funcs(spark, sf_dir):
+    """abs/round/floor/ceil/sqrt/exp/ln/log10/pow/mod/sign.
+
+    sqrt & pow(int,2) are IEEE-exact; exp/ln/log10 rounded to 6
+    (libm last-ulp differences between JVM and C).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_c"),
+        F.round("l_extendedprice", -2).alias("price_round_100"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        (F.col("l_linenumber") % 3).alias("ln_mod3"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_c"),
+    )
+
+
+@register(
+    "q_case_null",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 1000 THEN 'low'
+                    ELSE 'healthy' END AS bal_bucket,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'hidden') AS seg_masked,
+               IFNULL(NULLIF(c_name, c_name), 'anon') AS always_anon
+        FROM customer
+    """,
+)
+def q_case_null(spark, sf_dir):
+    """CASE WHEN / coalesce / nullif / ifnull."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("healthy")
+        .alias("bal_bucket"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("hidden")
+        ).alias("seg_masked"),
+        F.ifnull(F.nullif(F.col("c_name"), F.col("c_name")), F.lit("anon")).alias(
+            "always_anon"
+        ),
+    )
+
+
+@register(
+    "q_cast",
+    oracle="""
+        SELECT l_orderkey,
+               l_linenumber,
+               CAST(l_linenumber AS DOUBLE) AS linenumber_dbl,
+               CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+               CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) AS qty_str,
+               CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day_str,
+               CAST('2024-06-01 12:00:00' AS TIMESTAMP) AS const_ts,
+               CAST(l_linenumber AS DECIMAL(10,3)) AS linenumber_dec
+        FROM lineitem
+        WHERE l_orderkey <= 2000
+    """,
+)
+def q_cast(spark, sf_dir):
+    """Casts across int/double/string/timestamp/decimal (string
+    renderings routed through decimal/date so both engines format
+    identically)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    qty_dec = F.col("l_quantity").cast("decimal(12,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_linenumber").cast("double").alias("linenumber_dbl"),
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+        qty_dec.alias("qty_dec"),
+        qty_dec.cast("string").alias("qty_str"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_day_str"),
+        F.lit("2024-06-01 12:00:00").cast("timestamp").alias("const_ts"),
+        F.col("l_linenumber").cast("decimal(10,3)").alias("linenumber_dec"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+        SELECT vec_id,
+               LEN(embedding) AS n_dims,
+               embedding[1] AS first_dim,
+               embedding[64] AS last_dim,
+               LIST_MIN(embedding) AS min_dim,
+               LIST_MAX(embedding) AS max_dim,
+               LIST_CONTAINS(embedding, 0.0) AS has_zero
+        FROM embeddings
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """size / element_at / array_min / array_max / array_contains on the
+    embedding vector column (pass-through float32 values — exact)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).alias("first_dim"),
+        F.element_at("embedding", 64).alias("last_dim"),
+        F.array_min("embedding").alias("min_dim"),
+        F.array_max("embedding").alias("max_dim"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+    )
+
+
+@register(
+    "q_explode",
+    oracle="""
+        SELECT vec_id, UNNEST(embedding) AS dim_value
+        FROM embeddings
+        WHERE vec_id < 50
+    """,
+)
+def q_explode(spark, sf_dir):
+    """explode/unnest of the embedding array (64 rows per vector)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select("vec_id", F.explode("embedding").alias("dim_value"))
+
+
+@register(
+    "q_json_funcs",
+    oracle="""
+        SELECT event_id,
+               JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_int,
+               JSON_EXTRACT_STRING(props, '$.missing') AS missing_key
+        FROM events
+    """,
+)
+def q_json_funcs(spark, sf_dir):
+    """JSON extraction from the events.props string column."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+    )
+
+
+@register(
+    "q_hash_funcs",
+    oracle="""
+        SELECT doc_id,
+               MD5(text) AS text_md5,
+               SHA256(text) AS text_sha256
+        FROM documents
+    """,
+)
+def q_hash_funcs(spark, sf_dir):
+    """md5 / sha-256 content hashes (the exact-dedup primitive)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )

@@ -1,1 +1,93 @@
-"""Filled in a later milestone."""
+"""Set-operation queries (SURVEY.md §2.2 "Set operations").
+
+Scale story (100 TB): UNION ALL is free (no shuffle — partitions
+concatenate). Distinct-flavored ops (UNION / INTERSECT / EXCEPT)
+shuffle on the full row — keep projections narrow before them, which
+these queries do (key + one attribute).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources import load
+
+
+@register(
+    "q_set_union_all",
+    oracle="""
+        SELECT c_custkey AS key, 'customer' AS src FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT o_custkey AS key, 'big_order' AS src FROM orders
+        WHERE o_totalprice > 400000.0
+    """,
+)
+def q_set_union_all(spark, sf_dir):
+    """UNION ALL (bag semantics, duplicates preserved)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key"), F.lit("customer").alias("src")
+    )
+    b = o.filter(F.col("o_totalprice") > 400000.0).select(
+        F.col("o_custkey").alias("key"), F.lit("big_order").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "q_set_union",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_set_union(spark, sf_dir):
+    """UNION (set semantics — distinct)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "q_set_intersect",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_set_intersect(spark, sf_dir):
+    """INTERSECT (distinct): customers with both F and O orders."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersect(op)
+
+
+@register(
+    "q_set_except",
+    oracle="""
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
+    """,
+)
+def q_set_except(spark, sf_dir):
+    """EXCEPT (distinct): BUILDING customers with no >300k order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 300000.0).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)

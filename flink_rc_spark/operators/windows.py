@@ -1,1 +1,226 @@
-"""Filled in a later milestone."""
+"""Window-function queries (SURVEY.md §2.2 "Window functions").
+
+These generalize the reference's sequential-stream idioms relationally:
+R11 output-shift (k-step-ahead target pairing) = lag/lead; R10
+running-MSE = cumulative frame aggregation (SURVEY.md §2.1).
+
+Scale story (100 TB): a window = ONE shuffle on partitionBy keys +
+per-partition sort. Partition keys here are user_id / priority — high
+cardinality relative to data volume, so partitions stay small; a
+skewed window key would be handled by pre-aggregating or bucketing
+the heavy key. Running/moving double sums go through DECIMAL so the
+frame aggregation is order-independent and hash-stable vs the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from flink_rc_spark.functions.exact import dec
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources import load
+
+
+@register(
+    "q_win_ranking",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_orderstatus) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderstatus) AS drnk,
+               NTILE(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+        FROM orders
+    """,
+)
+def q_win_ranking(spark, sf_dir):
+    """row_number / rank / dense_rank / ntile.
+
+    row_number+ntile order includes the unique o_orderkey tiebreak
+    (deterministic across engines); rank/dense_rank order by a
+    low-cardinality column so tie semantics are actually exercised
+    (rank depends only on value equality → still deterministic).
+    """
+    o = load(spark, sf_dir, "orders")
+    w_unique = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_ties = W.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_unique).alias("quartile"),
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+        SELECT event_id,
+               user_id,
+               LAG(value, 1) OVER w AS prev_value,
+               LEAD(value, 2) OVER w AS next2_value,
+               LAG(event_type, 1, 'none') OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag_lead(spark, sf_dir):
+    """lag/lead — the reference's k-step-ahead shift (R11) generalized.
+    Pass-through values (no arithmetic) → exact cross-engine."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 2).over(w).alias("next2_value"),
+        F.lag("event_type", 1, "none").over(w).alias("prev_type"),
+    )
+
+
+@register(
+    "q_win_running",
+    oracle="""
+        SELECT event_id,
+               user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_sum,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running_avg
+        FROM events
+    """,
+)
+def q_win_running(spark, sf_dir):
+    """Cumulative sum/avg per user — the reference's running-MSE shape
+    (R10) as a frame aggregation; decimal-exact."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running_sum = F.sum(dec("value", 18, 2)).over(w).cast("double")
+    return e.select(
+        "event_id",
+        "user_id",
+        running_sum.alias("running_sum"),
+        (running_sum / F.count("*").over(w)).alias("running_avg"),
+    )
+
+
+@register(
+    "q_win_moving",
+    oracle="""
+        SELECT event_id,
+               user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                   AS moving_avg_4
+        FROM events
+    """,
+)
+def q_win_moving(spark, sf_dir):
+    """Moving average over a 4-row sliding frame (decimal-exact)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(dec("value", 18, 2)).over(w).cast("double") / F.count("*").over(w)).alias(
+            "moving_avg_4"
+        ),
+    )
+
+
+@register(
+    "q_win_range_frame",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                              RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)
+                   AS n_within_10k,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                          RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS sum_within_10k
+        FROM orders
+    """,
+)
+def q_win_range_frame(spark, sf_dir):
+    """RANGE frame on a numeric ordering column (value-based bounds).
+
+    Via Spark SQL: the DataFrame ``rangeBetween`` API only accepts
+    integer offsets, while the SQL frame syntax supports the double
+    bound this query needs.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_orderpriority,
+               COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                              RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)
+                   AS n_within_10k,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                          RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS sum_within_10k
+        FROM orders
+        """
+    )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+               LAST_VALUE(o_orderkey) OVER w AS priciest_key,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value with a full-partition frame
+    (the frame makes last_value meaningful and cross-engine stable)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )

@@ -59,4 +59,7 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return len(re.findall(r"WholeStageCodegen", formatted_plan(df)))
+    """Distinct whole-stage-codegen stages in the plan. Under AQE the
+    markers only appear in the *final* plan, so execute the DataFrame
+    (e.g. ``df.collect()``) before calling for a meaningful count."""
+    return len(set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df))))

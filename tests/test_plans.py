@@ -1,0 +1,88 @@
+"""Physical-plan audits — the 100 TB guardrails.
+
+Correctness tests prove the small-SF answer; these prove the *plan*
+is the one that survives a 1000× scale-up: filters reach the parquet
+scan, projections prune columns, dimensions broadcast, top-k avoids a
+global sort, and no query degenerates to a cartesian product.
+"""
+
+from __future__ import annotations
+
+from flink_rc_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pruned_columns,
+    assert_pushed_filters,
+    codegen_stage_count,
+    formatted_plan,
+)
+from flink_rc_spark.registry import REGISTRY, load_all
+
+load_all()
+
+
+def _q(key, spark, sf_dir):
+    return REGISTRY[key].builder(spark, sf_dir)
+
+
+def test_scan_pruned_pushdown(spark, sf_dir):
+    df = _q("q_scan_pruned", spark, sf_dir)
+    assert_pushed_filters(df, "LessThan(l_quantity,5.0)")
+    assert_pruned_columns(
+        df, {"l_orderkey", "l_linenumber", "l_quantity"}, table_hint="l_"
+    )
+
+
+def test_scan_project_prunes(spark, sf_dir):
+    df = _q("q_scan_project", spark, sf_dir)
+    assert_pruned_columns(
+        df, {"l_orderkey", "l_linenumber", "l_extendedprice"}, table_hint="l_"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = _q("q_filter_basic", spark, sf_dir)
+    assert_pushed_filters(df, "GreaterThanOrEqual(l_quantity,30.0)")
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    assert_broadcast_join(_q("q_join_broadcast", spark, sf_dir))
+
+
+def test_multiway_broadcasts_nation(spark, sf_dir):
+    df = _q("q_join_multiway", spark, sf_dir)
+    assert "BroadcastHashJoin" in formatted_plan(df)
+
+
+def test_theta_join_not_cartesian(spark, sf_dir):
+    df = _q("q_join_theta", spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_interval_selfjoin_uses_equi_key(spark, sf_dir):
+    plan = formatted_plan(_q("q_join_selfjoin", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan, (
+        "interval self-join must join on user_id with a range residual, "
+        f"not nested-loop:\n{plan}"
+    )
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = formatted_plan(_q("q_topk", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_codegen_and_partial_agg(spark, sf_dir):
+    df = _q("q_agg_group", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, f"expected partial+final agg:\n{plan}"
+    df.collect()  # AQE: codegen ids only appear in the final plan
+    assert codegen_stage_count(df) >= 1, formatted_plan(df)
+
+
+def test_semi_anti_are_joins_not_subplans(spark, sf_dir):
+    for key in ("q_join_semi", "q_join_anti"):
+        plan = formatted_plan(_q(key, spark, sf_dir))
+        assert "Join" in plan
+        assert "CartesianProduct" not in plan

@@ -1,0 +1,87 @@
+"""ESN golden/property checks (FIXTURES.md §B) — tolerance-based, not
+hash-based: float trajectories are seed-stable but not
+cross-library-stable."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_rc_spark.rc.fixtures import mackey_glass, series_df, sine_noise
+from flink_rc_spark.rc.readout import fit_readout_collect, fit_readout_distributed
+from flink_rc_spark.rc.reservoir import (
+    ReservoirConfig,
+    init_weights,
+    reservoir_scan,
+    run_reservoir,
+)
+
+
+def test_spectral_radius_hit():
+    for topo in ("sparse_random", "cycle_jumps"):
+        cfg = ReservoirConfig(n_x=80, topology=topo, spectral_radius=0.9)
+        _, w = init_weights(cfg)
+        rho = np.max(np.abs(np.linalg.eigvals(w)))
+        assert abs(rho - 0.9) < 1e-8, topo
+
+
+def test_seed_determinism():
+    cfg = ReservoirConfig(n_x=60)
+    u = sine_noise(300).reshape(-1, 1)
+    w_in1, w1 = init_weights(cfg)
+    w_in2, w2 = init_weights(cfg)
+    assert np.array_equal(w_in1, w_in2) and np.array_equal(w1, w2)
+    s1 = reservoir_scan(u, w_in1, w1, True)
+    s2 = reservoir_scan(u, w_in2, w2, True)
+    assert np.array_equal(s1, s2)
+
+
+def test_echo_state_property():
+    """spectral radius < 1 ⇒ different initial states converge."""
+    cfg = ReservoirConfig(n_x=80, spectral_radius=0.9)
+    w_in, w = init_weights(cfg)
+    u = mackey_glass(500).reshape(-1, 1)
+    rng = np.random.default_rng(7)
+    sa = reservoir_scan(u, w_in, w, True, x0=np.zeros(cfg.n_x))
+    sb = reservoir_scan(u, w_in, w, True, x0=rng.uniform(-1, 1, cfg.n_x))
+    assert np.linalg.norm(sa[250] - sb[250]) < 1e-6
+
+
+def test_output_dims(spark):
+    cfg = ReservoirConfig(n_u=1, n_x=20)
+    df = series_df(spark, sine_noise(50))
+    out = run_reservoir(df, cfg)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r["features"]) == cfg.n_u + cfg.n_x for r in rows)
+
+
+def test_distributed_fit_matches_collect_fit(spark):
+    cfg = ReservoirConfig(n_u=1, n_x=30)
+    df = series_df(spark, sine_noise(400))
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("series_id").orderBy("seq")
+    labeled = df.withColumn("target", F.lead("value", 1).over(w)).filter(
+        F.col("target").isNotNull()
+    )
+    states = run_reservoir(labeled, cfg, keep_cols=["target"]).repartition(8)
+    a1 = fit_readout_distributed(states, ridge=1e-6)
+    a2 = fit_readout_collect(states, ridge=1e-6)
+    # Gram matrix is ill-conditioned (~1e14): weights agree only to the
+    # conditioning limit, but the fitted function must agree tightly.
+    assert np.allclose(a1, a2, rtol=1e-3, atol=1e-5)
+    rows = states.select("features").collect()
+    a = np.hstack([np.array([r[0] for r in rows]), np.ones((len(rows), 1))])
+    assert np.max(np.abs(a @ a1 - a @ a2)) < 1e-7
+
+
+@pytest.mark.slow
+def test_esn_beats_naive_on_mackey_glass(spark):
+    from flink_rc_spark.registry import REGISTRY, load_all
+
+    load_all()
+    row = REGISTRY["q_esn_fit_predict"].builder(spark, "unused").first()
+    assert row["beats_naive"], dict(row.asDict())
+    assert row["test_mse"] < 0.5 * row["naive_mse"], dict(row.asDict())
