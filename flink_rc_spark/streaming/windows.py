@@ -1,0 +1,187 @@
+"""Streaming window queries (SURVEY.md §2.3).
+
+Each declared query replays events.parquet through Structured
+Streaming (see replay.py) and is oracle-checked against the identical
+batch SQL — the strongest correctness statement Spark's unified model
+offers.
+
+Watermark/output-mode notes (learned behavior, encoded here):
+- windowed aggregations run in **complete** mode for the bounded
+  replay: append mode only emits windows the watermark has passed,
+  and a bounded replay's watermark never passes the final window;
+- q_stream_watermark_late intentionally uses append+watermark to
+  exercise late-row dropping — its output is the watermark-passed
+  subset, timing-dependent → rows-only (driver contract allows it);
+- value sums accumulate in DECIMAL so stream results hash-match the
+  batch oracle exactly.
+
+100 TB story: tumbling/sliding windows shuffle on (window, keys) with
+partial aggregation; state store size is bounded by active windows ×
+keys; watermarks bound state growth. Swap the file source for Kafka
+and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources import load
+from flink_rc_spark.streaming.replay import events_stream, run_to_memory
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+        SELECT DATE_TRUNC('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 1h window count/sum by event_type (streaming)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+        WITH ex AS (
+            SELECT event_type, ts, epoch_us(ts) AS us,
+                   (epoch_us(ts) // 900000000) AS bucket
+            FROM events
+        )
+        SELECT MAKE_TIMESTAMP((bucket - k) * 900000000) AS window_start,
+               event_type,
+               COUNT(*) AS n
+        FROM ex CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(k)
+        WHERE us - (bucket - k) * 900000000 < 3600000000
+        GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding 1h window every 15min (each event lands in 4 windows);
+    oracle expands the window membership arithmetically."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS session_no
+            FROM g
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_no
+    """,
+)
+def q_stream_session(spark, sf_dir):
+    """Session windows (30 min inactivity gap) per user; oracle is the
+    classic gaps-and-islands rewrite on the bounded table."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@register("q_stream_watermark_late", oracle=None)
+def q_stream_watermark_late(spark, sf_dir):
+    """Tumbling windows under a 10-minute watermark in APPEND mode:
+    only windows the watermark has passed are emitted, so the bounded
+    replay's final windows are withheld — timing-dependent by design →
+    rows-only check (tests assert the emitted set is a strict subset
+    of the batch result)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    return run_to_memory(agg, output_mode="append")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dedup: the replay is unioned with itself (every event
+    arrives twice) and dropDuplicatesWithinWatermark restores
+    exactly-once on event_id; oracle = the original bounded table."""
+    s = events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    doubled = s.unionByName(s)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    return run_to_memory(deduped, output_mode="append")
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+        SELECT event_id, user_id, event_type, c_mktsegment
+        FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def q_stream_join(spark, sf_dir):
+    """Stream-static join: streaming events enriched with the customer
+    dimension (static side broadcast per micro-batch, no state)."""
+    s = events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = s.join(
+        F.broadcast(dim), s.user_id == dim.c_custkey, "inner"
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+    return run_to_memory(joined, output_mode="append")
