@@ -1,0 +1,99 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing method: each query's full physical plan is executed through the
+``noop`` sink (``df.write.format("noop")``) so the measured time is the
+distributed execution — scan, shuffle, agg, join — without driver-side
+collect or sink I/O skew. One warm-up query runs first so JVM/codegen
+warm-up is not charged to the first headline entry.
+
+The headline set covers every operator family (scan, filter, join, agg,
+window, sort, set, scalar, subquery, LLM-data) rather than all declared
+keys, keeping the bench loop tight enough to iterate on; the full set is
+still correctness-checked by the driver's t2 gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # relational core
+    "q_agg_group",          # flagship TPC-H Q1 shape
+    "q_scan_pruned",        # pushdown surface
+    "q_join_inner",         # big shuffle join lineitem join orders
+    "q_join_broadcast",     # broadcast dim join
+    "q_join_multiway",      # 4-way join
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_win_ranking",
+    "q_win_moving",
+    "q_topk_per_group",
+    "q_set_except",
+    "q_subq_exists_corr",
+    "q_json_funcs",
+    # LLM-data pipeline
+    "q_text_stats",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_sim_cosine_topk",
+    "q_knn_label",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from flink_rc_spark.registry import REGISTRY, load_all
+    from flink_rc_spark.session import get_spark
+
+    load_all()
+    spark = get_spark(app="flink_rc_spark_bench")
+
+    # sf tag from the dir name, e.g. .../sf0.1 -> 0.1
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = base
+
+    keys = [k for k in HEADLINE if k in REGISTRY]
+
+    def execute(key: str) -> float:
+        df = REGISTRY[key].builder(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    execute(keys[0])  # warm-up (JVM + codegen + parquet footer cache)
+
+    timings: dict[str, float] = {}
+    for k in keys:
+        timings[k] = round(execute(k), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

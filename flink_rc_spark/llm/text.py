@@ -1,0 +1,277 @@
+"""Text-analysis operators for the LLM-data pipeline (SURVEY.md §2.4).
+
+All five operators run entirely JVM-side on built-in functions (split /
+transform / filter / aggregate lambdas) — no Python UDFs — so they stay
+inside whole-stage codegen and scale linearly with the corpus: at 100 TB
+these are embarrassingly parallel per-document maps followed by a small
+grouped aggregation, with no shuffle except the final groupBy.
+
+Determinism policy: every derived metric is integer arithmetic or an
+explicitly rounded double computed with the *same* expression shape in
+the DuckDB oracle, so the driver's value-hash matches exactly.
+
+Reference parity: the reference has no text operators (it is an RC/ESN
+stream library — SURVEY.md §2.1); these are the beyond-reference
+surface mandated by BASELINE.json for training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources.tables import load
+
+# Marker stopwords per language for the n-gram/marker lang-ID heuristic.
+# Deterministic scoring — identical lists are inlined in the oracle SQL.
+_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "is", "in", "to", "it")
+
+# BPE-ish tokenizer regex: runs of letters, runs of digits, or a single
+# non-alphanumeric non-space symbol — a coarse stand-in for byte-pair
+# pretokenization. Kept to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB).
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _toks(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc count, token totals, avg length.
+
+    Tokenization is whitespace split (JVM-side `split`); token counts
+    are exact integers, avg length an integer-sum / count rounded to 4
+    decimals identically in the oracle. Scale: map + single hash agg on
+    a low-cardinality key — partial aggregation makes the shuffle tiny.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tok", F.size(_toks()))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+    SELECT source,
+           SUM(len(string_split(text, ' '))) AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS bpe_tokens,
+           MAX(len(string_split(text, ' '))) AS max_doc_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("llm", "text"),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting, aggregated per source.
+
+    Both tokenizers are JVM built-ins (`split`, `regexp_count`); the
+    regex is restricted to constructs with identical Java/RE2 meaning.
+    At 100 TB: per-row map, partial agg, 20-key shuffle — negligible.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("ws", F.size(_toks()))
+        .withColumn("bpe", F.regexp_count("text", F.lit(_BPE_RE)))
+        .groupBy("source")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.max("ws").alias("max_doc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _marker_count_expr(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter(split(text, ' '), w -> w IN ({inlist})))"
+
+
+def _marker_count_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({inlist})))"
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_marker_count_sql(_MARKERS["en"])} AS s_en,
+               {_marker_count_sql(_MARKERS["es"])} AS s_es,
+               {_marker_count_sql(_MARKERS["de"])} AS s_de,
+               {_marker_count_sql(_MARKERS["fr"])} AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= s_fr THEN 'de'
+             ELSE 'fr'
+           END AS pred_lang,
+           s_en, s_es, s_de, s_fr
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: score each doc against per-language
+    stopword lists, argmax with a fixed priority tiebreak.
+
+    A production system would use char n-gram profiles (same shape:
+    per-doc map + argmax); marker words keep the oracle exactly
+    SQL-expressible. Pure JVM lambda functions; zero shuffle (the
+    ORDER BY is for deterministic presentation only).
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(_marker_count_expr(_MARKERS[k])).alias(f"s_{k}")
+            for k in ("en", "es", "de", "fr")
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return scored.select(
+        "doc_id", "lang", pred.alias("pred_lang"), "s_en", "s_es", "s_de", "s_fr"
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, source, n_chars,
+               len(string_split(text, ' ')) AS n_tok,
+               {_marker_count_sql(_STOPWORDS)} AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, source, n_tok,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tok, 4) AS avg_tok_len,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+           CASE WHEN n_tok >= 20 AND CAST(n_stop AS DOUBLE) / n_tok < 0.5
+                THEN 1 ELSE 0 END AS keep
+    FROM feat
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring: token count, avg token
+    length, stopword ratio, and a keep/drop gate — the standard
+    pretraining-corpus filter shape (C4/Gopher-style rules).
+
+    All features are integer counts; ratios are rounded doubles with
+    the identical expression in the oracle. Per-row map, no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(_toks()).alias("n_tok"),
+        F.expr(_marker_count_expr(_STOPWORDS)).alias("n_stop"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    return feat.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.round(F.col("n_chars").cast("double") / F.col("n_tok"), 4).alias(
+            "avg_tok_len"
+        ),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.when((F.col("n_tok") >= 20) & (stop_ratio < 0.5), 1)
+        .otherwise(0)
+        .alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(array_to_string(t, ' ')) AS full_hash,
+           list_min(list_transform(range(1, len(t) - 2),
+                    i -> md5(array_to_string(t[i:i+3], ' ')))) AS min_shingle,
+           list_max(list_transform(range(1, len(t) - 2),
+                    i -> md5(array_to_string(t[i:i+3], ' ')))) AS max_shingle
+    FROM toks
+    WHERE len(t) >= 4
+    ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-text md5 plus min/max 4-gram
+    shingle hashes (the winnowing/min-shingle primitive that MinHash
+    builds on).
+
+    Shingles are generated JVM-side with `transform(sequence(...))` —
+    no explode, no shuffle; each doc emits one row. The min-shingle
+    column is exactly the 1-permutation MinHash signature, so this
+    operator is the scale path's building block: at 100 TB, k of these
+    columns bucket-joined give near-dup candidates without a pairwise
+    O(n^2) comparison.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _toks().alias("t")).filter(F.size("t") >= 4)
+    shingle_hashes = F.expr(
+        "transform(sequence(1, size(t) - 3), i -> md5(concat_ws(' ', slice(t, i, 4))))"
+    )
+    return toks.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.col("t"))).alias("full_hash"),
+        F.array_min(shingle_hashes).alias("min_shingle"),
+        F.array_max(shingle_hashes).alias("max_shingle"),
+    ).orderBy("doc_id")
