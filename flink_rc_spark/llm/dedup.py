@@ -1,0 +1,391 @@
+"""Deduplication operators for the LLM-data pipeline (SURVEY.md §2.4).
+
+Five stages of the standard pretraining-dedup ladder, all with *exact*
+DuckDB oracles (value-hash matchable):
+
+- exact          : md5 hash-groupBy (the cheap first pass)
+- minhash        : MinHash signatures + banded LSH candidate pairs
+- simhash        : 60-bit SimHash + low-Hamming pairs
+- ngram_jaccard  : exact shingle-set Jaccard (the verify stage)
+- embedding      : cosine near-dup pairs on the vector table
+
+Cross-engine determinism: every hash is md5 (identical hex in Spark and
+DuckDB); every signature is built from md5 output with integer
+arithmetic; float folds (cosine) run in identical sequential order on
+both sides (Spark `aggregate` left-fold == DuckDB `list_reduce`), so
+doubles match bit-for-bit and ROUND(x, 4) is stable.
+
+Scale design (100 TB): exact dedup is one hash-aggregate (map-side
+partial → tiny shuffle of 16-byte keys). MinHash banding is THE scale
+path for near-dup: signatures are a per-doc map (no shuffle), and the
+band join shuffles only (band_key → doc) pairs, never O(n^2); the
+Jaccard verify stage then runs only on band-collided candidates.
+SimHash pairwise and brute-force cosine are block-scoped here and
+documented as the verify/baseline stages; at scale they run per
+LSH/prefix bucket, not globally.
+
+Reference parity: the reference has no dedup (SURVEY.md §2.1); this is
+beyond-reference surface mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources.tables import load
+
+# ---------------------------------------------------------------------------
+# shared expression fragments (Spark SQL expr strings + DuckDB twins)
+# ---------------------------------------------------------------------------
+
+# 3-gram token shingles, de-duplicated per document.
+_SHINGLES_SPARK = (
+    "array_distinct(transform(sequence(1, size(t) - 2),"
+    " i -> concat_ws(' ', slice(t, i, 3))))"
+)
+_SHINGLES_DUCK = (
+    "list_distinct(list_transform(range(1, len(t) - 1),"
+    " i -> array_to_string(t[i:i+2], ' ')))"
+)
+
+_N_HASHES = 8  # MinHash signature length; b=4 bands x r=2 rows
+_N_BANDS = 4
+
+# Per-bit SimHash vote for bit position p of a 60-bit signature derived
+# from the md5 hex of each distinct token: hex char floor(p/4), bit p%4.
+_SIMHASH_BIT_VOTE_SPARK = (
+    "(CAST(floor((instr('0123456789abcdef',"
+    " substr(x, CAST(floor(p / 4) AS INT) + 1, 1)) - 1)"
+    " / power(2, p % 4)) AS INT) % 2) * 2 - 1"
+)
+_SIMHASH_BIT_VOTE_DUCK = (
+    "(CAST(floor((strpos('0123456789abcdef',"
+    " substr(x, CAST(floor(p / 4) AS INT) + 1, 1)) - 1)"
+    " / power(2, p % 4)) AS INT) % 2) * 2 - 1"
+)
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keep_doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by md5(text), keep the lowest doc_id.
+
+    One hash aggregate; at 100 TB the map-side partial agg reduces the
+    shuffle to one 16-byte key + two longs per *distinct* document.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS s
+           FROM toks WHERE len(t) >= 3),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, {_N_HASHES}),
+                     j -> list_min(list_transform(s,
+                       x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS g
+            FROM sh),
+    bands AS (SELECT doc_id, g, j AS band_id, md5(g[2*j+1] || g[2*j+2]) AS band_key
+              FROM sig, range({_N_BANDS}) r(j)),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     ROUND(CAST(len(list_filter(range(1, {_N_HASHES} + 1),
+                           i -> a.g[i] = b.g[i])) AS DOUBLE) / {_N_HASHES}, 4)
+                       AS est_jaccard
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates.
+
+    Signature: 8 min-hashes over 3-gram shingles, hash_j(s) =
+    md5(j || '|' || s) (lexicographic min of fixed-width hex == numeric
+    min). Banding: 4 bands x 2 rows; a pair is a candidate iff some
+    band's 2-row slice matches, and est_jaccard is the matching
+    signature fraction.
+
+    Scale: the signature is a per-doc JVM-side map (no Python, no
+    shuffle); the band self-join shuffles on band_key — collisions
+    only — which is the textbook way near-dup survives 100 TB without
+    an O(n^2) pairwise pass. Implemented with built-ins rather than
+    MLlib MinHashLSH so the hash family is engine-independent and
+    oracle-checkable (MLlib's family would make the driver's
+    value-hash unmatchable).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = toks.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+    sig = sh.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_N_HASHES - 1}),"
+            " j -> array_min(transform(s,"
+            " x -> md5(concat(cast(j AS string), '|', x)))))"
+        ).alias("g"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "g",
+        F.explode(F.expr(f"sequence(0, {_N_BANDS - 1})")).alias("band_id"),
+    ).withColumn(
+        "band_key",
+        F.expr("md5(concat(element_at(g, 2*band_id+1), element_at(g, 2*band_id+2)))"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("g").alias("ga"),
+        "band_id",
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("g").alias("gb"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_key").alias("band_key_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("band_id") == F.col("band_id_b"))
+        & (F.col("band_key") == F.col("band_key_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.expr(
+                    f"cast(size(filter(sequence(1, {_N_HASHES}),"
+                    f" i -> element_at(ga, i) = element_at(gb, i))) AS double)"
+                    f" / {_N_HASHES}"
+                ),
+                4,
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH hs AS (SELECT doc_id,
+                       list_transform(list_distinct(string_split(text, ' ')),
+                                      tok -> md5(tok)) AS h
+                FROM documents WHERE doc_id < 250),
+    bits AS (SELECT doc_id,
+             list_transform(range(0, 60), p ->
+               CASE WHEN list_sum(list_transform(h,
+                 x -> {_SIMHASH_BIT_VOTE_DUCK})) >= 0
+               THEN 1 ELSE 0 END) AS b
+             FROM hs),
+    sh AS (SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 60),
+                p -> b[p+1] * CAST(power(2, p) AS BIGINT))) AS BIGINT) AS simhash
+           FROM bits)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit signature from per-token md5 bit votes
+    (distinct tokens, weight 1), pairs at Hamming distance <= 3 within
+    the doc_id < 250 block.
+
+    The signature is pure JVM lambda arithmetic over md5 hex — the
+    same integer ops in both engines, so the oracle matches exactly.
+    60 bits (15 hex chars) keeps every intermediate inside a signed
+    64-bit range on both sides.
+
+    Scale: the signature is a per-doc map. The pairwise stage is
+    block-scoped here; at 100 TB SimHash dedup shards by signature
+    prefix (or the Charikar rotate-and-sort trick) so each comparison
+    bucket stays small — same plan shape as this block scope.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hs = docs.filter(F.col("doc_id") < 250).select(
+        "doc_id",
+        F.expr("transform(array_distinct(split(text, ' ')), tok -> md5(tok))").alias(
+            "h"
+        ),
+    )
+    bits = hs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 59), p ->"
+            " CASE WHEN aggregate(h, 0, (acc, x) ->"
+            f" acc + ({_SIMHASH_BIT_VOTE_SPARK})) >= 0"
+            " THEN 1 ELSE 0 END)"
+        ).alias("b"),
+    )
+    sh = bits.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(0, 59), CAST(0 AS BIGINT),"
+            " (acc, p) -> acc + element_at(b, p+1) * CAST(power(2, p) AS BIGINT))"
+        ).alias("simhash"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE doc_id < 150),
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS s
+           FROM toks WHERE len(t) >= 3),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT da AS doc_a, db AS doc_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = da
+    JOIN sz sb ON sb.doc_id = db
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard similarity, pairs >= 0.4 within the
+    doc_id < 150 block — the exact *verify* stage that MinHash
+    candidates feed at scale.
+
+    Plan: explode distinct shingles, shuffle on the shingle string
+    (equi-join — never a cross product), count intersections, then a
+    broadcast-size join back to per-doc set sizes. At 100 TB this runs
+    only on LSH-candidate pairs, so the explode-join touches a tiny
+    fraction of the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("doc_id") < 150).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    sh = toks.filter(F.size("t") >= 3).select(
+        "doc_id", F.expr(_SHINGLES_SPARK).alias("s")
+    )
+    ex = sh.select("doc_id", F.explode("s").alias("g"))
+    a = ex.select(F.col("doc_id").alias("da"), F.col("g").alias("ga"))
+    b = ex.select(F.col("doc_id").alias("db"), F.col("g").alias("gb"))
+    inter = (
+        a.join(b, (F.col("ga") == F.col("gb")) & (F.col("da") < F.col("db")))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("i"))
+    )
+    sz = sh.select("doc_id", F.size("s").alias("n"))
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .filter(jac >= 0.4)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings WHERE vec_id < 200),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(e, x -> x*x),
+                      (acc, x) -> acc + x)) AS nrm
+          FROM v)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_reduce(list_transform(range(1, 65),
+                   i -> a.e[i] * b.e[i]), (acc, x) -> acc + x)
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(range(1, 65), i -> a.e[i] * b.e[i]),
+                      (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.35, vec_id < 200
+    block).
+
+    Floats are cast to double, then dot products and norms fold
+    sequentially in index order — Spark's `aggregate` and DuckDB's
+    `list_reduce` produce bit-identical doubles, so the rounded value
+    hashes match. Scale: brute-force pairwise is the *verify* stage;
+    the candidate stage at 100 TB is q_sim_ann_lsh's hyperplane
+    bucketing (same cosine expression, bucket-scoped join).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.filter(F.col("vec_id") < 200).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    n = v.withColumn(
+        "nrm",
+        F.expr("sqrt(aggregate(transform(e, x -> x*x), 0d, (acc, x) -> acc + x))"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.35)
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
