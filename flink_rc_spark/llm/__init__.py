@@ -7,4 +7,4 @@ Importing this package registers every q_* key with the central
 registry (flink_rc_spark.registry).
 """
 
-from flink_rc_spark.llm import dedup, text  # noqa: F401
+from flink_rc_spark.llm import dedup, multimodal, similarity, text, udfs  # noqa: F401

@@ -1,0 +1,247 @@
+"""Similarity search over the embeddings table (SURVEY.md §2.4).
+
+Three operators: brute-force cosine top-k (the correctness baseline),
+random-hyperplane LSH ANN (the 100 TB scale path), and k-NN label
+prediction (the consumer of either candidate generator).
+
+Cross-engine float determinism: embeddings are cast float -> double,
+then every dot product / norm folds sequentially in index order
+(Spark `aggregate` left fold == DuckDB `list_reduce` with a plain-sum
+lambda), so both engines produce bit-identical doubles; ranking and
+thresholding therefore agree exactly and ROUND(x, 4) is hash-stable.
+
+LSH hyperplanes are derived from md5 — w[j][i] =
+instr(hexdigits, first_hex_char(md5(j || '_' || i))) - 8.5 — i.e. a
+deterministic pseudo-random value in [-7.5, 7.5] computable identically
+in Spark and DuckDB with no external randomness and no literal blobs.
+
+Reference parity: the reference's only vector math is the reservoir
+matvec (SURVEY.md §2.1 R4); similarity search is beyond-reference
+surface mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources.tables import load
+
+_DIM = 64
+_N_PLANES = 8
+
+_DOT_SPARK = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+_NORM_SPARK = "sqrt(aggregate(transform(e, x -> x*x), 0d, (acc, x) -> acc + x))"
+
+_DOT_DUCK = (
+    f"list_reduce(list_transform(range(1, {_DIM + 1}),"
+    " i -> a.e[i] * b.e[i]), (acc, x) -> acc + x)"
+)
+_NORM_DUCK = "sqrt(list_reduce(list_transform(e, x -> x*x), (acc, x) -> acc + x))"
+
+# Sign bit of <w_j, e> for md5-derived hyperplane j.
+_LSH_BIT_SPARK = (
+    f"CASE WHEN aggregate(sequence(1, {_DIM}), 0d, (acc, i) ->"
+    " acc + (instr('0123456789abcdef',"
+    " substr(md5(concat(cast(j AS string), '_', cast(i AS string))), 1, 1)) - 8.5)"
+    " * element_at(e, i)) >= 0 THEN 1 ELSE 0 END"
+)
+_LSH_BIT_DUCK = (
+    f"CASE WHEN list_reduce(list_transform(range(1, {_DIM + 1}), i ->"
+    " (strpos('0123456789abcdef',"
+    " substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 8.5)"
+    " * e[i]), (acc, x) -> acc + x) >= 0 THEN 1 ELSE 0 END"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with double-cast vector and precomputed norm."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).withColumn("nrm", F.expr(_NORM_SPARK))
+
+
+@register(
+    "q_sim_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings WHERE vec_id < 200),
+    n AS (SELECT vec_id, e, {_NORM_DUCK} AS nrm FROM v)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_DOT_DUCK} / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ORDER BY {_DOT_DUCK} / (a.nrm * b.nrm) DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 pairs within the vec_id < 200 block.
+
+    The exactness baseline for ANN. Ranking happens on the raw
+    (bit-identical) double; only the output column is rounded, so the
+    top-k cut and tie order agree across engines. Scale: O(n^2) is the
+    verify/baseline path only — q_sim_ann_lsh is the scale path; on a
+    cluster the pair join is a block-nested product per id-range
+    bucket, so work shards cleanly.
+    """
+    n = _vectors(spark, sf_dir).filter(F.col("vec_id") < 200)
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("_raw"))
+        .orderBy(F.desc("_raw"), "vec_a", "vec_b")
+        .limit(20)
+        .select("vec_a", "vec_b", F.round("_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "q_sim_ann_lsh",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e, {_NORM_DUCK} AS nrm FROM v),
+    h AS (SELECT vec_id, e, nrm,
+                 CAST(list_sum(list_transform(range(0, {_N_PLANES}), j ->
+                      ({_LSH_BIT_DUCK}) * CAST(power(2, j) AS BIGINT)))
+                      AS BIGINT) AS bucket
+          FROM n)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+           ROUND({_DOT_DUCK} / (a.nrm * b.nrm), 4) AS cosine
+    FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ORDER BY {_DOT_DUCK} / (a.nrm * b.nrm) DESC, vec_a, vec_b
+    LIMIT 50
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane (SimHash)
+    LSH: 8 md5-derived hyperplanes -> 256 buckets; candidate pairs are
+    generated only inside a bucket, then exact cosine ranks the top 50.
+
+    This is the 100 TB path: the bucket id is a per-row map, and the
+    only shuffle is an equi-join on the bucket key — candidate count
+    scales with bucket occupancy (~n^2/2^planes per bucket), never
+    global n^2. More planes or multi-probe trade recall for cost; an
+    IVF variant would replace the hyperplanes with k-means centroids
+    but keep this exact plan shape (cluster-id equi-join).
+    """
+    n = _vectors(spark, sf_dir)
+    h = n.withColumn(
+        "bucket",
+        F.expr(
+            f"aggregate(sequence(0, {_N_PLANES - 1}), CAST(0 AS BIGINT),"
+            f" (acc, j) -> acc + ({_LSH_BIT_SPARK}) * CAST(power(2, j) AS BIGINT))"
+        ),
+    )
+    a = h.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = h.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", "bucket", cos.alias("_raw"))
+        .orderBy(F.desc("_raw"), "vec_a", "vec_b")
+        .limit(50)
+        .select("vec_a", "vec_b", "bucket", F.round("_raw", 4).alias("cosine"))
+    )
+
+
+@register(
+    "q_knn_label",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, label, e, {_NORM_DUCK} AS nrm FROM v),
+    scored AS (
+        SELECT a.vec_id AS qid, a.label AS true_label,
+               b.vec_id AS cid, b.label AS clabel,
+               {_DOT_DUCK} / (a.nrm * b.nrm) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_DOT_DUCK} / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+        FROM n a JOIN n b ON b.vec_id >= 10
+        WHERE a.vec_id < 10
+    ),
+    votes AS (
+        SELECT qid, true_label, clabel, COUNT(*) AS cnt
+        FROM scored WHERE rn <= 5
+        GROUP BY qid, true_label, clabel
+    ),
+    ranked AS (
+        SELECT qid, true_label, clabel AS pred_label,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cnt DESC, clabel) AS vr
+        FROM votes
+    )
+    SELECT qid AS vec_id, true_label, pred_label
+    FROM ranked WHERE vr = 1
+    ORDER BY vec_id
+    """,
+    tags=("llm", "similarity"),
+)
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN (k=5) majority-label prediction for query vectors
+    vec_id < 10 against the rest of the table.
+
+    Neighbors rank on the raw bit-identical cosine with vec_id
+    tiebreak; majority vote tiebreaks on (count desc, label). Scale:
+    the query side is tiny -> broadcast it; per-candidate work is one
+    fused dot product, the top-k is a per-query window (partial
+    top-k per partition under AQE), and the vote is a k-row agg.
+    """
+    n = _vectors(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = n.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = (F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))).alias("cos")
+    scored = F.broadcast(q).join(c).select("qid", "true_label", "cid", "clabel", cos)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top.groupBy("qid", "true_label", "clabel").agg(F.count("*").alias("cnt"))
+    vw = Window.partitionBy("qid").orderBy(F.desc("cnt"), "clabel")
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "true_label",
+            F.col("clabel").alias("pred_label"),
+        )
+        .orderBy("vec_id")
+    )

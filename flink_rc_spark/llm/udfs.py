@@ -1,0 +1,126 @@
+"""Python UDF surface (SURVEY.md §2.4 q_udf_surface).
+
+One declared query wiring all three Python extension shapes into a
+single plan, each Arrow-batched (never row-at-a-time Python):
+
+- scalar `pandas_udf`      : per-doc whitespace token count
+- UDAF shape `applyInPandas`: per-source aggregation in pandas
+- UDTF shape `mapInPandas` : 1 -> 3 row unpivot (explode-producing)
+
+Everything computed in Python is integer arithmetic, so the DuckDB
+oracle (plain SQL agg + UNION ALL unpivot) hash-matches exactly —
+demonstrating that a Python-extended plan can still be
+oracle-verified.
+
+Scale notes: scalar pandas UDFs stream Arrow batches through a fused
+Python worker per core — the per-row cost is pandas-vectorized, and
+the plan around the UDF (scan pruning, partial aggregation of other
+columns) is unaffected. `applyInPandas` shuffles by the grouping key
+and materializes ONE group per call — safe here because a group is a
+source shard, never the whole table; a skewed key would need salting
+first. `mapInPandas` is pipelined per-partition with no shuffle at
+all. The UDF is the slow path by policy (SURVEY.md §4): every other
+operator in this engine is JVM-only; this query exists to prove the
+extension surface, not to route hot paths through Python.
+
+Reference parity: the reference's Python boundary is a plotting
+subprocess (SURVEY.md §2.1 R12); Arrow-batched UDFs are its idiomatic
+Spark replacement.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources.tables import load
+
+
+@pandas_udf(T.LongType())
+def py_token_count(text: pd.Series) -> pd.Series:
+    """Scalar pandas UDF: whitespace token count (== len(split(' ')))."""
+    return text.str.split(" ").str.len().astype("int64")
+
+
+_AGG_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("total_tok", T.LongType()),
+        T.StructField("max_chars", T.LongType()),
+    ]
+)
+
+
+def _agg_source(pdf: pd.DataFrame) -> pd.DataFrame:
+    """UDAF shape: aggregate one source group in pandas (exact ints)."""
+    return pd.DataFrame(
+        {
+            "source": [pdf["source"].iloc[0]],
+            "n_docs": [int(len(pdf))],
+            "total_tok": [int(pdf["n_tok"].sum())],
+            "max_chars": [int(pdf["n_chars"].max())],
+        }
+    )
+
+
+_UNPIVOT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("metric", T.StringType()),
+        T.StructField("value", T.LongType()),
+    ]
+)
+
+
+def _unpivot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """UDTF shape: each aggregated row explodes into 3 metric rows."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        yield pdf.melt(
+            id_vars=["source"],
+            value_vars=["n_docs", "total_tok", "max_chars"],
+            var_name="metric",
+            value_name="value",
+        )[["source", "metric", "value"]]
+
+
+@register(
+    "q_udf_surface",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS total_tok,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY source
+    )
+    SELECT source, metric, value FROM (
+        SELECT source, 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM s
+        UNION ALL
+        SELECT source, 'total_tok', total_tok FROM s
+        UNION ALL
+        SELECT source, 'max_chars', max_chars FROM s
+    )
+    ORDER BY source, metric
+    """,
+    tags=("llm", "udf"),
+)
+def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scalar pandas_udf -> applyInPandas -> mapInPandas in one plan,
+    oracle-checked exactly (all Python math is integer arithmetic).
+    """
+    docs = load(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "source", "n_chars", py_token_count(F.col("text")).alias("n_tok")
+    )
+    agg = with_tok.groupBy("source").applyInPandas(_agg_source, _AGG_SCHEMA)
+    return agg.mapInPandas(_unpivot, _UNPIVOT_SCHEMA).orderBy("source", "metric")

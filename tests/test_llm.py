@@ -37,3 +37,51 @@ def test_fingerprint_min_le_max(spark, sf_dir):
     for r in _run(spark, sf_dir, "q_fingerprint").collect():
         assert r.min_shingle <= r.max_shingle
         assert len(r.full_hash) == 32
+
+
+def test_minhash_est_jaccard_bounds(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_dedup_minhash").collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        # banded LSH with r=2 implies >= 2/8 matching signature rows
+        assert 0.25 <= r.est_jaccard <= 1.0
+
+
+def test_simhash_pairs_ordered(spark, sf_dir):
+    for r in _run(spark, sf_dir, "q_dedup_simhash").collect():
+        assert r.doc_a < r.doc_b and 0 <= r.hamming <= 3
+
+
+def test_ann_lsh_subset_of_bruteforce_space(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_sim_ann_lsh").collect()
+    for r in rows:
+        assert r.vec_a < r.vec_b
+        assert -1.0001 <= r.cosine <= 1.0001
+
+
+def test_knn_labels_valid(spark, sf_dir):
+    rows = _run(spark, sf_dir, "q_knn_label").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.pred_label is not None
+
+
+def test_multimodal_decode_stub_raises():
+    from flink_rc_spark.llm.multimodal import _HAVE_PIL, decode_image
+
+    if not _HAVE_PIL:
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG fake")
+
+
+def test_multimodal_payload_is_binary(spark, sf_dir):
+    from flink_rc_spark.llm.multimodal import with_media_columns
+    from flink_rc_spark.sources.tables import load
+
+    media = with_media_columns(load(spark, sf_dir, "documents"))
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.first()
+    assert isinstance(row.payload, (bytes, bytearray)) and len(row.payload) == 16
+    assert row.meta.format in ("png", "jpeg")
