@@ -1,0 +1,65 @@
+"""Sinks (reference parity: SURVEY.md §2.1 R12 — print / writeAsText /
+writeAsCsv; plotting excluded as out-of-engine-scope).
+
+The Spark-first sink surface is `df.write` with a layout policy that
+matters at 100 TB:
+
+- **Directory partitioning** (`partitionBy`) turns future reads into
+  partition-pruned scans — the write-side half of the §4.2 pruning
+  story. Choose low-cardinality columns (date buckets, region), never
+  high-cardinality keys (one directory per key kills the namenode /
+  object-store listing).
+- **File sizing** (`maxRecordsPerFile` + a pre-write repartition on
+  the partition columns) bounds both small-file explosion (too many
+  tasks x partitions) and giant-file skew. Target ~128 MB-1 GB files.
+- **In-file clustering** (`sortWithinPartitions`) gives parquet
+  row-group min/max statistics real selectivity, so predicate
+  pushdown skips row groups, not just directories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned, size-bounded, optionally clustered parquet sink.
+
+    The pre-write `repartition(partition_by)` co-locates each output
+    directory's rows into one task (one file per directory per task
+    instead of tasks x directories small files); `sortWithinPartitions`
+    then clusters rows so parquet row-group stats are selective.
+    """
+    out = df
+    if partition_by:
+        out = out.repartition(*partition_by)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    writer = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    sep: str = ",",
+    mode: str = "overwrite",
+) -> None:
+    """CSV sink (reference writeAsCsv). For interchange only — parquet
+    is the at-scale format (columnar, compressed, statistics)."""
+    df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Text sink (reference writeAsText): single string column per row."""
+    df.write.mode(mode).text(path)

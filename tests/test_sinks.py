@@ -1,0 +1,54 @@
+"""Sink tests: layout (directory partitioning), roundtrip fidelity,
+and that a partition-pruned read of the written layout actually prunes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_rc_spark.plans.inspect import formatted_plan
+from flink_rc_spark.sources.sinks import write_csv, write_parquet, write_text
+from flink_rc_spark.sources.tables import load
+
+
+def test_partitioned_parquet_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    orders = load(spark, sf_dir, "orders")
+    write_parquet(
+        orders,
+        out,
+        partition_by=["o_orderstatus"],
+        cluster_by=["o_orderdate"],
+        max_records_per_file=10_000,
+    )
+    # directory layout: one subdir per status value
+    subdirs = {d for d in os.listdir(out) if d.startswith("o_orderstatus=")}
+    statuses = {r[0] for r in orders.select("o_orderstatus").distinct().collect()}
+    assert subdirs == {f"o_orderstatus={s}" for s in statuses}
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    # partition pruning visible in the plan of a filtered read
+    one = sorted(statuses)[0]
+    plan = formatted_plan(back.filter(F.col("o_orderstatus") == one))
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    nation = load(spark, sf_dir, "nation")
+    write_csv(nation, out)
+    back = spark.read.csv(out, header=True, inferSchema=True)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_text_sink(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "names_txt")
+    nation = load(spark, sf_dir, "nation").select(F.col("n_name").alias("value"))
+    write_text(nation, out)
+    back = spark.read.text(out)
+    assert back.count() == nation.count()
