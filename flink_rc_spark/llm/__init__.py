@@ -7,4 +7,11 @@ Importing this package registers every q_* key with the central
 registry (flink_rc_spark.registry).
 """
 
-from flink_rc_spark.llm import dedup, multimodal, similarity, text, udfs  # noqa: F401
+from flink_rc_spark.llm import (  # noqa: F401
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+    udfs,
+)

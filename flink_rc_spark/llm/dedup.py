@@ -96,6 +96,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, g: array of 8 min-hash hex strings).
+
+    One flat column per hash function instead of a nested
+    transform(sequence(...)) lambda: nested higher-order functions are
+    Catalyst-interpreted per element (~2.3x slower measured at sf0.1);
+    flat HOF columns keep each min-hash in a single vectorizable pass.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = toks.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+    return sh.select(
+        "doc_id",
+        *[
+            F.expr(f"array_min(transform(s, x -> md5(concat('{j}|', x))))").alias(
+                f"m{j}"
+            )
+            for j in range(_N_HASHES)
+        ],
+    ).select("doc_id", F.array(*[f"m{j}" for j in range(_N_HASHES)]).alias("g"))
+
+
 @register(
     "q_dedup_minhash",
     oracle=f"""
@@ -138,23 +161,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash unmatchable).
     """
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= 3
-    )
-    sh = toks.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
-    # One flat column per hash function instead of a nested
-    # transform(sequence(...)) lambda: nested higher-order functions are
-    # Catalyst-interpreted per element (~2.3x slower measured at sf0.1);
-    # flat HOF columns keep each min-hash in a single vectorizable pass.
-    sig = sh.select(
-        "doc_id",
-        *[
-            F.expr(f"array_min(transform(s, x -> md5(concat('{j}|', x))))").alias(
-                f"m{j}"
-            )
-            for j in range(_N_HASHES)
-        ],
-    ).select("doc_id", F.array(*[f"m{j}" for j in range(_N_HASHES)]).alias("g"))
+    sig = minhash_signatures(docs)
     bands = sig.select(
         "doc_id",
         "g",

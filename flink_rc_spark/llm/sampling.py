@@ -1,0 +1,128 @@
+"""Deterministic sampling for reproducible training-data pipelines.
+
+`df.sample()` / `sampleBy()` draw from a per-partition RNG stream, so
+results change with partitioning/parallelism — unacceptable for a
+pipeline that must be re-runnable bit-for-bit at any cluster size.
+The scale-correct alternative is **hash sampling**: keep a row iff a
+hash of its stable key falls under the rate threshold. Same rows on
+any partitioning, any engine, any day — and exactly reproducible in
+the DuckDB oracle.
+
+Hash: first two hex chars of md5(key) as an integer v in [0, 255]
+(identical arithmetic both engines, as in q_multimodal_decode);
+keep iff v < round(rate * 256).
+
+100 TB story: a per-row filter on a hash of the key — no shuffle, no
+RNG state, trivially pushdown-composable; stratified rates are a CASE
+over the stratum column. This is also how train/test splits stay
+stable as the corpus grows (the reference's R9 index-threshold split
+breaks on re-ingestion; hash split does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources.tables import load
+
+# v = int(first two md5 hex chars of the key), range [0, 255]
+_HASHV_SPARK = (
+    "(instr('0123456789abcdef', substr(md5(k), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(k), 2, 1)) - 1"
+)
+_HASHV_DUCK = (
+    "(strpos('0123456789abcdef', substr(md5(k), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(k), 2, 1)) - 1"
+)
+
+# per-segment sampling rates (x/256) for the stratified query
+_RATES = {
+    "AUTOMOBILE": 26,  # ~10%
+    "BUILDING": 64,  # ~25%
+    "FURNITURE": 128,  # ~50%
+    "HOUSEHOLD": 26,
+    "MACHINERY": 13,  # ~5%
+}
+
+
+def _rate_case_sql(dialect_hashv: str) -> str:
+    whens = " ".join(
+        f"WHEN c_mktsegment = '{seg}' THEN {thr}" for seg, thr in _RATES.items()
+    )
+    return f"({dialect_hashv}) < (CASE {whens} ELSE 0 END)"
+
+
+@register(
+    "q_sample_hash",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(l_orderkey AS VARCHAR) || '-' ||
+               CAST(l_linenumber AS VARCHAR) AS k
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM keyed
+    WHERE ({_HASHV_DUCK}) < 26
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic hash sample of lineitem (keep iff the md5 of
+    the primary key's first byte < 26/256). Identical row set at any
+    partitioning — the reproducible replacement for df.sample()."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("k"),
+    )
+    return (
+        li.filter(F.expr(_HASHV_SPARK) < 26)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_custkey AS VARCHAR) AS k
+        FROM customer
+    )
+    SELECT c_mktsegment, COUNT(*) AS n_sampled
+    FROM keyed
+    WHERE {_rate_case_sql(_HASHV_DUCK)}
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-mktsegment rates (5%-50%)
+    applied via a CASE over the stratum — the `sampleBy` replacement
+    that stays stable across partitionings. Output: per-stratum kept
+    counts."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_custkey").cast("string").alias("k"),
+    )
+    rate = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN c_mktsegment = '{seg}' THEN {thr}" for seg, thr in _RATES.items()
+        )
+        + " ELSE 0 END"
+    )
+    return (
+        cust.filter(F.expr(_HASHV_SPARK) < rate)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("c_mktsegment")
+    )

@@ -318,3 +318,49 @@ def q_agg_collect(spark, sf_dir):
         ),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q_agg_pivot",
+    oracle="""
+        SELECT n_name,
+               CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                    THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS AUTOMOBILE,
+               CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                    THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS BUILDING,
+               CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE'
+                    THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS FURNITURE,
+               CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'
+                    THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS HOUSEHOLD,
+               CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY'
+                    THEN CAST(c_acctbal AS DECIMAL(12,2)) END) AS DOUBLE)
+                   AS MACHINERY
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+)
+def q_agg_pivot(spark, sf_dir):
+    """Pivot: per-nation account balance pivoted across market segments
+    (`df.groupBy().pivot(values).agg()`).
+
+    Explicit pivot values keep the plan a single pass — without them
+    Spark runs an extra distinct-values job; with them the pivot
+    compiles to the same conditional-aggregation shape as the oracle
+    SQL (one hash aggregate, no extra shuffle). Decimal-routed sums
+    keep the value hash exact.
+    """
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(dsum("c_acctbal"))
+        .orderBy("n_name")
+    )

@@ -185,3 +185,55 @@ def q_stream_join(spark, sf_dir):
         F.broadcast(dim), s.user_id == dim.c_custkey, "inner"
     ).select("event_id", "user_id", "event_type", "c_mktsegment")
     return run_to_memory(joined, output_mode="append")
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+        SELECT a.user_id, a.event_id AS view_id, b.event_id AS click_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'click'
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks: click attribution —
+    each view joined to same-user clicks within the following hour.
+
+    Both sides carry a 2h watermark so the state store evicts rows
+    older than the join window (Spark requires the watermark + time
+    bound to reason about state cleanup); inner-join results stream
+    out as matches arrive, so the bounded replay's output equals the
+    batch self-join oracle exactly. 100 TB story: state is bounded by
+    (watermark horizon x per-user event rate); the join shuffles both
+    streams on user_id — the same equi-key-plus-range-residual shape
+    as the batch interval join (q_join_selfjoin).
+    """
+    s = events_stream(spark, sf_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", "2 hours")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND cts >= vts AND cts <= vts + INTERVAL 1 HOUR"
+        ),
+    ).select("user_id", "view_id", "click_id")
+    return run_to_memory(joined, output_mode="append")

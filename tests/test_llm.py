@@ -85,3 +85,32 @@ def test_multimodal_payload_is_binary(spark, sf_dir):
     row = media.first()
     assert isinstance(row.payload, (bytes, bytearray)) and len(row.payload) == 16
     assert row.meta.format in ("png", "jpeg")
+
+
+def test_minhash_catches_synthetic_duplicates(spark):
+    """Identical texts must produce identical signatures; a one-token
+    edit of a long text must agree on most min-hashes; an unrelated
+    text must not."""
+    from flink_rc_spark.llm.dedup import minhash_signatures
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(59)) + " zzz"
+    other = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], ["doc_id", "text"]
+    )
+    sigs = {r.doc_id: tuple(r.g) for r in minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2], "exact duplicates must collide on all hashes"
+    agree_near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    agree_other = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert agree_near >= 6, f"near-dup should agree on most hashes ({agree_near}/8)"
+    assert agree_other == 0, "unrelated text should share no min-hashes"
+
+
+def test_hash_sample_rate_close(spark, sf_dir):
+    from flink_rc_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    sampled = _run(spark, sf_dir, "q_sample_hash").count()
+    rate = sampled / li.count()
+    assert 0.06 <= rate <= 0.15, f"~10% hash sample, got {rate:.3f}"
