@@ -7,3 +7,4 @@ import flink_rc_spark.operators.windows  # noqa: F401
 import flink_rc_spark.operators.sorts  # noqa: F401
 import flink_rc_spark.operators.setops  # noqa: F401
 import flink_rc_spark.operators.subqueries  # noqa: F401
+import flink_rc_spark.operators.timeseries  # noqa: F401

@@ -364,3 +364,78 @@ def q_agg_pivot(spark, sf_dir):
         .agg(dsum("c_acctbal"))
         .orderBy("n_name")
     )
+
+
+@register(
+    "q_agg_salted",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_agg_salted(spark, sf_dir):
+    """Salted two-phase aggregation — the explicit skew-mitigation
+    pattern: phase 1 aggregates on (key, salt) spreading one hot key
+    over 16 reducers, phase 2 merges salt partials per key. The result
+    is provably identical to the plain GROUP BY (the oracle *is* the
+    plain GROUP BY); decimal sums make the merge order-insensitive.
+
+    At 100 TB: use when one key holds >> 1/parallelism of all rows and
+    AQE skew handling can't help (skew in an aggregation, not a join).
+    Salt fan-out trades one extra small shuffle for eliminating the
+    straggler reducer.
+    """
+    e = load(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    phase1 = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("pt"),
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("pt").cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles (median, p90) per return flag.
+
+    Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition; inputs are exact decimals-as-
+    doubles (money values), so the interpolated result matches to
+    well beyond 4 decimals. At 100 TB exact percentile means a sort
+    per group — switch to approx_percentile (t-digest, q_agg_approx
+    pattern) when groups no longer fit a reducer.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "median_price"
+            ),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
