@@ -40,12 +40,17 @@ HEADLINE = [
     "q_set_except",
     "q_subq_exists_corr",
     "q_json_funcs",
+    "q_agg_pivot",
+    "q_agg_salted",
+    "q_agg_percentile",
+    "q_ts_resample",
     # LLM-data pipeline
     "q_text_stats",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_sim_cosine_topk",
     "q_knn_label",
+    "q_sample_hash",
 ]
 
 

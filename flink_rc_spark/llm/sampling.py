@@ -66,7 +66,6 @@ def _rate_case_sql(dialect_hashv: str) -> str:
     SELECT l_orderkey, l_linenumber, l_quantity
     FROM keyed
     WHERE ({_HASHV_DUCK}) < 26
-    ORDER BY l_orderkey, l_linenumber
     """,
     tags=("llm", "sampling"),
 )
@@ -80,10 +79,10 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         F.concat_ws("-", "l_orderkey", "l_linenumber").alias("k"),
     )
-    return (
-        li.filter(F.expr(_HASHV_SPARK) < 26)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
+    # no ORDER BY: the driver compare is order-insensitive, and a
+    # global sort of the sample would be the only shuffle in the plan
+    return li.filter(F.expr(_HASHV_SPARK) < 26).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
     )
 
 

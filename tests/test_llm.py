@@ -114,3 +114,27 @@ def test_hash_sample_rate_close(spark, sf_dir):
     sampled = _run(spark, sf_dir, "q_sample_hash").count()
     rate = sampled / li.count()
     assert 0.06 <= rate <= 0.15, f"~10% hash sample, got {rate:.3f}"
+
+
+def test_hash_sample_partitioning_invariant(spark, sf_dir):
+    """The determinism claim: identical sample rows at any parallelism."""
+    from flink_rc_spark.registry import REGISTRY
+
+    b = REGISTRY["q_sample_hash"].builder
+    base = {tuple(r) for r in b(spark, sf_dir).collect()}
+    df = b(spark, sf_dir)
+    assert {tuple(r) for r in df.repartition(1).collect()} == base
+    assert {tuple(r) for r in df.repartition(13).collect()} == base
+
+
+def test_minhash_partitioning_invariant(spark, sf_dir):
+    from flink_rc_spark.llm.dedup import minhash_signatures
+    from flink_rc_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    s1 = {(r.doc_id, tuple(r.g)) for r in minhash_signatures(docs).collect()}
+    s2 = {
+        (r.doc_id, tuple(r.g))
+        for r in minhash_signatures(docs.repartition(7)).collect()
+    }
+    assert s1 == s2
