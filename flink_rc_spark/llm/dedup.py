@@ -55,11 +55,8 @@ _N_BANDS = 4
 
 # Per-bit SimHash vote for bit position p of a 60-bit signature derived
 # from the md5 hex of each distinct token: hex char floor(p/4), bit p%4.
-_SIMHASH_BIT_VOTE_SPARK = (
-    "(CAST(floor((instr('0123456789abcdef',"
-    " substr(x, CAST(floor(p / 4) AS INT) + 1, 1)) - 1)"
-    " / power(2, p % 4)) AS INT) % 2) * 2 - 1"
-)
+# (The Spark side emits the same arithmetic as 60 flat codegen'd
+# columns with p constant-folded — see q_dedup_simhash.)
 _SIMHASH_BIT_VOTE_DUCK = (
     "(CAST(floor((strpos('0123456789abcdef',"
     " substr(x, CAST(floor(p / 4) AS INT) + 1, 1)) - 1)"
@@ -248,28 +245,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket stays small — same plan shape as this block scope.
     """
     docs = load(spark, sf_dir, "documents")
-    hs = docs.filter(F.col("doc_id") < 250).select(
+    # Flattened bit voting: explode distinct tokens, then 60 plain
+    # (non-HOF) per-bit vote columns summed by a hash aggregate. The
+    # nested transform(sequence(0,59), p -> aggregate(h, ...)) form is
+    # Catalyst-interpreted per element and took 99 s at sf0.1; this
+    # shape is whole-stage-codegen'd end to end (measured ~1 s). Same
+    # math bit for bit: votes are ints, so sum order is irrelevant.
+    toks = docs.filter(F.col("doc_id") < 250).select(
         "doc_id",
-        F.expr("transform(array_distinct(split(text, ' ')), tok -> md5(tok))").alias(
-            "h"
-        ),
+        F.explode(F.expr("array_distinct(split(text, ' '))")).alias("tok"),
     )
-    bits = hs.select(
-        "doc_id",
+    hashed = toks.select("doc_id", F.md5("tok").alias("x"))
+    vote_cols = [
         F.expr(
-            "transform(sequence(0, 59), p ->"
-            " CASE WHEN aggregate(h, 0, (acc, x) ->"
-            f" acc + ({_SIMHASH_BIT_VOTE_SPARK})) >= 0"
-            " THEN 1 ELSE 0 END)"
-        ).alias("b"),
+            f"(CAST(floor((instr('0123456789abcdef', substr(x, {p // 4 + 1}, 1)) - 1)"
+            f" / {2 ** (p % 4)}) AS INT) % 2) * 2 - 1"
+        ).alias(f"v{p}")
+        for p in range(60)
+    ]
+    votes = hashed.select("doc_id", *vote_cols)
+    agg = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{p}").alias(f"s{p}") for p in range(60)]
     )
-    sh = bits.select(
-        "doc_id",
-        F.expr(
-            "aggregate(sequence(0, 59), CAST(0 AS BIGINT),"
-            " (acc, p) -> acc + element_at(b, p+1) * CAST(power(2, p) AS BIGINT))"
-        ).alias("simhash"),
+    simhash_expr = " + ".join(
+        f"(CASE WHEN s{p} >= 0 THEN 1 ELSE 0 END) * {2 ** p}" for p in range(60)
     )
+    sh = agg.select("doc_id", F.expr(simhash_expr).cast("bigint").alias("simhash"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
@@ -284,64 +285,86 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                  FROM documents WHERE doc_id < 150),
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS s
            FROM toks WHERE len(t) >= 3),
-    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-    sz AS (SELECT doc_id, len(s) AS n FROM sh)
-    SELECT da AS doc_a, db AS doc_b,
-           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
-    FROM inter
-    JOIN sz sa ON sa.doc_id = da
-    JOIN sz sb ON sb.doc_id = db
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, {_N_HASHES}),
+                     j -> list_min(list_transform(s,
+                       x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS g
+            FROM sh),
+    bands AS (SELECT doc_id, md5(g[2*j+1] || g[2*j+2]) AS band_key, j AS band_id
+              FROM sig, range({_N_BANDS}) r(j)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
+               AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.4
     ORDER BY doc_a, doc_b
     """,
     tags=("llm", "dedup"),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard similarity, pairs >= 0.4 within the
-    doc_id < 150 block — the exact *verify* stage that MinHash
-    candidates feed at scale.
+    """Exact 3-gram-shingle Jaccard >= 0.4, verified on the MinHash
+    band candidates — the complete two-stage near-dup pipeline
+    (candidate generation -> exact verify) in one declared query.
 
-    Plan: explode distinct shingles, shuffle on the shingle string
-    (equi-join — never a cross product), count intersections, then a
-    broadcast-size join back to per-doc set sizes. At 100 TB this runs
-    only on LSH-candidate pairs, so the explode-join touches a tiny
-    fraction of the corpus.
+    This is the shape that survives 100 TB: the exact set intersection
+    (array_intersect on the shingle arrays) runs ONLY on pairs some
+    LSH band proposed, never on an id-block or the full cross product.
+    (An earlier id-block-scoped version found zero pairs at sf0.1 —
+    near-dup partners scatter uniformly over the id space, so blocking
+    by id is the wrong scope; candidates are the right one.)
     """
     docs = load(spark, sf_dir, "documents")
-    toks = docs.filter(F.col("doc_id") < 150).select(
-        "doc_id", F.split("text", " ").alias("t")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
     )
-    sh = toks.filter(F.size("t") >= 3).select(
-        "doc_id", F.expr(_SHINGLES_SPARK).alias("s")
+    sh = toks.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {_N_BANDS - 1})")).alias("band_id"),
+        "g",
+    ).withColumn(
+        "band_key",
+        F.expr("md5(concat(element_at(g, 2*band_id+1), element_at(g, 2*band_id+2)))"),
     )
-    ex = sh.select("doc_id", F.explode("s").alias("g"))
-    a = ex.select(F.col("doc_id").alias("da"), F.col("g").alias("ga"))
-    b = ex.select(F.col("doc_id").alias("db"), F.col("g").alias("gb"))
-    inter = (
-        a.join(b, (F.col("ga") == F.col("gb")) & (F.col("da") < F.col("db")))
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("i"))
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("m"))
+        .filter(F.size("m") >= 2)
     )
-    sz = sh.select("doc_id", F.size("s").alias("n"))
-    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(F.broadcast(sa), "da")
-        .join(F.broadcast(sb), "db")
-        .filter(jac >= 0.4)
-        .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (a, i) ->"
+                    " transform(slice(m, i + 2, size(m)),"
+                    " b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
