@@ -91,3 +91,38 @@ def q_set_except(spark, sf_dir):
         F.col("o_custkey").alias("custkey")
     )
     return a.subtract(b)
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, val
+        FROM (
+            SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+                   l_quantity AS val
+            FROM lineitem WHERE l_orderkey < 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'discount', l_discount
+            FROM lineitem WHERE l_orderkey < 200
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'tax', l_tax
+            FROM lineitem WHERE l_orderkey < 200
+        )
+        ORDER BY l_orderkey, l_linenumber, metric
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot (wide -> long) via `stack`: three measure columns melt
+    into (metric, val) rows — the inverse of q_agg_pivot. `stack` is a
+    generator expression (no shuffle, no UNION re-scan: ONE pass emits
+    3 rows per input row, vs the oracle's 3-scan UNION ALL — same
+    result, better plan)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount,"
+            " 'tax', l_tax) AS (metric, val)"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber", "metric")

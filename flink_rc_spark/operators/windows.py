@@ -224,3 +224,30 @@ def q_win_first_last(spark, sf_dir):
         F.last("o_orderkey").over(w).alias("priciest_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+@register(
+    "q_win_distribution",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               ROUND(percent_rank() OVER w, 6) AS pr,
+               ROUND(cume_dist() OVER w, 6) AS cd
+        FROM orders
+        WHERE o_orderkey < 2000
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def q_win_distribution(spark, sf_dir):
+    """Distribution window functions: percent_rank and cume_dist per
+    priority partition (ranks are ratios of ints — identical doubles
+    both engines; rounded for hash stability). Same shuffle shape as
+    q_win_ranking: one exchange on the partition key."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    ).orderBy("o_orderpriority", "o_orderkey")
