@@ -9,6 +9,8 @@ for doubles).
 
 from __future__ import annotations
 
+import decimal
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -54,7 +56,25 @@ def _sortable(pdf: pd.DataFrame) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _assert_no_raw_decimal(pdf: pd.DataFrame, key: str, side: str) -> None:
+    """Output-boundary policy gate (functions/exact.py): raw DECIMAL
+    output columns stringify differently across clients
+    (Decimal('37.00') vs 37.0) and fail the driver's hash even when
+    values compare equal — the r1 q_cast red row. Fail loudly here so
+    the local harness mirrors the driver, not a weaker value-compare."""
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype == object and s.map(lambda v: isinstance(v, decimal.Decimal)).any():
+            raise AssertionError(
+                f"{key}.{c} ({side}): raw DECIMAL output column violates the "
+                "output-boundary policy — cast to DOUBLE or VARCHAR in both "
+                "the Spark builder and the oracle SQL"
+            )
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str) -> None:
+    _assert_no_raw_decimal(spark_pdf, key, "spark")
+    _assert_no_raw_decimal(duck_pdf, key, "duck")
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{key}: column mismatch spark={list(a.columns)} duck={list(b.columns)}"
