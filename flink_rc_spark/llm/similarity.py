@@ -22,6 +22,9 @@ surface mandated by BASELINE.json.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -151,9 +154,14 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100 TB path: the bucket id is a per-row map, and the
     only shuffle is an equi-join on the bucket key — candidate count
     scales with bucket occupancy (~n^2/2^planes per bucket), never
-    global n^2. More planes or multi-probe trade recall for cost; an
-    IVF variant would replace the hyperplanes with k-means centroids
-    but keep this exact plan shape (cluster-id equi-join).
+    global n^2. The fixed 8-plane/256-bucket fan-out here is the
+    oracle-checked demo config; the tunable scale path is
+    `ann_candidate_pairs` / `ann_topk` below (AND-OR banding: raise
+    planes_per_band with n to bound bucket occupancy, raise n_bands to
+    recover recall — recall measured, not guessed, by `ann_recall`,
+    asserted in tests/test_llm.py). An IVF variant would replace the
+    hyperplanes with k-means centroids but keep this exact plan shape
+    (cluster-id equi-join).
     """
     n = _vectors(spark, sf_dir)
     bucket_expr = " + ".join(
@@ -184,6 +192,184 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("vec_a", "vec_b", "bucket", F.round("_raw", 4).alias("cosine"))
     )
+
+
+def _band_buckets_udf(planes_per_band: int, n_bands: int):
+    """Vectorized (Arrow/numpy) per-row band-bucket codes.
+
+    Returns a pandas UDF mapping the double vector column to an
+    array<bigint> of length n_bands (bucket code per band). Planes are
+    numbered globally (band * planes_per_band + j), all md5-derived as
+    in `_plane_weight`, so any (planes_per_band, n_bands) config is
+    deterministic and engine-independent.
+
+    Why not flat codegen like q_sim_ann_lsh: a banded config is
+    planes_per_band * n_bands hyperplanes; beyond ~48 planes the
+    literal sum exceeds the JVM's 64 KB method limit, janino fails,
+    and Spark falls back to INTERPRETED projection — the known 23x
+    cliff. One numpy matmul per Arrow batch ((rows, 64) @ (64, P))
+    stays vectorized at any plane count, which is exactly the
+    sanctioned use of the pandas-UDF slow path.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    total = planes_per_band * n_bands
+    w = np.array(
+        [[_plane_weight(g, i) for i in range(1, _DIM + 1)] for g in range(total)]
+    )  # (P, 64)
+    powers = (2 ** np.arange(planes_per_band)).astype(np.int64)
+
+    @pandas_udf("array<bigint>")
+    def band_codes(e: pd.Series) -> pd.Series:
+        mat = np.vstack(e.to_numpy())  # (n, 64)
+        bits = ((mat @ w.T) >= 0).astype(np.int64)  # (n, P)
+        codes = np.stack(
+            [
+                bits[:, b * planes_per_band : (b + 1) * planes_per_band] @ powers
+                for b in range(n_bands)
+            ],
+            axis=1,
+        )  # (n, n_bands)
+        return pd.Series(list(codes))
+
+    return band_codes
+
+
+def ann_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    planes_per_band: int = 4,
+    n_bands: int = 16,
+) -> DataFrame:
+    """AND-OR banded LSH candidate generation (the tunable 100 TB path).
+
+    AND within a band: a pair collides only if all `planes_per_band`
+    sign bits agree — more planes => smaller buckets => fewer, better
+    candidates (bounds the per-bucket quadratic blowup as n grows).
+    OR across bands: a pair is a candidate if it collides in ANY band —
+    more bands => higher recall. Tune (planes_per_band, n_bands) so
+    per-bucket occupancy stays O(n / 2^planes) while recall meets
+    target; measure with `ann_recall` below, never guess.
+
+    Plan shape: explode each row into n_bands slim (band, bucket,
+    vec_id) tuples — no vectors carried — equi-join on (band, bucket),
+    then distinct id pairs. One shuffle on the band-bucket key; the
+    vector payload is re-attached only for surviving candidates (see
+    ann_topk), so shuffle bytes scale with ids, not 64-double arrays.
+
+    Data realism note (measured, see tests/test_llm.py): the synthetic
+    embeddings are near-uniform — the global top-50 pairs sit at cosine
+    0.43-0.51 (~64 deg), where per-plane sign agreement is only ~0.65.
+    That is the worst case for hyperplane LSH, so the defaults here are
+    few-planes/many-bands (4x16). On a real near-dup corpus (cosine
+    >= 0.9, agreement >= 0.9/plane) the same machinery runs 8+ planes
+    per band for ~2^8 x more pruning at equal recall.
+    """
+    n = _vectors(spark, sf_dir)
+    codes = _band_buckets_udf(planes_per_band, n_bands)
+    slim = n.select(
+        "vec_id", F.posexplode(codes(F.col("e"))).alias("band", "bkt")
+    )
+    a = slim.select(F.col("vec_id").alias("vec_a"), "band", "bkt")
+    b = slim.select(F.col("vec_id").alias("vec_b"), "band", "bkt")
+    return (
+        a.join(b, ["band", "bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 50,
+    planes_per_band: int = 4,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Banded-LSH approximate top-k cosine pairs: candidates from
+    ann_candidate_pairs, exact cosine re-scoring on the survivors."""
+    cand = ann_candidate_pairs(spark, sf_dir, planes_per_band, n_bands)
+    n = _vectors(spark, sf_dir)
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                 F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                 F.col("nrm").alias("nb"))
+    cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("_raw"))
+        .orderBy(F.desc("_raw"), "vec_a", "vec_b")
+        .limit(k)
+        .select("vec_a", "vec_b", F.round("_raw", 4).alias("cosine"))
+    )
+
+
+def brute_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Exact top-k cosine pairs over the FULL table — ground truth for
+    recall measurement (O(n^2); measurement harness only)."""
+    n = _vectors(spark, sf_dir)
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                 F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                 F.col("nrm").alias("nb"))
+    cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("_raw"))
+        .orderBy(F.desc("_raw"), "vec_a", "vec_b")
+        .limit(k)
+        .select("vec_a", "vec_b", F.round("_raw", 4).alias("cosine"))
+    )
+
+
+def ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 50,
+    planes_per_band: int = 4,
+    n_bands: int = 16,
+) -> float:
+    """recall@k of banded-LSH ANN vs brute-force ground truth."""
+    gt = {(r.vec_a, r.vec_b) for r in brute_topk(spark, sf_dir, k).collect()}
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in ann_topk(spark, sf_dir, k, planes_per_band, n_bands).collect()
+    }
+    return len(gt & got) / len(gt)
+
+
+def bucket_occupancy(
+    spark: SparkSession,
+    sf_dir: str,
+    planes_per_band: int = 4,
+    n_bands: int = 16,
+) -> dict:
+    """Occupancy stats for the band buckets — the quantity that decides
+    whether in-bucket pair generation stays sub-quadratic. Returns
+    {n_rows, n_buckets, max, p99ish, mean} over non-empty buckets."""
+    n = _vectors(spark, sf_dir)
+    codes = _band_buckets_udf(planes_per_band, n_bands)
+    occ = (
+        n.select("vec_id", F.posexplode(codes(F.col("e"))).alias("band", "bkt"))
+        .groupBy("band", "bkt")
+        .agg(F.count("*").alias("c"))
+    )
+    row = occ.agg(
+        F.sum("c").alias("rows"),
+        F.count("*").alias("buckets"),
+        F.max("c").alias("mx"),
+        F.expr("percentile_approx(c, 0.99)").alias("p99"),
+        F.avg("c").alias("mean"),
+    ).first()
+    return {
+        "n_rows": row["rows"],
+        "n_buckets": row["buckets"],
+        "max": row["mx"],
+        "p99": row["p99"],
+        "mean": float(row["mean"]),
+    }
 
 
 @register(

@@ -59,6 +59,50 @@ def test_ann_lsh_subset_of_bruteforce_space(spark, sf_dir):
         assert -1.0001 <= r.cosine <= 1.0001
 
 
+def test_ann_banded_recall_and_pruning(spark, sf_dir):
+    """Measured (not guessed) recall of the banded-LSH ANN path.
+
+    The synthetic embeddings are near-uniform (global top-50 pairs at
+    cosine 0.43-0.51), the adversarial case for hyperplane LSH, so the
+    recall target uses the few-planes/many-bands config. All planes are
+    md5-derived => fully deterministic => exact thresholds are stable.
+    Measured 2026-08-13: recall(4,16)=0.98 @sf0.001 / 0.90 @sf0.01;
+    recall(8,16)=0.38/0.28 with ~7% candidate ratio.
+    """
+    from flink_rc_spark.llm.similarity import ann_candidate_pairs, ann_recall
+
+    r_wide = ann_recall(spark, sf_dir, k=50, planes_per_band=4, n_bands=16)
+    assert r_wide >= 0.85, f"banded ANN recall@50 too low: {r_wide}"
+
+    # AND-OR tradeoff is monotone: more planes per band => fewer
+    # candidates AND lower recall (on this data), never both better.
+    r_tight = ann_recall(spark, sf_dir, k=50, planes_per_band=8, n_bands=16)
+    c_wide = ann_candidate_pairs(spark, sf_dir, 4, 16).count()
+    c_tight = ann_candidate_pairs(spark, sf_dir, 8, 16).count()
+    assert r_tight <= r_wide
+    assert c_tight < c_wide
+
+    # the tight config must genuinely prune: < 10% of all n^2/2 pairs
+    from flink_rc_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "embeddings").count()
+    assert c_tight < 0.10 * n * (n - 1) / 2
+
+
+def test_ann_bucket_occupancy_bounded(spark, sf_dir):
+    """Per-bucket occupancy (the quadratic-blowup knob) stays near the
+    n/2^planes expectation — the property that keeps in-bucket pair
+    generation sub-quadratic as planes scale with n."""
+    from flink_rc_spark.llm.similarity import bucket_occupancy
+    from flink_rc_spark.sources.tables import load
+
+    n = load(spark, sf_dir, "embeddings").count()
+    occ = bucket_occupancy(spark, sf_dir, planes_per_band=8, n_bands=16)
+    assert occ["n_rows"] == n * 16
+    # expectation n/256; allow generous clustering headroom
+    assert occ["max"] <= max(10 * n / 256, 8), occ
+
+
 def test_knn_labels_valid(spark, sf_dir):
     rows = _run(spark, sf_dir, "q_knn_label").collect()
     assert len(rows) == 10
@@ -69,11 +113,10 @@ def test_knn_labels_valid(spark, sf_dir):
 def test_multimodal_decode_stub_raises():
     from flink_rc_spark.llm.multimodal import _HAVE_PIL, decode_image
 
-    if not _HAVE_PIL:
-        import pytest as _pytest
-
-        with _pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG fake")
+    if _HAVE_PIL:
+        pytest.skip("PIL installed; stub path not reachable in this env")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
 
 
 def test_multimodal_payload_is_binary(spark, sf_dir):
