@@ -37,33 +37,79 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-_STREAM_DIRS: dict[str, str] = {}
+_STREAM_DIRS: dict[tuple[str, int], str] = {}
 
 
-def _stream_dir(sf_dir: str) -> str:
-    """The file stream source requires a *directory*; expose the single
-    events.parquet file through a cached temp dir of symlinks."""
+def _stream_dir(sf_dir: str, n_splits: int = 1) -> str:
+    """The file stream source requires a *directory*.
+
+    n_splits=1: expose the single events.parquet through a cached temp
+    dir of symlinks (zero copy).
+
+    n_splits>1: split the events into `n_splits` event-time-ordered
+    parquet files (pyarrow, schema-preserving — ts stays INT64 nanos)
+    with strictly increasing mtimes, so that under
+    ``maxFilesPerTrigger=1`` the replay becomes a REAL incremental
+    stream: event time advances across micro-batches, watermarks move,
+    and stateful operators must carry state batch-to-batch. This is the
+    local stand-in for a Kafka topic's arrival order.
+    """
+    import os
+    import tempfile
+
     sf_dir = sf_dir.rstrip("/")
-    if sf_dir not in _STREAM_DIRS:
-        import os
-        import tempfile
-
+    key = (sf_dir, n_splits)
+    if key not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="flink_rc_spark_events_")
-        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-        _STREAM_DIRS[sf_dir] = d
-    return _STREAM_DIRS[sf_dir]
+        if n_splits <= 1:
+            os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        else:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(f"{sf_dir}/events.parquet")
+            tbl = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+            n = tbl.num_rows
+            step = (n + n_splits - 1) // n_splits
+            base = 1_700_000_000  # fixed epoch base; only ordering matters
+            for i in range(n_splits):
+                chunk = tbl.slice(i * step, step)
+                if chunk.num_rows == 0:
+                    break
+                path = f"{d}/part-{i:04d}.parquet"
+                pq.write_table(chunk, path)
+                os.utime(path, (base + i, base + i))
+        _STREAM_DIRS[key] = d
+    return _STREAM_DIRS[key]
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_splits: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay events as a stream. With n_splits>1 the replay defaults
+    to one file per trigger (``maxFilesPerTrigger`` is a file-source
+    OPTION, not a SQL conf), i.e. n_splits real micro-batches."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_stream_dir(sf_dir))
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is None and n_splits > 1:
+        max_files_per_trigger = 1
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(_stream_dir(sf_dir, n_splits))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def run_to_memory(
-    stream_df: DataFrame, output_mode: str = "append"
+    stream_df: DataFrame, output_mode: str = "append", stats: dict | None = None
 ) -> DataFrame:
-    """Execute a bounded streaming query to completion; return results."""
+    """Execute a bounded streaming query to completion; return results.
+
+    If ``stats`` is passed, records {"num_batches": <micro-batches that
+    consumed input rows>} so tests can assert the replay really was
+    incremental (state carry-over is only proven when num_batches > 1).
+    """
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -73,6 +119,21 @@ def run_to_memory(
     )
     try:
         q.processAllAvailable()
+        if stats is not None:
+            import json
+
+            progress = [
+                json.loads(p.json) if hasattr(p, "json") else p
+                for p in q.recentProgress
+            ]
+            stats["num_batches"] = sum(
+                1 for p in progress if p["numInputRows"] > 0
+            )
+            stats["rows_dropped_by_watermark"] = sum(
+                so.get("numRowsDroppedByWatermark", 0)
+                for p in progress
+                for so in p.get("stateOperators", [])
+            )
     finally:
         q.stop()
     spark = stream_df.sparkSession

@@ -28,14 +28,101 @@ def test_watermark_late_is_strict_subset_of_batch(spark, sf_dir):
 
 
 def test_stateful_counter_state_survives_batches(spark, sf_dir):
-    """The counter must give identical results however the replay is
-    split into micro-batches (state carries across batches)."""
+    """State carry-over proven on a REAL multi-micro-batch replay: the
+    events are split into 4 event-time-ordered files consumed one per
+    trigger, and the per-user running counter must equal the
+    single-batch result exactly — which is only possible if the
+    (n, cents) state survives between batches. Fails if state resets:
+    running_n would restart at 1 inside later batches."""
+    from flink_rc_spark.streaming.replay import events_stream, run_to_memory
+    from flink_rc_spark.streaming.stateful import OUT_SCHEMA, STATE_SCHEMA, _counter
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
     one_batch = REGISTRY["q_stream_stateful_counter"].builder(spark, sf_dir)
-    spark.conf.set("spark.sql.streaming.fileSource.maxFilesPerTrigger", "1")
-    try:
-        again = REGISTRY["q_stream_stateful_counter"].builder(spark, sf_dir)
-    finally:
-        spark.conf.unset("spark.sql.streaming.fileSource.maxFilesPerTrigger")
+
+    s = events_stream(spark, sf_dir, n_splits=4)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _counter,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    stats: dict = {}
+    split = run_to_memory(out, output_mode="append", stats=stats)
+
+    assert stats["num_batches"] >= 3, f"replay was not incremental: {stats}"
     a = one_batch.orderBy("user_id", "event_id").toPandas()
-    b = again.orderBy("user_id", "event_id").toPandas()
+    b = split.orderBy("user_id", "event_id").toPandas()
     assert a.equals(b)
+
+
+def test_watermark_drops_late_row_across_batches(spark, tmp_path):
+    """A row arriving after its window was finalized must be dropped.
+
+    Measured Spark 4.1 semantics: the late filter lags one batch — a
+    row older than the watermark is still merged if its window's state
+    has not been evicted yet. So the drop case needs THREE batches:
+    batch 0 (10:00-11:59) builds the 10:00 window; batch 1 (13:00)
+    advances the watermark past it, evicting + emitting (10:00, n=2);
+    batch 2 delivers a late 10:30 row (must drop, counted by
+    numRowsDroppedByWatermark) plus a 15:00 row."""
+    import os
+
+    from flink_rc_spark.streaming.replay import EVENTS_RAW_SCHEMA, run_to_memory
+
+    def ns(hour, minute=0):
+        # 2024-06-01 HH:MM UTC in nanos
+        import datetime as dt
+
+        t = dt.datetime(2024, 6, 1, hour, minute, tzinfo=dt.timezone.utc)
+        return int(t.timestamp()) * 1_000_000_000
+
+    d = str(tmp_path / "late_events")
+    os.makedirs(d)
+    files = [
+        [
+            (1, ns(10, 0), 1, "view", 1.0, "{}"),
+            (2, ns(10, 45), 1, "view", 1.0, "{}"),
+            (3, ns(11, 30), 1, "view", 1.0, "{}"),
+            (4, ns(11, 59), 1, "view", 1.0, "{}"),
+        ],
+        [(5, ns(13, 0), 1, "view", 1.0, "{}")],
+        [
+            (6, ns(10, 30), 1, "view", 1.0, "{}"),  # LATE: window evicted
+            (7, ns(15, 0), 1, "view", 1.0, "{}"),
+        ],
+    ]
+    for i, rows in enumerate(files):
+        pdf = spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).toPandas()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = f"{d}/part-{i:04d}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    s = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    stats: dict = {}
+    out = run_to_memory(agg, output_mode="append", stats=stats)
+
+    assert stats["num_batches"] >= 3, f"replay was not incremental: {stats}"
+    assert stats["rows_dropped_by_watermark"] == 1, stats
+    emitted = {(r.window_start.hour, r.n) for r in out.collect()}
+    # the 10:00 window finalized with 2 rows; the late 10:30 row must
+    # not appear — neither merged (n=3) nor as a resurrected window
+    assert (10, 2) in emitted, emitted
+    assert sum(1 for h, _ in emitted if h == 10) == 1, emitted
