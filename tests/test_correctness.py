@@ -33,6 +33,22 @@ def test_rows_only_smoke(spark, sf_dir, key):
     assert len(df.schema.fields) > 0
 
 
+def test_agg_approx_within_tolerance(spark, sf_dir):
+    """q_agg_approx is rows-only for the driver (approximate by
+    design); this bounds it: HLL++ at rsd=0.01 must land within +-5%
+    of the exact distinct counts, so the rows-only key is still a
+    defensible implementation rather than an unchecked one."""
+    row = REGISTRY["q_agg_approx"].builder(spark, sf_dir).first()
+    from flink_rc_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    exact = li.selectExpr(
+        "count(distinct l_orderkey) AS o", "count(distinct l_partkey) AS p"
+    ).first()
+    assert abs(row.approx_orders - exact.o) <= 0.05 * exact.o, (row, exact)
+    assert abs(row.approx_parts - exact.p) <= 0.05 * exact.p, (row, exact)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
