@@ -210,7 +210,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hs AS (SELECT doc_id,
                        list_transform(list_distinct(string_split(text, ' ')),
                                       tok -> md5(tok)) AS h
-                FROM documents WHERE doc_id < 250),
+                FROM documents),
     bits AS (SELECT doc_id,
              list_transform(range(0, 60), p ->
                CASE WHEN list_sum(list_transform(h,
@@ -230,19 +230,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 60-bit signature from per-token md5 bit votes
-    (distinct tokens, weight 1), pairs at Hamming distance <= 3 within
-    the doc_id < 250 block.
+    """SimHash near-dup over the FULL table: 60-bit signature from
+    per-token md5 bit votes (distinct tokens, weight 1), pairs at
+    Hamming distance <= 3 found via EXACT band bucketing.
 
     The signature is pure JVM lambda arithmetic over md5 hex — the
     same integer ops in both engines, so the oracle matches exactly.
     60 bits (15 hex chars) keeps every intermediate inside a signed
     64-bit range on both sides.
 
-    Scale: the signature is a per-doc map. The pairwise stage is
-    block-scoped here; at 100 TB SimHash dedup shards by signature
-    prefix (or the Charikar rotate-and-sort trick) so each comparison
-    bucket stays small — same plan shape as this block scope.
+    Candidate stage (the 100 TB design): split the 60-bit signature
+    into 4 disjoint 15-bit bands. A pair within Hamming distance 3 has
+    its <= 3 differing bits in at most 3 bands, so BY PIGEONHOLE it
+    agrees exactly on at least one band — banding is a LOSSLESS
+    candidate generator for this threshold, not an approximation. Each
+    doc explodes into 4 slim (band, 15-bit key) rows; candidates come
+    from an equi-join on (band, key) — one hash shuffle, per-bucket
+    pair counts O((n/2^15)^2) per band — and the Hamming<=3 verify
+    runs only in-bucket. No all-pairs `<`-join anywhere (plan-asserted
+    in tests/test_plans.py). The oracle is the transparent all-pairs
+    spelling, so the driver's value-hash check PROVES the banded plan
+    computes exactly the all-pairs result.
     """
     docs = load(spark, sf_dir, "documents")
     # Flattened bit voting: explode distinct tokens, then 60 plain
@@ -251,7 +259,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst-interpreted per element and took 99 s at sf0.1; this
     # shape is whole-stage-codegen'd end to end (measured ~1 s). Same
     # math bit for bit: votes are ints, so sum order is irrelevant.
-    toks = docs.filter(F.col("doc_id") < 250).select(
+    toks = docs.select(
         "doc_id",
         F.explode(F.expr("array_distinct(split(text, ' '))")).alias("tok"),
     )
@@ -271,13 +279,49 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CASE WHEN s{p} >= 0 THEN 1 ELSE 0 END) * {2 ** p}" for p in range(60)
     )
     sh = agg.select("doc_id", F.expr(simhash_expr).cast("bigint").alias("simhash"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # 4 x 15-bit band keys; each row carries its full signature so the
+    # in-bucket Hamming verify needs no join back to sh. One shuffle on
+    # (band, key), pairs generated inside each bucket from the sorted
+    # member list — the signature subtree is computed ONCE (a self-join
+    # would duplicate the 60-column vote aggregation), mirroring the
+    # q_dedup_minhash single-scan shape.
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.expr(f"(simhash >> {15 * bnd}) & 32767").alias("bkey"),
+                    )
+                    for bnd in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bkey")
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(m, (a, i) ->"
+                " transform(slice(m, i + 2, size(m)), b -> struct(a AS pa, b AS pb))))"
+            )
+        ).alias("p")
+    )
+    hamming = F.bit_count(F.col("p.pa.simhash").bitwiseXOR(F.col("p.pb.simhash")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        pairs.select(
+            F.col("p.pa.doc_id").alias("doc_a"),
+            F.col("p.pb.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= 3)
+        .distinct()  # a pair can collide in several bands
         .orderBy("doc_a", "doc_b")
     )
 

@@ -105,6 +105,20 @@ def test_dedup_minhash_single_shuffle_no_selfjoin(spark, sf_dir):
     assert len(scans) == 1, plan
 
 
+def test_dedup_simhash_banded_single_scan_full_table(spark, sf_dir):
+    """The Hamming<=3 stage buckets on disjoint 15-bit bands (lossless
+    by pigeonhole) with in-bucket pair generation: ONE documents scan,
+    no all-pairs nested-loop, and no block-scope doc_id filter."""
+    import re
+
+    plan = formatted_plan(_q("q_dedup_simhash", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan
+    assert "PushedFilters: [IsNotNull(doc_id)" not in plan  # no block scope
+
+
 def test_ann_lsh_bucket_join_is_equi(spark, sf_dir):
     plan = formatted_plan(_q("q_sim_ann_lsh", spark, sf_dir))
     assert "CartesianProduct" not in plan
@@ -116,8 +130,10 @@ def test_knn_broadcasts_queries(spark, sf_dir):
 
 
 def test_multimodal_scan_prunes(spark, sf_dir):
+    # the real-BMP payload derives from md5(text) alone — the scan
+    # must NOT read n_chars/source/text-adjacent metadata columns
     df = _q("q_multimodal_decode", spark, sf_dir)
-    assert_pruned_columns(df, {"doc_id", "text", "n_chars", "source"}, table_hint="doc")
+    assert_pruned_columns(df, {"doc_id", "text"}, table_hint="doc")
 
 
 def test_text_ops_no_shuffle_before_agg(spark, sf_dir):
