@@ -22,6 +22,84 @@ from flink_rc_spark.registry import register
 from flink_rc_spark.sources import load
 
 
+def prefix_agg_salted(
+    df,
+    part_col: str,
+    bucket_on: str,
+    order_cols: list[str],
+    value_col: str,
+    n_buckets: int = 16,
+    boundaries: list | None = None,
+    out_sum: str = "running_sum",
+    out_rn: str = "running_n",
+):
+    """Skew-safe cumulative sum / running count for LOW-CARDINALITY
+    window partition keys — the window twin of q_agg_salted.
+
+    A plain `PARTITION BY key ORDER BY ...` window funnels each key
+    into ONE task; with a 5-value key at 100 TB that is a straggler by
+    construction. This helper computes the identical result as a
+    range-bucketed two-phase prefix sum:
+
+      1. bucket each row by range of `bucket_on` (boundaries from
+         approxQuantile at planning time — monotone in the sort order,
+         so every bucket holds a contiguous slice of the partition);
+      2. local cumulative agg within (key, bucket) — parallelism is
+         now key x n_buckets;
+      3. per-(key, bucket) totals get a tiny exclusive prefix sum over
+         buckets (rows = key x n_buckets, broadcast back), added to
+         the local cumulative values.
+
+    Decimal accumulation keeps the two-phase sum bit-identical to the
+    single-window result (order-independent), which is what the
+    equivalence test in tests/test_correctness.py asserts. `running_n`
+    is the same trick with COUNT — equal to row_number when the order
+    is total.
+    """
+    from flink_rc_spark.functions.exact import dec as _dec
+
+    if boundaries is None:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        boundaries = df.approxQuantile(bucket_on, probs, 0.001)
+    bkt = F.lit(0)
+    for b in boundaries:
+        bkt = bkt + F.when(F.col(bucket_on) >= F.lit(b), 1).otherwise(0)
+    bucketed = df.withColumn("_bkt", bkt)
+
+    w_local = (
+        W.partitionBy(part_col, "_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = bucketed.withColumn(
+        "_lsum", F.sum(_dec(value_col, 18, 2)).over(w_local)
+    ).withColumn("_lrn", F.count("*").over(w_local))
+
+    totals = bucketed.groupBy(part_col, "_bkt").agg(
+        F.sum(_dec(value_col, 18, 2)).alias("_tsum"),
+        F.count("*").alias("_trn"),
+    )
+    w_off = (
+        W.partitionBy(part_col)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        part_col,
+        "_bkt",
+        F.coalesce(F.sum("_tsum").over(w_off), F.lit(0).cast("decimal(38,2)")).alias(
+            "_osum"
+        ),
+        F.coalesce(F.sum("_trn").over(w_off), F.lit(0)).alias("_orn"),
+    )
+    return (
+        local.join(F.broadcast(offsets), [part_col, "_bkt"])
+        .withColumn(out_sum, (F.col("_lsum") + F.col("_osum")).cast("double"))
+        .withColumn(out_rn, (F.col("_lrn") + F.col("_orn")).cast("long"))
+        .drop("_bkt", "_lsum", "_lrn", "_osum", "_orn")
+    )
+
+
 @register(
     "q_win_ranking",
     oracle="""

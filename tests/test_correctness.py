@@ -49,6 +49,49 @@ def test_agg_approx_within_tolerance(spark, sf_dir):
     assert abs(row.approx_parts - exact.p) <= 0.05 * exact.p, (row, exact)
 
 
+def test_prefix_agg_salted_equals_plain_window(spark, sf_dir):
+    """The skew-safe two-phase prefix aggregation must equal the plain
+    single-window result exactly — on a LOW-cardinality partition key
+    (event_type, 5 values), the case where the plain window straggles
+    at scale."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.functions.exact import dec
+    from flink_rc_spark.operators.windows import prefix_agg_salted
+    from flink_rc_spark.sources.tables import load
+
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumn("us", F.unix_micros("ts"))
+        .select("event_id", "event_type", "us", "value")
+    )
+    salted = prefix_agg_salted(
+        e,
+        part_col="event_type",
+        bucket_on="us",
+        order_cols=["us", "event_id"],
+        value_col="value",
+        n_buckets=8,
+    ).select("event_id", "running_sum", "running_n")
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    plain = e.select(
+        "event_id",
+        F.sum(dec("value", 18, 2)).over(w).cast("double").alias("running_sum"),
+        F.count("*").over(w).alias("running_n"),
+    )
+    a = salted.orderBy("event_id").toPandas()
+    b = plain.orderBy("event_id").toPandas()
+    assert len(a) == len(b) > 0
+    assert (a["running_n"].values == b["running_n"].values).all()
+    assert (a["running_sum"].values == b["running_sum"].values).all()
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
