@@ -373,42 +373,66 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t") >= 3
     )
     sh = toks.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
-    sig = minhash_signatures(docs)
+    # Signatures derived from the SAME shingled subtree (not a second
+    # tokenize+shingle of documents), and the shingle array rides
+    # through the band buckets like minhash's g does — so the whole
+    # pipeline is ONE documents scan with no candidate-to-shingle
+    # rejoins (a previous version scanned documents 4x). Tradeoff
+    # documented: shuffle carries ~_N_BANDS copies of each shingle
+    # array vs 2 extra full scans + an id-keyed join — measured faster
+    # at sf0.1 and strictly fewer stages at 100 TB.
+    sig = sh.select(
+        "doc_id",
+        "s",
+        *[
+            F.expr(f"array_min(transform(s, x -> md5(concat('{j}|', x))))").alias(
+                f"m{j}"
+            )
+            for j in range(_N_HASHES)
+        ],
+    )
     bands = sig.select(
         "doc_id",
-        F.explode(F.expr(f"sequence(0, {_N_BANDS - 1})")).alias("band_id"),
-        "g",
-    ).withColumn(
-        "band_key",
-        F.expr("md5(concat(element_at(g, 2*band_id+1), element_at(g, 2*band_id+2)))"),
-    )
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.md5(F.concat(f"m{2 * j}", f"m{2 * j + 1}")).alias(
+                            "band_key"
+                        ),
+                    )
+                    for j in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "s", "bb.band_id", "bb.band_key")
     buckets = (
         bands.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("m"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "s"))).alias("m"))
         .filter(F.size("m") >= 2)
     )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(m, (a, i) ->"
-                    " transform(slice(m, i + 2, size(m)),"
-                    " b -> struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(m, (a, i) ->"
+                " transform(slice(m, i + 2, size(m)),"
+                " b -> struct(a AS pa, b AS pb))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.pa.doc_id").alias("doc_a"),
+        F.col("p.pb.doc_id").alias("doc_b"),
+        F.col("p.pa.s").alias("sa"),
+        F.col("p.pb.s").alias("sb"),
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.4)
+        pairs.filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .distinct()  # a pair may collide in several bands
         .orderBy("doc_a", "doc_b")
     )
 

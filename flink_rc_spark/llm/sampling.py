@@ -112,15 +112,10 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("c_custkey").cast("string").alias("k"),
     )
-    rate = F.expr(
-        "CASE "
-        + " ".join(
-            f"WHEN c_mktsegment = '{seg}' THEN {thr}" for seg, thr in _RATES.items()
-        )
-        + " ELSE 0 END"
-    )
+    # both dialects generated from the ONE _rate_case_sql builder so
+    # _RATES edits can never drift between engines
     return (
-        cust.filter(F.expr(_HASHV_SPARK) < rate)
+        cust.filter(F.expr(_rate_case_sql(_HASHV_SPARK)))
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("c_mktsegment")

@@ -29,6 +29,7 @@ def write_parquet(
     cluster_by: list[str] | None = None,
     max_records_per_file: int = 1_000_000,
     mode: str = "overwrite",
+    files_per_partition: int = 1,
 ) -> None:
     """Partitioned, size-bounded, optionally clustered parquet sink.
 
@@ -36,10 +37,40 @@ def write_parquet(
     directory's rows into one task (one file per directory per task
     instead of tasks x directories small files); `sortWithinPartitions`
     then clusters rows so parquet row-group stats are selective.
+
+    SKEW CAVEAT: hash-partitioning by the partition columns funnels
+    each partition VALUE into a single task — for a skewed
+    low-cardinality column that one task becomes the straggler and
+    writes one giant file. Set `files_per_partition > 1` to add a salt
+    to the pre-write repartition: each hot directory is then written by
+    up to that many parallel tasks/files (maxRecordsPerFile still
+    bounds each). Directory layout and read-side pruning are
+    unaffected — only the file count per directory changes.
     """
+    import uuid
+
+    from pyspark.sql import functions as F
+
     out = df
     if partition_by:
-        out = out.repartition(*partition_by)
+        if files_per_partition > 1:
+            # round-robin salt (monotonic id is distinct per row even in
+            # a single input partition); the EXPLICIT shuffle partition
+            # count keeps AQE from coalescing the salted split back into
+            # one task at small volumes
+            salt = f"_salt_{uuid.uuid4().hex[:6]}"
+            out = (
+                out.withColumn(
+                    salt,
+                    F.pmod(
+                        F.monotonically_increasing_id(), F.lit(files_per_partition)
+                    ),
+                )
+                .repartition(files_per_partition * 32, *partition_by, salt)
+                .drop(salt)
+            )
+        else:
+            out = out.repartition(*partition_by)
     if cluster_by:
         out = out.sortWithinPartitions(*cluster_by)
     writer = out.write.mode(mode).option("maxRecordsPerFile", max_records_per_file)

@@ -105,6 +105,18 @@ def test_dedup_minhash_single_shuffle_no_selfjoin(spark, sf_dir):
     assert len(scans) == 1, plan
 
 
+def test_dedup_ngram_jaccard_single_scan(spark, sf_dir):
+    """Signatures derive from the shared shingled subtree and shingles
+    ride through the band buckets — exactly one documents scan, no
+    candidate-to-shingle rejoins (was 4 scans)."""
+    import re
+
+    plan = formatted_plan(_q("q_dedup_ngram_jaccard", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan
+
+
 def test_dedup_simhash_banded_single_scan_full_table(spark, sf_dir):
     """The Hamming<=3 stage buckets on disjoint 15-bit bands (lossless
     by pigeonhole) with in-bucket pair generation: ONE documents scan,

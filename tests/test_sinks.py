@@ -37,6 +37,33 @@ def test_partitioned_parquet_roundtrip(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "o_orderstatus" in plan
 
 
+def test_salted_partitioned_write_spreads_hot_partition(spark, sf_dir, tmp_path):
+    """files_per_partition > 1 must spread a hot partition value over
+    several files (straggler mitigation) while keeping the directory
+    layout and the data identical."""
+    out = str(tmp_path / "orders_salted")
+    orders = load(spark, sf_dir, "orders")
+    write_parquet(
+        orders,
+        out,
+        partition_by=["o_orderstatus"],
+        files_per_partition=4,
+        max_records_per_file=1_000_000,  # high: file count from salt only
+    )
+    # 'O' and 'F' are the hot statuses; they must be written as >1 file
+    hot = [d for d in os.listdir(out) if d in ("o_orderstatus=O", "o_orderstatus=F")]
+    assert hot
+    for d in hot:
+        n_files = sum(
+            1 for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")
+        )
+        assert n_files > 1, f"{d} written as a single file despite salting"
+    # roundtrip: same rows, no salt column leaked
+    back = spark.read.parquet(out)
+    assert set(back.columns) == set(orders.columns)
+    assert back.count() == orders.count()
+
+
 def test_csv_roundtrip(spark, sf_dir, tmp_path):
     out = str(tmp_path / "nation_csv")
     nation = load(spark, sf_dir, "nation")
