@@ -101,6 +101,50 @@ def prefix_agg_salted(
 
 
 @register(
+    "q_win_salted",
+    oracle="""
+        SELECT event_id,
+               event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_sum,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running_n
+        FROM events
+    """,
+)
+def q_win_salted(spark, sf_dir):
+    """Skew-safe cumulative sum over a LOW-cardinality partition key
+    (event_type, 5 values) via `prefix_agg_salted` — the declared
+    showcase of the two-phase range-bucketed prefix aggregation.
+
+    The ORACLE is the plain single-window SQL: the driver's value hash
+    therefore PROVES the salted plan computes exactly the straggler
+    plan's answer. A plain `PARTITION BY event_type` window at 100 TB
+    puts ~1/5 of the table in one task; this plan's parallelism is
+    key x n_buckets with two tiny extra stages (per-bucket totals +
+    broadcast offsets). Bucket boundaries come from approxQuantile at
+    planning time; correctness is boundary-independent (any monotone
+    bucketing yields the identical result).
+    """
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumn("us", F.unix_micros("ts"))
+        .select("event_id", "event_type", "us", "value")
+    )
+    return prefix_agg_salted(
+        e,
+        part_col="event_type",
+        bucket_on="us",
+        order_cols=["us", "event_id"],
+        value_col="value",
+        n_buckets=16,
+    ).select("event_id", "event_type", "running_sum", "running_n")
+
+
+@register(
     "q_win_ranking",
     oracle="""
         SELECT o_orderkey,
