@@ -293,26 +293,48 @@ def q_win_moving(spark, sf_dir):
     """,
 )
 def q_win_range_frame(spark, sf_dir):
-    """RANGE frame on a numeric ordering column (value-based bounds).
+    """RANGE frame with value-based bounds — computed as the DIFFERENCE
+    OF TWO GROWING FRAMES instead of Spark's naive sliding frame.
 
-    Via Spark SQL: the DataFrame ``rangeBetween`` API only accepts
-    integer offsets, while the SQL frame syntax supports the double
-    bound this query needs.
+    A literal `RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW` runs as
+    SlidingWindowFunctionFrame, which re-aggregates the whole frame for
+    every row: O(rows x frame-density) — measured 4.0 s at sf0.1
+    (~545 rows/frame). Frames with an UNBOUNDED PRECEDING start are
+    incremental (rows only ever enter), so
+        agg[v-10000 <= x <= v] = agg[x <= v] - agg[x <= v-10000-eps]
+    runs in O(rows) — measured 4.0 s -> 1.1 s at sf0.1 (3.6x). The ordering key is integer
+    CENTS so the epsilon boundary (PRECEDING bounds are inclusive) is
+    exact: subtract the frame ending at v-1000001 cents. The oracle
+    stays the plain RANGE spelling, so the driver's value hash PROVES
+    the rewrite. Peer semantics line up: RANGE + CURRENT ROW includes
+    the full peer group in both forms.
     """
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey,
-               o_orderpriority,
-               COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
-                              RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)
-                   AS n_within_10k,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-                    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
-                          RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)
-                    AS DOUBLE) AS sum_within_10k
-        FROM orders
-        """
+    o = load(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long")
+    )
+    w_upto = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_before = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, -1_000_001)
+    )
+    zero = F.lit(0).cast("decimal(22,2)")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.count("*").over(w_upto) - F.count("*").over(w_before)).alias(
+            "n_within_10k"
+        ),
+        (
+            F.sum(dec("o_totalprice")).over(w_upto)
+            - F.coalesce(F.sum(dec("o_totalprice")).over(w_before), zero)
+        )
+        .cast("double")
+        .alias("sum_within_10k"),
     )
 
 
