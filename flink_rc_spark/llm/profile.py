@@ -165,6 +165,106 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_contamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(t) - 6),
+                      i -> md5(array_to_string(t[i:i+7], ' ')))) AS s
+           FROM toks WHERE len(t) >= 8),
+    flat AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 97 = 0)
+    SELECT f.doc_id, COUNT(DISTINCT f.g) AS n_shared
+    FROM flat f JOIN bench b ON f.g = b.g
+    WHERE f.doc_id % 97 <> 0
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: count 8-token shingles each training
+    doc shares with the benchmark set (stand-in: doc_id % 97 == 0 —
+    in production the benchmark table is its own small input).
+
+    Plan shape (the one that survives 100 TB): shingles are md5-hashed
+    per doc (JVM map), the benchmark's distinct shingle set is tiny ->
+    BROADCAST to every executor, so the contamination check is a
+    broadcast semi-join + per-doc count — no shuffle of the corpus's
+    shingles, only of the (contaminated doc, count) survivors.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 8
+    )
+    flat = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(t) - 7),"
+                " i -> md5(concat_ws(' ', slice(t, i, 8)))))"
+            )
+        ).alias("g"),
+    )
+    bench = (
+        flat.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    return (
+        flat.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_chunk_split",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+        SELECT doc_id, t, unnest(range(0, CAST(ceil(len(t) / 64.0) AS BIGINT)))
+                   AS chunk_id
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(t[chunk_id*64+1 : chunk_id*64+64]) AS INT) AS n_tok,
+           md5(array_to_string(t[chunk_id*64+1 : chunk_id*64+64], ' '))
+               AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "text"),
+)
+def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence chunking for packing: split each doc into 64-token
+    chunks (no overlap), emitting per-chunk token count + content hash
+    — the step before packing chunks into fixed-length training
+    sequences. Pure generator plan: split -> sequence/explode -> slice;
+    output rows ~ corpus tokens / 64, no shuffle until a consumer
+    aggregates. DuckDB's 1-based end-inclusive slice t[a:b] clamps at
+    the list end exactly like Spark's slice(t, a, 64) does.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.expr("sequence(0, cast(ceil(size(t) / 64.0) AS INT) - 1)")
+        ).alias("chunk_id"),
+    )
+    piece = F.expr("slice(t, chunk_id * 64 + 1, 64)")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_tok"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
     "q_doc_len_hist",
     oracle="""
     SELECT CAST(n_chars // 200 * 200 AS BIGINT) AS bin_start,

@@ -141,6 +141,12 @@ def test_knn_broadcasts_queries(spark, sf_dir):
     assert_broadcast_join(_q("q_knn_label", spark, sf_dir))
 
 
+def test_contamination_broadcasts_benchmark_shingles(spark, sf_dir):
+    # the benchmark shingle set must broadcast — shuffling the corpus's
+    # exploded shingles would be the 100 TB bottleneck
+    assert_broadcast_join(_q("q_contamination", spark, sf_dir))
+
+
 def test_multimodal_scan_prunes(spark, sf_dir):
     # the real-BMP payload derives from md5(text) alone — the scan
     # must NOT read n_chars/source/text-adjacent metadata columns
