@@ -194,6 +194,128 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_fit_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 16,
+    sample_rows: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means centroids fit on a bounded sample.
+
+    Planning-time step (same class as approxQuantile in
+    prefix_agg_salted): the sample is capped at `sample_rows` so the
+    driver-side numpy Lloyd iterations cost O(sample x k x dim)
+    regardless of table size — at 100 TB you fit on a 100k-row sample
+    and broadcast the centroids, exactly as FAISS trains IVF on a
+    sample. Deterministic: fixed seed, fixed iteration count,
+    deterministic sample (lowest vec_ids).
+    """
+    pdf = (
+        _vectors(spark, sf_dir)
+        .orderBy("vec_id")
+        .limit(sample_rows)
+        .select("e")
+        .toPandas()
+    )
+    x = np.vstack(pdf["e"].to_numpy())  # (n, 64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)  # cosine => unit sphere
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T  # cosine against unit centroids
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    return cent
+
+
+def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
+    """pandas UDF: vector -> array of the `n_probe` nearest centroid
+    ids (by cosine). The centroid matrix is closure-captured — tiny,
+    shipped once per executor like a broadcast."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cent = centroids.copy()
+
+    @pandas_udf("array<int>")
+    def assign(e: pd.Series) -> pd.Series:
+        mat = np.vstack(e.to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ cent.T  # (n, k)
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return assign
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 50,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k cosine pairs — the k-means twin of the
+    hyperplane path, same plan shape (cluster-id equi-join):
+
+    1. fit centroids on a sample (ivf_fit_centroids, planning time);
+    2. each row explodes into its `n_probe` nearest cluster ids
+       (multi-probe recovers recall at cluster boundaries);
+    3. candidates = equi-join on cluster id (slim id rows, no vector
+       payload), exact cosine re-scores the survivors.
+
+    Per-cluster occupancy is ~n/k so in-cluster pairs are
+    O(n^2 * n_probe^2 / k); scale k with n to bound it — measured
+    recall asserted in tests/test_llm.py alongside the LSH path.
+    """
+    cent = ivf_fit_centroids(spark, sf_dir, k=n_clusters)
+    assign = _ivf_assign_udf(cent, n_probe)
+    n = _vectors(spark, sf_dir)
+    slim = n.select("vec_id", F.explode(assign(F.col("e"))).alias("cl"))
+    a = slim.select(F.col("vec_id").alias("vec_a"), "cl")
+    b = slim.select(F.col("vec_id").alias("vec_b"), "cl")
+    cand = (
+        a.join(b, "cl")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    av = n.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                  F.col("nrm").alias("na"))
+    bv = n.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                  F.col("nrm").alias("nb"))
+    cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(av, "vec_a")
+        .join(bv, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("_raw"))
+        .orderBy(F.desc("_raw"), "vec_a", "vec_b")
+        .limit(k)
+        .select("vec_a", "vec_b", F.round("_raw", 4).alias("cosine"))
+    )
+
+
+def ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 50,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+) -> float:
+    """recall@k of IVF ANN vs brute-force ground truth."""
+    gt = {(r.vec_a, r.vec_b) for r in brute_topk(spark, sf_dir, k).collect()}
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in ivf_topk(spark, sf_dir, k, n_clusters, n_probe).collect()
+    }
+    return len(gt & got) / len(gt)
+
+
 def _band_buckets_udf(planes_per_band: int, n_bands: int):
     """Vectorized (Arrow/numpy) per-row band-bucket codes.
 
