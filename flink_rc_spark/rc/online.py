@@ -52,27 +52,35 @@ def online_sgd(
         ]
     )
 
-    def scan(pdf):
+    def scan_group(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(seq_col, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
-        first = np.asarray(pdf[features_col].iloc[0], dtype=float)
-        k = len(first) + 1
+        # hoist all per-row pandas access out of the sequential loop:
+        # one vstack builds the (n, k) design matrix, norms batch-
+        # compute — the loop itself is the irreducible SGD recurrence.
+        # (.iloc + concatenate per row was ~4x slower at sf0.1.)
+        fmat = np.vstack(
+            [np.asarray(v, dtype=float) for v in pdf[features_col].to_numpy()]
+        )
+        f1 = np.concatenate([fmat, np.ones((n, 1))], axis=1)
+        k = f1.shape[1]
         w = np.zeros(k)
         y_hat = np.empty(n)
         w_norm = np.empty(n)
         ys = pdf[target_col].to_numpy(dtype=float)
+        denom = 1.0 + np.einsum("ij,ij->i", f1, f1)
         for i in range(n):
-            f = np.concatenate([np.asarray(pdf[features_col].iloc[i], float), [1.0]])
+            f = f1[i]
             pred = w @ f
             err = ys[i] - pred
             step = lr * err
             if normalize:
-                step /= 1.0 + f @ f
+                step /= denom[i]
             w = w + step * f
             y_hat[i] = pred
-            w_norm[i] = float(np.linalg.norm(w))
+            w_norm[i] = float(np.sqrt(w @ w))
         return pd.DataFrame(
             {
                 key_col: pdf[key_col],
@@ -83,4 +91,24 @@ def online_sgd(
             }
         )
 
-    return df.groupBy(key_col).applyInPandas(scan, schema=out_schema)
+    # Many-small-groups shape (1500 series x ~70 rows at sf0.1):
+    # applyInPandas pays one Arrow exchange + Python call PER GROUP —
+    # measured ~4 s of pure overhead. Instead shuffle once on the key,
+    # sort within partitions, and run ONE mapInPandas per partition
+    # that groupby-applies the identical per-series scan. Semantics
+    # unchanged (each series is still processed alone, in seq order);
+    # invocations drop from n_groups to n_partitions. At 100 TB, size
+    # partitions so each fits memory — series never straddle
+    # partitions because the repartition hashes the key.
+    def scan_partition(batches):
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        whole = pd.concat(pdfs, ignore_index=True)
+        out = [scan_group(g) for _, g in whole.groupby(key_col, sort=False)]
+        yield pd.concat(out, ignore_index=True)
+
+    parts = df.repartition(key_col).sortWithinPartitions(key_col, seq_col)
+    return parts.mapInPandas(scan_partition, schema=out_schema)

@@ -61,24 +61,34 @@ class ESNPipeline:
             keep_cols=["target", "naive_pred"],
         )
         states = washout(states, seq_col=seq_col, n=self.washout_steps)
+        # The experiment consumes `states` ~6 times (split point, fit,
+        # counts, three MSEs); without a persist every consumer re-runs
+        # the reservoir scan subtree — measured 21 s -> 6 s at the
+        # bench size. Persisted only for the duration of the metric
+        # computation; the returned prediction frame is materialized
+        # (tiny: test rows x (features, preds)) before release.
+        states = states.persist()
+        try:
+            max_seq = states.agg(F.max(seq_col)).first()[0]
+            split = int(max_seq * self.train_frac)
+            train = states.filter(F.col(seq_col) < split)
+            test = states.filter(F.col(seq_col) >= split)
 
-        max_seq = states.agg(F.max(seq_col)).first()[0]
-        split = int(max_seq * self.train_frac)
-        train = states.filter(F.col(seq_col) < split)
-        test = states.filter(F.col(seq_col) >= split)
+            alpha = fit_readout_distributed(
+                train, features_col="features", target_col="target", ridge=self.ridge
+            )
+            train_pred = predict(train, alpha)
+            test_pred = predict(test, alpha).persist()
+            test_pred.count()  # materialize before states is released
 
-        alpha = fit_readout_distributed(
-            train, features_col="features", target_col="target", ridge=self.ridge
-        )
-        train_pred = predict(train, alpha)
-        test_pred = predict(test, alpha)
-
-        metrics = {
-            "n_train": train.count(),
-            "n_test": test.count(),
-            "alpha_norm": float(np.linalg.norm(alpha)),
-            "train_mse": mse(train_pred, "target", "y_hat"),
-            "test_mse": mse(test_pred, "target", "y_hat"),
-            "naive_mse": mse(test, "target", "naive_pred"),
-        }
+            metrics = {
+                "n_train": train.count(),
+                "n_test": test.count(),
+                "alpha_norm": float(np.linalg.norm(alpha)),
+                "train_mse": mse(train_pred, "target", "y_hat"),
+                "test_mse": mse(test_pred, "target", "y_hat"),
+                "naive_mse": mse(test, "target", "naive_pred"),
+            }
+        finally:
+            states.unpersist()
         return test_pred, metrics

@@ -130,8 +130,6 @@ def run_reservoir(
     out_schema = T.StructType(out_fields)
 
     def scan_group(pdf):
-        import pandas as pd
-
         pdf = pdf.sort_values(seq_col, kind="mergesort")
         u = pdf[input_cols].to_numpy(dtype=float)
         states = reservoir_scan(u, w_in, w, include_bias)
@@ -140,7 +138,22 @@ def run_reservoir(
         out["features"] = [row.tolist() for row in feats]
         return out
 
-    return df.groupBy(series_col).applyInPandas(scan_group, schema=out_schema)
+    # Many-small-groups shape: one mapInPandas per partition running
+    # the identical per-series scan via in-partition groupby, instead
+    # of one Arrow exchange + Python call per series (see
+    # online_sgd's note; measured ~2x on 1500-series sf0.1 events).
+    def scan_partition(batches):
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        whole = pd.concat(pdfs, ignore_index=True)
+        out = [scan_group(g) for _, g in whole.groupby(series_col, sort=False)]
+        yield pd.concat(out, ignore_index=True)
+
+    parts = df.repartition(series_col).sortWithinPartitions(series_col, seq_col)
+    return parts.mapInPandas(scan_partition, schema=out_schema)
 
 
 def washout(df: DataFrame, seq_col: str = "seq", n: int = 100) -> DataFrame:
