@@ -94,3 +94,45 @@ def write_csv(
 def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Text sink (reference writeAsText): single string column per row."""
     df.write.mode(mode).text(path)
+
+
+TIMESTAMP_JSON_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format of most LLM-data
+    tooling. For interchange only: ~5-10x the bytes of parquet, no
+    column pruning, no predicate pushdown; convert to parquet at the
+    lake boundary. Timestamps use a microsecond ISO format — Spark's
+    default JSON format truncates to milliseconds, silently corrupting
+    a µs-precision roundtrip."""
+    df.write.mode(mode).option("timestampFormat", TIMESTAMP_JSON_FMT).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed managed-table sink — the write-side half of the
+    zero-shuffle join story (tests/test_bucketing.py proves the read
+    side: two tables bucketed on the same key join with NO Exchange in
+    the plan).
+
+    At 100 TB: bucket the fact tables on their join key once at ingest
+    and every subsequent equi-join / groupBy on that key skips its
+    shuffle. Pick n_buckets so each bucket file lands ~128 MB-1 GB;
+    sort_cols adds in-bucket clustering so parquet row-group stats
+    prune within buckets. Bucketing requires saveAsTable (metastore
+    bucketing metadata) — plain .parquet(path) cannot record it.
+    """
+    writer = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.mode(mode).format("parquet").saveAsTable(name)

@@ -186,3 +186,21 @@ def read_timeseries_csv(
     schema = T.StructType([_F(c, T.DoubleType()) for c in value_cols])
     df = spark.read.csv(path, header=header, sep=sep, schema=schema)
     return df.select(*[F.col(c) for c in value_cols])
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema — never inferSchema:
+    inference costs a full extra pass over the data and silently
+    widens/retypes columns between runs. JSONL is the interchange
+    format of most LLM-data tooling (one doc per line); at 100 TB it
+    is the ingest edge only — convert to parquet immediately (json has
+    no pruning/pushdown and splits poorly when compressed)."""
+    from flink_rc_spark.sources.sinks import TIMESTAMP_JSON_FMT
+
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", TIMESTAMP_JSON_FMT)
+        .json(path)
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 import re
 
 from flink_rc_spark.plans.inspect import formatted_plan
+from flink_rc_spark.sources.sinks import write_bucketed_table
 from flink_rc_spark.sources.tables import load
 
 
@@ -18,17 +19,13 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
-    (
-        orders.write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .option("path", str(tmp_path / "orders_b"))
-        .saveAsTable("orders_b")
+    write_bucketed_table(
+        orders, "orders_b", 8, ["o_orderkey"], sort_cols=["o_orderkey"],
+        path=str(tmp_path / "orders_b"),
     )
-    (
-        lineitem.write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .option("path", str(tmp_path / "lineitem_b"))
-        .saveAsTable("lineitem_b")
+    write_bucketed_table(
+        lineitem, "lineitem_b", 8, ["l_orderkey"], sort_cols=["l_orderkey"],
+        path=str(tmp_path / "lineitem_b"),
     )
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

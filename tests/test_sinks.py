@@ -73,6 +73,24 @@ def test_csv_roundtrip(spark, sf_dir, tmp_path):
     assert set(back.columns) == set(nation.columns)
 
 
+def test_jsonl_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
+    """JSONL interchange: write events, read back with the EXPLICIT
+    schema (no inference), and get identical rows — including the
+    timestamp column (ISO round-trip under the session timezone)."""
+    from flink_rc_spark.sources.sinks import write_jsonl
+    from flink_rc_spark.sources.tables import read_jsonl
+
+    out = str(tmp_path / "events_jsonl")
+    events = load(spark, sf_dir, "events")
+    write_jsonl(events, out)
+    back = read_jsonl(spark, out, events.schema)
+    assert back.schema == events.schema
+    assert back.count() == events.count()
+    a = events.orderBy("event_id").toPandas()
+    b = back.orderBy("event_id").toPandas()
+    assert a.equals(b)
+
+
 def test_text_sink(spark, sf_dir, tmp_path):
     out = str(tmp_path / "names_txt")
     nation = load(spark, sf_dir, "nation").select(F.col("n_name").alias("value"))
