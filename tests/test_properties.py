@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) for the invariants that matter at
+scale: codec roundtrips on arbitrary pixel data, salted-prefix-window
+equivalence under ARBITRARY bucket boundaries, and hash-sampling
+invariance under repartitioning. These complement the example-based
+oracle parity: an oracle proves one dataset; a property proves the
+algebraic claim the 100 TB design leans on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    from flink_rc_spark.llm.codec import decode_bmp, encode_bmp
+
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(arr)) == arr).all()
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    ch=st.sampled_from([0, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    from flink_rc_spark.llm.codec import decode_png, encode_png
+
+    shape = (h, w) if ch == 0 else (h, w, ch)
+    arr = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@settings(
+    deadline=None, max_examples=5, suppress_health_check=list(HealthCheck)
+)
+@given(boundaries=st.lists(st.integers(0, 10_000), min_size=1, max_size=6))
+def test_prefix_agg_salted_any_boundaries(spark, sf_dir, boundaries):
+    """prefix_agg_salted must equal the plain window for ANY monotone
+    bucketing — boundaries only move work between buckets, never change
+    the result. Hypothesis picks arbitrary (even degenerate/duplicate)
+    boundary sets over a synthetic series."""
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.functions.exact import dec
+    from flink_rc_spark.operators.windows import prefix_agg_salted
+
+    rng = np.random.default_rng(42)
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(400),
+            "grp": rng.integers(0, 3, 400),
+            "pos": rng.integers(0, 10_000, 400),
+            "value": np.round(rng.uniform(-50, 50, 400), 2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = prefix_agg_salted(
+        df,
+        part_col="grp",
+        bucket_on="pos",
+        order_cols=["pos", "rid"],
+        value_col="value",
+        boundaries=sorted(boundaries),
+    ).select("rid", "running_sum", "running_n")
+    w = (
+        W.partitionBy("grp")
+        .orderBy("pos", "rid")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = df.select(
+        "rid",
+        F.sum(dec("value", 18, 2)).over(w).cast("double").alias("running_sum"),
+        F.count("*").over(w).alias("running_n"),
+    )
+    a = got.orderBy("rid").toPandas()
+    b = want.orderBy("rid").toPandas()
+    assert (a["running_n"].values == b["running_n"].values).all()
+    assert (a["running_sum"].values == b["running_sum"].values).all()
+
+
+def test_hash_sample_invariant_under_repartitioning(spark, sf_dir):
+    """The deterministic hash sample must select the IDENTICAL row set
+    under any partitioning — the property that makes it a reproducible
+    df.sample() replacement (df.sample's per-partition RNG does not
+    have it)."""
+    from flink_rc_spark.registry import REGISTRY, load_all
+
+    load_all()
+    base = REGISTRY["q_sample_hash"].builder(spark, sf_dir)
+    keys0 = {tuple(r) for r in base.collect()}
+    for n in (1, 7, 64):
+        from flink_rc_spark.sources.tables import load
+        from pyspark.sql import functions as F
+
+        li = (
+            load(spark, sf_dir, "lineitem")
+            .repartition(n)
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_quantity",
+                F.concat_ws("-", "l_orderkey", "l_linenumber").alias("k"),
+            )
+        )
+        from flink_rc_spark.llm.sampling import _HASHV_SPARK
+
+        got = {
+            tuple(r)
+            for r in li.filter(F.expr(_HASHV_SPARK) < 26)
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+            .collect()
+        }
+        assert got == keys0, f"sample changed under repartition({n})"
