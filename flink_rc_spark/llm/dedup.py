@@ -322,7 +322,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
         .distinct()  # a pair can collide in several bands
-        .orderBy("doc_a", "doc_b")
+        # no ORDER BY: the driver compare is order-insensitive and the
+        # result is 178k rows at sf0.1 / 3.2M at the 10x probe — a
+        # global sort of the output would be pure waste
     )
 
 

@@ -41,6 +41,10 @@ PROBE_KEYS = [
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_sim_ann_lsh",
+    "q_contamination",
+    "q_chunk_split",
+    "q_vocab_topk",
+    "q_text_normalize",
 ]
 
 
