@@ -1,0 +1,54 @@
+"""Generic 100 TB guardrails swept across EVERY declared batch query —
+the two plan diseases that kill at scale, asserted globally instead of
+per-key so a future operator can't slip in with one:
+
+- CartesianProduct / BroadcastNestedLoopJoin: only the explicitly
+  declared cross join (q_join_cross) may contain one.
+- BatchEvalPython (row-at-a-time Python UDF): banned everywhere; the
+  only sanctioned Python is Arrow-batched (ArrowEvalPython /
+  MapInPandas / FlatMapGroupsInPandas).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_rc_spark.plans import formatted_plan
+from flink_rc_spark.registry import REGISTRY, load_all
+
+load_all()
+
+# streaming/RC builders execute work at build time (bounded replay) or
+# drive multi-stage experiments — their plan text is the materialized
+# result, so the sweep covers the batch relational/LLM surface
+BATCH_KEYS = sorted(
+    k
+    for k in REGISTRY
+    if not k.startswith("q_stream") and not k.startswith("q_esn")
+    and k != "q_lr_online"
+)
+
+NESTED_LOOP_ALLOWED = {
+    "q_join_cross",  # declared cartesian
+    "q_join_theta",  # band-predicate theta join: nested-loop over a
+    #                  broadcast side is the intended physical plan;
+    #                  test_plans asserts it is NOT a CartesianProduct
+    "q_sim_cosine_topk",  # documented block-scoped brute-force baseline
+    "q_dedup_embedding",  # documented block-scoped verify stage
+    "q_knn_label",  # 10 query vectors BROADCAST against candidates —
+    #                 the broadcast side is tiny by construction
+    "q_ts_resample",  # dense-grid spine cross: tiny broadcast spine
+}
+
+
+@pytest.mark.parametrize("key", BATCH_KEYS)
+def test_no_cartesian_and_no_row_python(spark, sf_dir, key):
+    plan = formatted_plan(REGISTRY[key].builder(spark, sf_dir))
+    if key not in NESTED_LOOP_ALLOWED:
+        assert "CartesianProduct" not in plan, f"{key} degenerated to cartesian"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{key} degenerated to nested-loop join"
+        )
+    assert "BatchEvalPython" not in plan, (
+        f"{key} uses a row-at-a-time Python UDF (use Arrow-batched instead)"
+    )
