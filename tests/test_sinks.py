@@ -73,6 +73,30 @@ def test_csv_roundtrip(spark, sf_dir, tmp_path):
     assert set(back.columns) == set(nation.columns)
 
 
+def test_timeseries_csv_source_roundtrip(spark, sf_dir, tmp_path):
+    """Reference R1/R2 surface: CSV out -> read_timeseries_csv back
+    with explicit double schema + column selection; values exact."""
+    from flink_rc_spark.sources.tables import read_timeseries_csv
+
+    out = str(tmp_path / "series_csv")
+    series = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_id").cast("double").alias("idx"),
+            F.col("value").alias("value"),
+        )
+    )
+    write_csv(series, out)
+    back = read_timeseries_csv(spark, out, ["idx", "value"])
+    assert [f.dataType.simpleString() for f in back.schema.fields] == [
+        "double",
+        "double",
+    ]
+    a = series.orderBy("idx").toPandas()
+    b = back.orderBy("idx").toPandas()
+    assert a.equals(b)
+
+
 def test_jsonl_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
     """JSONL interchange: write events, read back with the EXPLICIT
     schema (no inference), and get identical rows — including the
