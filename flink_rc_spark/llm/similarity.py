@@ -494,6 +494,43 @@ def bucket_occupancy(
     }
 
 
+@register("q_dedup_embedding_full", oracle=None, tags=("llm", "dedup"))
+def q_dedup_embedding_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-TABLE embedding near-dup pairs (cosine >= 0.35): banded-LSH
+    candidate generation + exact cosine verify — the at-scale
+    composition that q_dedup_embedding's block-scoped exact query is
+    the verify-stage baseline for.
+
+    Rows-only by nature: hyperplane LSH candidate recall is
+    probabilistic, so no SQL oracle can reproduce the exact pair set
+    deterministically across engines (the bucket codes come from a
+    numpy matmul whose summation order is unspecified — a near-zero
+    dot product may sign-flip vs a sequential SQL fold). What IS
+    asserted (tests/test_llm.py): every emitted pair truly has
+    cosine >= 0.35 (the verify stage is exact), and measured recall vs
+    the brute-force threshold set is >= 0.8 (4x16 banding at the
+    0.35-threshold per-plane agreement ~0.62 predicts ~0.92).
+
+    Scale: candidates from one slim (band, bucket) equi-join; vectors
+    re-attached only to survivors; verify is a per-pair JVM fold. No
+    stage is O(n^2).
+    """
+    cand = ann_candidate_pairs(spark, sf_dir, planes_per_band=4, n_bands=16)
+    n = _vectors(spark, sf_dir)
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                 F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                 F.col("nrm").alias("nb"))
+    cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("_raw"))
+        .filter(F.col("_raw") >= 0.35)
+        .select("vec_a", "vec_b", F.round("_raw", 4).alias("cosine"))
+    )
+
+
 @register(
     "q_knn_label",
     oracle=f"""
