@@ -226,6 +226,71 @@ def q_cast(spark, sf_dir):
 
 
 @register(
+    "q_bit_funcs",
+    oracle="""
+        SELECT l_orderkey,
+               l_linenumber,
+               l_linenumber & 5 AS b_and,
+               l_linenumber | 8 AS b_or,
+               xor(l_linenumber, 3) AS b_xor,
+               CAST(l_linenumber << 2 AS INTEGER) AS b_shl,
+               CAST(l_linenumber >> 1 AS INTEGER) AS b_shr,
+               CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS INTEGER) AS key_bits
+        FROM lineitem
+        WHERE l_orderkey <= 2000
+        """,
+)
+def q_bit_funcs(spark, sf_dir):
+    """Bitwise scalar surface: and/or/xor, shifts, popcount.
+
+    Integer-exact in both engines (no float anywhere). Spark's `^` on
+    Columns is XOR (bitwiseXOR), DuckDB spells it xor(); shifts via
+    shiftleft/shiftright. Pure codegen'd row maps — scan-bound at any
+    scale."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    ln = F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ln.bitwiseAND(F.lit(5)).alias("b_and"),
+        ln.bitwiseOR(F.lit(8)).alias("b_or"),
+        ln.bitwiseXOR(F.lit(3)).alias("b_xor"),
+        F.shiftleft(ln, 2).alias("b_shl"),
+        F.shiftright(ln, 1).alias("b_shr"),
+        F.bit_count(F.col("l_orderkey").cast("bigint")).cast("int").alias("key_bits"),
+    )
+
+
+@register(
+    "q_agg_bitwise",
+    oracle="""
+        SELECT l_returnflag,
+               bit_and(l_linenumber) AS all_bits,
+               bit_or(l_linenumber) AS any_bits,
+               bit_xor(l_linenumber) AS parity_bits
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+)
+def q_agg_bitwise(spark, sf_dir):
+    """Bitwise aggregates (bit_and / bit_or / bit_xor) per group —
+    integer-exact, order-independent by algebra, so no decimal routing
+    is needed. Map-side partial aggregation reduces each partition to
+    three ints per group before the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").alias("all_bits"),
+            F.bit_or("l_linenumber").alias("any_bits"),
+            F.bit_xor("l_linenumber").alias("parity_bits"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "q_array_funcs",
     oracle="""
         SELECT vec_id,
