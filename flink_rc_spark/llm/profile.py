@@ -19,6 +19,7 @@ Reference parity: none — the reference is numeric-vector-only
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from flink_rc_spark.registry import register
@@ -262,6 +263,83 @@ def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).cast("int").alias("n_tok"),
         F.md5(F.concat_ws(" ", piece)).alias("chunk_hash"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "q_pack_sequences",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    chunks AS (
+        SELECT doc_id, source,
+               unnest(range(0, CAST(ceil(len(t) / 64.0) AS BIGINT))) AS chunk_id,
+               t
+        FROM toks
+    ),
+    sized AS (
+        SELECT source, doc_id, chunk_id,
+               len(t[chunk_id*64+1 : chunk_id*64+64]) AS n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY doc_id, chunk_id) - 1 AS rn
+        FROM chunks
+    )
+    SELECT source,
+           CAST(rn // 8 AS BIGINT) AS seq_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / 512, 4) AS fill_ratio
+    FROM sized
+    GROUP BY source, CAST(rn // 8 AS BIGINT)
+    ORDER BY source, seq_id
+    """,
+    tags=("llm", "text"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride sequence packing: the 64-token chunks (q_chunk_split)
+    are packed 8-per-sequence into 512-token training sequences per
+    source shard, in deterministic (doc_id, chunk_id) order — the
+    "packing without repacking" baseline every pipeline starts from
+    (greedy bin-packing is a sequential refinement of exactly this
+    shape). Output: per-sequence chunk/token/doc counts + fill ratio
+    (< 1.0 only where tail chunks are short).
+
+    Scale: one window (row_number per source — at 100 TB the shard key
+    is finer, e.g. source x file, keeping window partitions bounded)
+    plus one hash aggregate on (source, seq_id).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("sequence(0, cast(ceil(size(t) / 64.0) AS INT) - 1)")
+        ).alias("chunk_id"),
+        "t",
+    )
+    sized = chunks.select(
+        "source",
+        "doc_id",
+        "chunk_id",
+        F.size(F.expr("slice(t, chunk_id * 64 + 1, 64)")).alias("n_tok"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("source").orderBy("doc_id", "chunk_id")
+        )
+        - 1,
+    )
+    return (
+        sized.groupBy("source", F.floor(F.col("rn") / 8).cast("bigint").alias("seq_id"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tok").cast("bigint").alias("n_tok"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.round(F.sum("n_tok").cast("double") / 512, 4).alias("fill_ratio"),
+        )
+        .orderBy("source", "seq_id")
+    )
 
 
 @register(
