@@ -133,7 +133,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS first_doc
     FROM assigned
     GROUP BY split
@@ -347,7 +347,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(n_chars // 200 * 200 AS BIGINT) AS bin_start,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY 1
     ORDER BY 1

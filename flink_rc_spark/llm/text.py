@@ -50,7 +50,7 @@ def _toks(col: str = "text") -> F.Column:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
     FROM documents
     GROUP BY lang
@@ -85,8 +85,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count",
     oracle=f"""
     SELECT source,
-           SUM(len(string_split(text, ' '))) AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS bpe_tokens,
            MAX(len(string_split(text, ' '))) AS max_doc_tokens
     FROM documents
     GROUP BY source

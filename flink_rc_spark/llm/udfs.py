@@ -99,7 +99,7 @@ def _unpivot(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     WITH s AS (
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS total_tok,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tok,
                MAX(n_chars) AS max_chars
         FROM documents GROUP BY source
     )

@@ -72,9 +72,49 @@ def _assert_no_raw_decimal(pdf: pd.DataFrame, key: str, side: str) -> None:
             )
 
 
+def _repr_class(s: pd.Series) -> str:
+    """Collapse a dtype to the equivalence class the driver's stringified
+    value-hash distinguishes: int widths stringify identically (int32 5 ==
+    int64 5 == "5"), but int-vs-float differs ("3544" vs "3544.0") and
+    float32-vs-float64 can differ on non-representable values."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if s.dtype == np.float32:
+        return "float32"
+    if pd.api.types.is_float_dtype(s):
+        return "float64"
+    return "object"
+
+
+def _assert_repr_strict(
+    spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str
+) -> None:
+    """Driver-hash predictor gate (the r2 q_doc_len_hist red): the driver
+    stringifies RAW toPandas()/df() values before hashing, so an int64
+    Spark column vs a float64 oracle column (DuckDB SUM(int) -> HUGEINT
+    -> float64) hash-mismatches even when every value compares equal.
+    Fail here, BEFORE the numeric compare papers over it — this makes the
+    local mirror exactly as strict as the driver. Fix pattern: CAST(SUM(..)
+    AS BIGINT) in the oracle, or cast the Spark side to match."""
+    for c in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+        ca, cb = _repr_class(spark_pdf[c]), _repr_class(duck_pdf[c])
+        if ca != cb:
+            raise AssertionError(
+                f"{key}.{c}: representation mismatch spark={spark_pdf[c].dtype}"
+                f" ({ca}) vs duck={duck_pdf[c].dtype} ({cb}) — the driver's "
+                "stringified hash WILL differ even if values are equal; align "
+                "the output types (e.g. CAST(SUM(..) AS BIGINT) in the oracle)"
+            )
+
+
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str) -> None:
     _assert_no_raw_decimal(spark_pdf, key, "spark")
     _assert_no_raw_decimal(duck_pdf, key, "duck")
+    _assert_repr_strict(spark_pdf, duck_pdf, key)
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{key}: column mismatch spark={list(a.columns)} duck={list(b.columns)}"
