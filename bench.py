@@ -98,18 +98,26 @@ def main() -> None:
         for k in sorted(REGISTRY.keys() - set(HEADLINE)):
             timings[k] = round(execute(k), 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": headline_total,
-                "unit": "sec",
-                "queries": timings,
-                "all_total": round(sum(timings.values()), 4),
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_wall_clock",
+            "value": headline_total,
+            "unit": "sec",
+            "queries": timings,
+            "all_total": round(sum(timings.values()), 4),
+            "sf": sf,
+        }
     )
+    print(line)
+    # Also persist next to the script: a truncated/corrupted stdout
+    # capture (r2's BENCH artifact parsed as null) then still leaves a
+    # recoverable record of the run.
+    try:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

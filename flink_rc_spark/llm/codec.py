@@ -7,6 +7,12 @@ RGBA, non-interlaced, all five scanline filters, zlib from stdlib).
 Encoders exist for roundtrip tests: encode -> decode must be
 byte-exact on the pixel array.
 
+Filter-cost note: None/Up/Sub unfiltering is vectorized numpy;
+Average and Paeth are inherently sequential per byte (each
+reconstruction feeds the next prediction) and run as O(W*C) Python
+loops per scanline — acceptable because decode is an Arrow-batched
+executor kernel, but a production deployment should swap in PIL.
+
 Scale note: decoding runs inside Arrow-batched mapInPandas kernels
 (llm/multimodal.py) — per-image pure-Python header parsing is trivial
 next to payload IO; the pixel math is numpy. A production deployment
@@ -177,10 +183,10 @@ def decode_png(data: bytes) -> np.ndarray:
         ).astype(np.int32)
         if filt == 0:
             recon = line
-        elif filt == 1:  # Sub
-            recon = line.copy()
-            for i in range(ch, stride):
-                recon[i] = (recon[i] + recon[i - ch]) & 0xFF
+        elif filt == 1:  # Sub — per-lane prefix sum: recon[i] = line[i]
+            # + recon[i-ch], and (&0xFF) distributes over addition, so
+            # each residue class mod ch is an independent cumsum.
+            recon = (line.reshape(-1, ch).cumsum(axis=0) & 0xFF).reshape(-1)
         elif filt == 2:  # Up
             recon = (line + prev) & 0xFF
         elif filt == 3:  # Average

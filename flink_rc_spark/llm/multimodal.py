@@ -143,4 +143,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = media.select(
         "doc_id", "payload", "meta.width", "meta.height", "meta.format"
     )
-    return flat.mapInPandas(_decode_batches, _DECODE_SCHEMA).orderBy("doc_id")
+    # No output sort: the driver compare is order-insensitive, and a
+    # global Sort after mapInPandas is a full extra shuffle at scale
+    # (same waste class removed from q_dedup_simhash).
+    return flat.mapInPandas(_decode_batches, _DECODE_SCHEMA)

@@ -219,9 +219,13 @@ def ivf_fit_centroids(
         .select("e")
         .toPandas()
     )
+    if len(pdf) == 0:
+        raise ValueError("ivf_fit_centroids: vector table is empty — nothing to fit")
     x = np.vstack(pdf["e"].to_numpy())  # (n, 64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)  # cosine => unit sphere
     rng = np.random.default_rng(seed)
+    # tiny tables: can't seed more centroids than distinct sample rows
+    k = min(k, len(x))
     cent = x[rng.choice(len(x), size=k, replace=False)]
     for _ in range(iters):
         sims = x @ cent.T  # cosine against unit centroids

@@ -136,8 +136,18 @@ def q_win_salted(spark, sf_dir):
     )
     # memoize the planning-time boundary probe per sf_dir — the result
     # is correct for ANY boundaries (equivalence is boundary-free), so
-    # caching only saves the repeated approxQuantile job
-    key = sf_dir.rstrip("/")
+    # caching only saves the repeated approxQuantile job. Keyed by
+    # (path, events.parquet mtime) so regenerated data at the same path
+    # invalidates the cache (stale boundaries can't break correctness,
+    # but could silently collapse the skew mitigation to one bucket).
+    import os
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = os.path.getmtime(ev_path)
+    except OSError:
+        mtime = 0.0
+    key = (sf_dir.rstrip("/"), mtime)
     if key not in _WIN_SALTED_BOUNDS:
         _WIN_SALTED_BOUNDS[key] = e.approxQuantile(
             "us", [i / 16 for i in range(1, 16)], 0.001
@@ -152,7 +162,7 @@ def q_win_salted(spark, sf_dir):
     ).select("event_id", "event_type", "running_sum", "running_n")
 
 
-_WIN_SALTED_BOUNDS: dict[str, list] = {}
+_WIN_SALTED_BOUNDS: dict[tuple[str, float], list] = {}
 
 
 @register(

@@ -97,18 +97,14 @@ def online_sgd(
     # sort within partitions, and run ONE mapInPandas per partition
     # that groupby-applies the identical per-series scan. Semantics
     # unchanged (each series is still processed alone, in seq order);
-    # invocations drop from n_groups to n_partitions. At 100 TB, size
-    # partitions so each fits memory — series never straddle
-    # partitions because the repartition hashes the key.
+    # invocations drop from n_groups to n_partitions. Streamed via
+    # scan_sorted_groups: Python memory is bounded by the largest
+    # single series + one Arrow batch, not the partition — series never
+    # straddle partitions because the repartition hashes the key.
     def scan_partition(batches):
-        import pandas as pd
+        from flink_rc_spark.util import scan_sorted_groups
 
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        whole = pd.concat(pdfs, ignore_index=True)
-        out = [scan_group(g) for _, g in whole.groupby(key_col, sort=False)]
-        yield pd.concat(out, ignore_index=True)
+        yield from scan_sorted_groups(batches, key_col, scan_group)
 
     parts = df.repartition(key_col).sortWithinPartitions(key_col, seq_col)
     return parts.mapInPandas(scan_partition, schema=out_schema)

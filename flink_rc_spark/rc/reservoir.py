@@ -142,15 +142,12 @@ def run_reservoir(
     # the identical per-series scan via in-partition groupby, instead
     # of one Arrow exchange + Python call per series (see
     # online_sgd's note; measured ~2x on 1500-series sf0.1 events).
+    # Streamed via scan_sorted_groups so Python memory is bounded by
+    # one series + one Arrow batch, not the whole partition.
     def scan_partition(batches):
-        import pandas as pd
+        from flink_rc_spark.util import scan_sorted_groups
 
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        whole = pd.concat(pdfs, ignore_index=True)
-        out = [scan_group(g) for _, g in whole.groupby(series_col, sort=False)]
-        yield pd.concat(out, ignore_index=True)
+        yield from scan_sorted_groups(batches, series_col, scan_group)
 
     parts = df.repartition(series_col).sortWithinPartitions(series_col, seq_col)
     return parts.mapInPandas(scan_partition, schema=out_schema)

@@ -132,17 +132,24 @@ def run_to_memory(
         # async start() would race batch 0
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    q = None
     try:
+        # start() lives INSIDE the try: if analysis fails, the finally
+        # still restores shuffle.partitions for subsequent batch queries.
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
         q.processAllAvailable()
         if stats is not None:
             import json
 
+            # recentProgress retains only the last
+            # spark.sql.streaming.numRecentProgressUpdates entries
+            # (default 100) — longer replays would undercount, so flag
+            # saturation instead of reporting a silently-low number.
             progress = [
                 json.loads(p.json) if hasattr(p, "json") else p
                 for p in q.recentProgress
@@ -150,13 +157,15 @@ def run_to_memory(
             stats["num_batches"] = sum(
                 1 for p in progress if p["numInputRows"] > 0
             )
+            stats["progress_window_saturated"] = len(progress) >= 100
             stats["rows_dropped_by_watermark"] = sum(
                 so.get("numRowsDroppedByWatermark", 0)
                 for p in progress
                 for so in p.get("stateOperators", [])
             )
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         if prev_parts is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # materialize before the in-memory sink table goes away

@@ -5,8 +5,66 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from typing import Callable, Iterable, Iterator
 
 from pyspark.sql import SparkSession
+
+
+def scan_sorted_groups(
+    batches: Iterable,
+    key_col: str,
+    scan_group: Callable,
+    out_rows_per_batch: int = 65536,
+) -> Iterator:
+    """Stream a key-contiguous partition through a per-group kernel with
+    memory bounded by max(one group, one Arrow batch) — NOT the whole
+    partition.
+
+    Contract: the partition's Arrow batches arrive sorted by ``key_col``
+    (``repartition(key).sortWithinPartitions(key, ...)``), so each
+    group is contiguous. We buffer only the trailing (possibly
+    incomplete) group across batch boundaries, flush every completed
+    group through ``scan_group``, and coalesce outputs into
+    ``out_rows_per_batch``-row Arrow batches (yielding one tiny frame
+    per group would fragment the downstream scan).
+
+    At 100 TB this is the difference between "partition must fit in
+    worker memory" and "largest single series must fit" — a 100×-skewed
+    key no longer OOMs the worker holding its partition's other keys.
+    """
+    import pandas as pd
+
+    tail: pd.DataFrame | None = None  # trailing incomplete group
+    out_buf: list = []
+    out_rows = 0
+
+    def flush_out():
+        nonlocal out_buf, out_rows
+        if out_buf:
+            yield pd.concat(out_buf, ignore_index=True) if len(out_buf) > 1 else out_buf[0]
+            out_buf, out_rows = [], 0
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        whole = pdf if tail is None else pd.concat([tail, pdf], ignore_index=True)
+        last_key = whole[key_col].iloc[-1]
+        done_mask = whole[key_col].to_numpy() != last_key
+        if done_mask.any():
+            done = whole[done_mask]
+            for _, g in done.groupby(key_col, sort=False):
+                out = scan_group(g)
+                out_buf.append(out)
+                out_rows += len(out)
+                if out_rows >= out_rows_per_batch:
+                    yield from flush_out()
+            tail = whole[~done_mask].reset_index(drop=True)
+        else:
+            tail = whole
+    if tail is not None and len(tail):
+        out = scan_group(tail)
+        out_buf.append(out)
+    yield from flush_out()
 
 _SHIPPED: set[str] = set()
 

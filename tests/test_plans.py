@@ -161,3 +161,11 @@ def test_text_ops_no_shuffle_before_agg(spark, sf_dir):
     plan = formatted_plan(_q("q_text_stats", spark, sf_dir))
     exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
     assert len(exchanges) <= 2, plan
+
+
+def test_multimodal_decode_no_output_sort(spark, sf_dir):
+    """The decode kernel's output must not be globally sorted — the
+    driver compare is order-insensitive and a Sort after mapInPandas
+    is a full extra shuffle of the decoded features at scale."""
+    plan = formatted_plan(_q("q_multimodal_decode", spark, sf_dir))
+    assert "Sort" not in plan, f"dead output sort in decode plan:\n{plan}"

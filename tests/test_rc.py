@@ -85,3 +85,42 @@ def test_esn_beats_naive_on_mackey_glass(spark):
     row = REGISTRY["q_esn_fit_predict"].builder(spark, "unused").first()
     assert row["beats_naive"], dict(row.asDict())
     assert row["test_mse"] < 0.5 * row["naive_mse"], dict(row.asDict())
+
+
+def test_scan_sorted_groups_streams_and_matches_batch():
+    """The streaming per-group partition scan must produce exactly the
+    concat-everything result, for any Arrow batch slicing — including
+    groups straddling batch boundaries and a partition smaller than one
+    batch."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_rc_spark.util import scan_sorted_groups
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for sid in range(7):
+        for seq in range(int(rng.integers(1, 40))):
+            rows.append((sid, seq, float(rng.normal())))
+    whole = pd.DataFrame(rows, columns=["sid", "seq", "v"])
+
+    def kernel(g):
+        g = g.sort_values("seq").reset_index(drop=True)
+        return pd.DataFrame(
+            {"sid": g["sid"], "seq": g["seq"], "c": g["v"].cumsum()}
+        )
+
+    expected = pd.concat(
+        [kernel(g) for _, g in whole.groupby("sid", sort=False)],
+        ignore_index=True,
+    )
+    for batch_size in (1, 3, 17, 1000):
+        batches = [
+            whole.iloc[i : i + batch_size]
+            for i in range(0, len(whole), batch_size)
+        ]
+        got = pd.concat(
+            list(scan_sorted_groups(batches, "sid", kernel, out_rows_per_batch=16)),
+            ignore_index=True,
+        )
+        pd.testing.assert_frame_equal(got, expected)

@@ -12,19 +12,39 @@ from flink_rc_spark.sources import load
 load_all()
 
 
-def test_watermark_late_is_strict_subset_of_batch(spark, sf_dir):
-    """Append-mode watermarked windows must emit a subset of the batch
-    result, and must withhold at least the final window."""
+def test_watermark_late_emits_exactly_the_passed_windows(spark, sf_dir):
+    """Quantitative bound for the rows-only key q_stream_watermark_late:
+    the emitted set must equal EXACTLY the batch result restricted to
+    windows the final watermark passed (window_end <= max(ts) - 10 min)
+    — value-identical rows, not just a subset. The bounded replay makes
+    this deterministic: after the last data batch, the no-data commit
+    finalizes every window behind the watermark."""
     streamed = REGISTRY["q_stream_watermark_late"].builder(spark, sf_dir)
+    events = load(spark, sf_dir, "events")
     batch = (
-        load(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "1 hour"), "event_type")
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"))
-        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
     )
-    extra = streamed.exceptAll(batch)
-    assert extra.count() == 0, "stream emitted rows not in batch result"
-    assert streamed.count() < batch.count(), "watermark withheld nothing"
+    horizon = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).first()["wm"]
+    expected = batch.filter(F.col("window_end") <= F.lit(horizon)).drop(
+        "window_end"
+    )
+    a = streamed.orderBy("window_start", "event_type").toPandas()
+    b = expected.orderBy("window_start", "event_type").toPandas()
+    assert len(a) > 0, "watermarked replay emitted nothing"
+    assert a.equals(b), (
+        f"emitted set != watermark-passed batch subset "
+        f"(streamed {len(a)} rows, expected {len(b)})"
+    )
+    assert len(a) < batch.count(), "watermark withheld nothing"
 
 
 def test_stateful_counter_state_survives_batches(spark, sf_dir):
