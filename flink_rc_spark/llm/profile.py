@@ -343,6 +343,146 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pack_greedy",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, source,
+               unnest(range(0, CAST(ceil(len(t) / 64.0) AS BIGINT))) AS chunk_id,
+               t
+        FROM toks
+    ),
+    sized AS (
+        SELECT source, doc_id, chunk_id,
+               len(t[chunk_id*64+1 : chunk_id*64+64]) AS n_tok,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY doc_id, chunk_id) AS rn
+        FROM chunks
+    ),
+    pack AS (
+        SELECT source, rn, doc_id, n_tok,
+               CAST(0 AS BIGINT) AS seq_id, n_tok AS acc
+        FROM sized WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.rn, d.doc_id, d.n_tok,
+               CASE WHEN p.acc + d.n_tok > 512
+                    THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.acc + d.n_tok > 512
+                    THEN d.n_tok ELSE p.acc + d.n_tok END
+        FROM pack p
+        JOIN sized d ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source,
+           seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / 512, 4) AS fill_ratio
+    FROM pack
+    GROUP BY source, seq_id
+    ORDER BY source, seq_id
+    """,
+    tags=("llm", "text"),
+)
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing — the sequential refinement of
+    q_pack_sequences' fixed stride. Same 64-token chunks in the same
+    deterministic (doc_id, chunk_id) order per source shard, but a
+    sequence closes only when the NEXT chunk would overflow 512 tokens,
+    so short document-tail chunks coalesce instead of wasting slots:
+    every greedy sequence holds >= 8 chunks, hence never more sequences
+    (and never lower mean fill) than the fixed stride — asserted in
+    tests/test_llm.py.
+
+    The packer itself is inherently sequential per shard (each bin
+    decision depends on the running total), so it runs as the same
+    per-partition streaming scan as the RC reservoir: one shuffle on
+    source, chunks sorted within partitions, scan_sorted_groups keeps
+    Python memory bounded by one shard group, Arrow in and out. At
+    100 TB the shard key is finer (source x file) and the kernel is
+    unchanged; the oracle spells the identical recurrence as a DuckDB
+    recursive CTE (depth = chunks per shard, fine at oracle SFs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from flink_rc_spark.util import ensure_package_shipped, scan_sorted_groups
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("t"))
+    sized = toks.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.expr("sequence(0, cast(ceil(size(t) / 64.0) AS INT) - 1)")
+        ).alias("chunk_id"),
+        "t",
+    ).select(
+        "source",
+        "doc_id",
+        "chunk_id",
+        F.size(F.expr("slice(t, chunk_id * 64 + 1, 64)")).alias("n_tok"),
+    )
+
+    out_schema = (
+        "source string, seq_id bigint, n_chunks bigint, "
+        "n_tok bigint, n_docs bigint, fill_ratio double"
+    )
+
+    def pack_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        sizes = g["n_tok"].to_numpy()
+        seq = np.empty(len(sizes), dtype=np.int64)
+        acc = 0
+        sid = 0
+        for i, v in enumerate(sizes):
+            v = int(v)
+            if acc + v > 512:
+                sid += 1
+                acc = v
+            else:
+                acc += v
+            seq[i] = sid
+        g = g.assign(seq_id=seq)
+        agg = (
+            g.groupby("seq_id", sort=True)
+            .agg(
+                n_chunks=("n_tok", "size"),
+                n_tok=("n_tok", "sum"),
+                n_docs=("doc_id", "nunique"),
+            )
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "source": g["source"].iloc[0],
+                "seq_id": agg["seq_id"].astype("int64"),
+                "n_chunks": agg["n_chunks"].astype("int64"),
+                "n_tok": agg["n_tok"].astype("int64"),
+                "n_docs": agg["n_docs"].astype("int64"),
+                # half-up to match SQL ROUND (pandas .round is half-even);
+                # n_tok/512 is exact binary so the tie cases are real
+                "fill_ratio": (
+                    np.floor(agg["n_tok"] * 10000.0 / 512.0 + 0.5) / 10000.0
+                ).astype("float64"),
+            }
+        )
+
+    def pack_partition(batches):
+        yield from scan_sorted_groups(batches, "source", pack_group)
+
+    parts = sized.repartition("source").sortWithinPartitions(
+        "source", "doc_id", "chunk_id"
+    )
+    return parts.mapInPandas(pack_partition, schema=out_schema)
+
+
+@register(
     "q_doc_len_hist",
     oracle="""
     SELECT CAST(n_chars // 200 * 200 AS BIGINT) AS bin_start,

@@ -370,3 +370,26 @@ def test_codec_png_average_and_paeth_filters():
                 ch,
                 filters,
             )
+
+
+def test_pack_greedy_beats_fixed_stride(spark, sf_dir):
+    """Greedy next-fit packing must conserve tokens, never overflow the
+    512 cap, and produce no more sequences (hence >= mean fill ratio)
+    than the fixed-stride baseline — per source shard, not just
+    globally."""
+    import pandas as pd
+
+    from flink_rc_spark.registry import REGISTRY
+
+    greedy = REGISTRY["q_pack_greedy"].builder(spark, sf_dir).toPandas()
+    stride = REGISTRY["q_pack_sequences"].builder(spark, sf_dir).toPandas()
+    assert len(greedy) > 0
+    assert (greedy["n_tok"] <= 512).all(), "sequence overflows the 512 cap"
+    g = greedy.groupby("source").agg(seqs=("seq_id", "size"), tok=("n_tok", "sum"))
+    s = stride.groupby("source").agg(seqs=("seq_id", "size"), tok=("n_tok", "sum"))
+    both = g.join(s, lsuffix="_g", rsuffix="_s")
+    assert (both["tok_g"] == both["tok_s"]).all(), "token totals not conserved"
+    assert (both["seqs_g"] <= both["seqs_s"]).all(), (
+        f"greedy used more sequences than fixed stride:\n{both}"
+    )
+    assert greedy["fill_ratio"].mean() >= stride["fill_ratio"].mean()
