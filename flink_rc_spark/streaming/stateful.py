@@ -1,8 +1,23 @@
 """Custom stateful streaming operator (SURVEY.md §2.3
 q_stream_stateful_counter) — the reference's operator-state pattern
 (R4 reservoir state / R6 online model state) expressed relationally:
-a per-user running count/sum held in the streaming state store via
-``applyInPandasWithState``, surviving across micro-batches.
+a per-user running count/sum held in the streaming state store,
+surviving across micro-batches.
+
+Two API paths, one kernel (``_advance``):
+
+- ``transformWithStateInPandas`` (Spark 4.x's current stateful API,
+  ``_build_tws``) — used automatically when the Python ``protobuf``
+  package is importable. Its state-server protocol needs protobuf;
+  this container lacks it and cannot pip-install, so here the adapter
+  falls back (verified r2: the API crashes with ``ImportError:
+  cannot import name 'descriptor' from 'google.protobuf'``).
+- ``applyInPandasWithState`` (``_build_apws``) — the fallback with
+  identical state-store semantics and no protobuf dependency.
+
+A deployment with protobuf gets the newer API with no code change;
+``tests/test_streaming.py`` runs an equality check between the two
+paths when possible and skips cleanly here.
 
 Exactness: the running sum accumulates in integer *cents* inside the
 state (events.value is 2-decimal), so the emitted double equals the
@@ -42,32 +57,107 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _counter(key, pdf_iter, state):
+def has_transform_with_state() -> bool:
+    """True when transformWithStateInPandas can actually run: its
+    state-server protocol imports protobuf-generated message classes at
+    worker startup, so a bare ``import google.protobuf`` is not enough
+    — probe the symbol the traceback named."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _advance(n: int, cents: int, pdf: pd.DataFrame):
+    """Shared state-transition kernel: fold one micro-batch slice of a
+    single user's events into (n, cents) running state, emitting the
+    per-row running count/sum. Vectorized exact arithmetic: np.round
+    and Python round are both round-half-even, and the accumulation is
+    integer cents, so this is bit-identical to a per-row loop."""
     import numpy as np
 
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    vals = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
+    cum = cents + np.cumsum(vals)
+    nn = n + np.arange(1, len(vals) + 1, dtype=np.int64)
+    if len(vals):
+        n = int(nn[-1])
+        cents = int(cum[-1])
+    out = pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].to_numpy(),
+            "event_id": pdf["event_id"].to_numpy(),
+            "running_n": nn,
+            "running_sum": cum / 100.0,
+        }
+    )
+    return n, cents, out
+
+
+def _counter(key, pdf_iter, state):
+    """applyInPandasWithState wrapper around _advance."""
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        # vectorized exact cumulative state: np.round and Python round
-        # are both round-half-even, and the accumulation is integer
-        # cents, so this is bit-identical to the per-row loop it
-        # replaced (which was the steepest operator in the 10x
-        # streaming probe — rows-bound Python).
-        vals = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
-        cum = cents + np.cumsum(vals)
-        nn = n + np.arange(1, len(vals) + 1, dtype=np.int64)
-        if len(vals):
-            n = int(nn[-1])
-            cents = int(cum[-1])
-        yield pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].to_numpy(),
-                "event_id": pdf["event_id"].to_numpy(),
-                "running_n": nn,
-                "running_sum": cum / 100.0,
-            }
-        )
+        n, cents, out = _advance(n, cents, pdf)
+        yield out
     state.update((n, cents))
+
+
+def _build_apws(s):
+    return s.groupBy("user_id").applyInPandasWithState(
+        _counter,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def _build_tws(s):
+    """transformWithStateInPandas path. Imports live inside the
+    function: the stateful_processor module itself needs protobuf, so
+    a module-level import would break the fallback container."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _CounterProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counter", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n, cents, out = _advance(n, cents, pdf)
+                yield out
+            self._state.update((n, cents))
+
+        def close(self) -> None:
+            pass
+
+    return s.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_CounterProcessor(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def stateful_counter_stream(s, force_api: str | None = None):
+    """Route the counter through the best available stateful API.
+
+    ``force_api``: "tws" / "apws" pins a path (tests); default
+    auto-detects protobuf and prefers transformWithStateInPandas.
+    """
+    api = force_api or ("tws" if has_transform_with_state() else "apws")
+    if api == "tws":
+        return _build_tws(s)
+    return _build_apws(s)
 
 
 @register(
@@ -86,11 +176,5 @@ def q_stream_stateful_counter(spark, sf_dir):
     """Running per-user count/sum with model-in-state semantics."""
     ensure_package_shipped(spark)
     s = events_stream(spark, sf_dir)
-    out = s.groupBy("user_id").applyInPandasWithState(
-        _counter,
-        outputStructType=OUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf="NoTimeout",
-    )
+    out = stateful_counter_stream(s)
     return run_to_memory(out, output_mode="append")

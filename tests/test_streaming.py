@@ -146,3 +146,34 @@ def test_watermark_drops_late_row_across_batches(spark, tmp_path):
     # not appear — neither merged (n=3) nor as a resurrected window
     assert (10, 2) in emitted, emitted
     assert sum(1 for h, _ in emitted if h == 10) == 1, emitted
+
+
+def test_stateful_api_adapter_paths(spark, sf_dir):
+    """The stateful counter must route through Spark 4.x's
+    transformWithStateInPandas when protobuf is available, and the two
+    API paths must produce identical results. In this container
+    (no protobuf) the tws half skips cleanly and the fallback is
+    exercised explicitly."""
+    import pytest
+
+    from flink_rc_spark.streaming.replay import events_stream, run_to_memory
+    from flink_rc_spark.streaming.stateful import (
+        has_transform_with_state,
+        stateful_counter_stream,
+    )
+
+    apws = run_to_memory(
+        stateful_counter_stream(events_stream(spark, sf_dir), force_api="apws"),
+        output_mode="append",
+    )
+    a = apws.orderBy("user_id", "event_id").toPandas()
+    assert len(a) > 0
+
+    if not has_transform_with_state():
+        pytest.skip("python protobuf not installed: tws path unavailable here")
+    tws = run_to_memory(
+        stateful_counter_stream(events_stream(spark, sf_dir), force_api="tws"),
+        output_mode="append",
+    )
+    b = tws.orderBy("user_id", "event_id").toPandas()
+    assert a.equals(b), "tws and apws paths diverge"
