@@ -215,4 +215,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from flink_rc_spark.llm.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"unsupported image magic: {payload[:8]!r}")

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_rc_spark.llm.codec import decode_image, encode_bmp
+from flink_rc_spark.llm.codec import decode_image, encode_bmp, encode_png
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -147,3 +147,95 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global Sort after mapInPandas is a full extra shuffle at scale
     # (same waste class removed from q_dedup_simhash).
     return flat.mapInPandas(_decode_batches, _DECODE_SCHEMA)
+
+
+_FORMATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("brightness", T.LongType()),
+    ]
+)
+
+
+def _formats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each doc's md5-derived 2x2 RGB pixels as BMP, PNG and
+    JPEG, then decode every payload back through the full
+    ``decode_image`` dispatch. Brightness is the decoded pixel sum for
+    the lossless formats (SQL-reproducible from the md5 hex); JPEG is
+    lossy, so its row carries the sentinel -1 and its pixel fidelity is
+    bounded separately in tests/test_llm.py."""
+    from flink_rc_spark.llm.jpeg import encode_jpeg
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = []
+        for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+            arr = np.frombuffer(bytes(px), dtype=np.uint8)[:12].reshape(2, 2, 3)
+            payloads = [
+                ("bmp", encode_bmp(arr)),
+                ("png", encode_png(arr)),
+                ("jpeg", encode_jpeg(arr, quality=98)),
+            ]
+            for fmt, payload in payloads:
+                dec = decode_image(payload)
+                rows.append(
+                    (
+                        int(doc_id),
+                        fmt,
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(dec.sum()) if fmt != "jpeg" else -1,
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "format", "width", "height", "brightness"]
+        )
+
+
+@register(
+    "q_multimodal_formats",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(1, 13), i ->
+                   (strpos('0123456789abcdef', substr(md5(text), 2*i-1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(md5(text), 2*i, 1)) - 1))
+                   AS BIGINT) AS bright
+        FROM documents
+    )
+    SELECT doc_id,
+           f.fmt AS format,
+           CAST(2 AS INT) AS width,
+           CAST(2 AS INT) AS height,
+           CASE WHEN f.fmt = 'jpeg' THEN CAST(-1 AS BIGINT) ELSE bright END
+               AS brightness
+    FROM b CROSS JOIN (VALUES ('bmp'), ('png'), ('jpeg')) AS f(fmt)
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three container formats through one decode dispatch: the same
+    md5-derived 2x2 RGB pixels are encoded as BMP, PNG and baseline
+    JPEG (llm/jpeg.py), and every payload is decoded back by
+    ``decode_image`` — magic-byte dispatch, real parsers, no PIL. The
+    oracle checks decoded geometry for all three and the exact pixel
+    sum for the lossless two; JPEG loss is bounded in tests (its
+    brightness column is the sentinel -1, since a hash can't carry a
+    tolerance).
+
+    Scale: identical shape to q_multimodal_decode — Arrow-batched
+    mapInPandas over a pruned 2-column scan; 3 small output rows per
+    document, no shuffle anywhere.
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id", F.unhex(F.substring(F.md5("text"), 1, 24)).alias("px")
+    )
+    return src.mapInPandas(_formats_batches, _FORMATS_SCHEMA)

@@ -393,3 +393,61 @@ def test_pack_greedy_beats_fixed_stride(spark, sf_dir):
         f"greedy used more sequences than fixed stride:\n{both}"
     )
     assert greedy["fill_ratio"].mean() >= stride["fill_ratio"].mean()
+
+
+def test_jpeg_codec_bounded_loss_and_structure():
+    """Baseline JPEG roundtrip: geometry always exact; pixel error
+    bounded (q=100 near-exact on smooth content, solid exactly flat);
+    unsupported shapes fail loudly."""
+    import numpy as np
+    import pytest
+
+    from flink_rc_spark.llm.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    smooth = np.stack(
+        [yy * 255 // 15, xx * 255 // 23, (yy + xx) * 127 // 38], axis=-1
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(smooth, quality=100))
+    assert out.shape == smooth.shape
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 2
+
+    solid = np.full((12, 20, 3), 137, np.uint8)
+    assert (decode_jpeg(encode_jpeg(solid, quality=90)) == 137).all()
+
+    gray = ((yy * 16 + xx * 7) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert out.shape == gray.shape
+    assert np.abs(out.astype(int) - gray.astype(int)).mean() <= 8
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_multimodal_formats_jpeg_fidelity(spark, sf_dir):
+    """The JPEG leg of q_multimodal_formats carries a -1 brightness
+    sentinel in the declared output (lossy); here we bound the actual
+    loss: decoding the JPEG payload must land within 16/255 per channel
+    of the source pixels for every document."""
+    import numpy as np
+
+    from flink_rc_spark.llm.codec import decode_image
+    from flink_rc_spark.llm.jpeg import encode_jpeg
+    from flink_rc_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.unhex(F.substring(F.md5("text"), 1, 24)).alias("px"))
+        .limit(64)
+        .toPandas()
+    )
+    assert len(docs) > 0
+    for px in docs["px"]:
+        arr = np.frombuffer(bytes(px), dtype=np.uint8)[:12].reshape(2, 2, 3)
+        dec = decode_image(encode_jpeg(arr, quality=98))
+        assert dec.shape == (2, 2, 3)
+        assert np.abs(dec.astype(int) - arr.astype(int)).max() <= 12, (
+            arr.tolist(),
+            dec.tolist(),
+        )
