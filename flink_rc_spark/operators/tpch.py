@@ -1,0 +1,466 @@
+"""TPC-H-style analytic benchmark queries (beyond-reference surface).
+
+The test tables are a TPC-H-ish star schema (TESTDATA.md) with a
+subset of the official columns, so these are the classic TPC-H query
+*shapes* adapted to the columns that exist: multi-way fact⋈dim joins,
+date-windowed filters, group-by-aggregate, top-k with deterministic
+tie-breaks, EXISTS subqueries, and a ratio report. Together they prove
+the engine composes its operator surface into the full analytic
+queries a warehouse user actually runs — each one exercises several
+declared operators at once.
+
+Scale story (100 TB):
+- Dimensions (region/nation/supplier/customer-at-dim-scale) are
+  explicitly ``F.broadcast`` — the fact side never shuffles for them.
+- Fact⋈fact (lineitem⋈orders) shuffles on the join key once; AQE
+  handles skew/over-partitioning at runtime. On a real lake both facts
+  would be bucketed by orderkey, removing the exchange entirely
+  (sources/sinks.py shows the bucketing path).
+- Every aggregate is a partial+final hash agg on a low-cardinality
+  key, so the agg shuffle carries (groups × partitions) rows.
+- Top-k outputs go through TakeOrdered (no global sort of the fact).
+
+Float policy: all money aggregates route through DECIMAL
+(functions/exact.py) so the result is order-independent and
+hash-identical to the DuckDB oracle; ratios divide two exact doubles.
+
+Reference parity: none — the reference is a numeric-vector dataflow
+engine (SURVEY.md §1.1); this is the driver-north-star relational
+surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_rc_spark.functions.exact import davg, dec, dlit, dsum
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources import load
+
+# Shared decimal-exact revenue term: extendedprice * (1 - discount).
+_REV_DUCK = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+)
+
+
+def _rev():
+    return dec("l_extendedprice") * (dlit(1) - dec("l_discount"))
+
+
+@register(
+    "q_tpch_q3",
+    oracle=f"""
+        SELECT l_orderkey,
+               CAST(SUM({_REV_DUCK}) AS DOUBLE) AS revenue,
+               o_orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-30'
+          AND l_shipdate > TIMESTAMP '1997-06-30'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape — shipping priority: top-10 unshipped orders of
+    one market segment by revenue.
+
+    customer is a dimension at any realistic scale relative to the
+    lineitem fact → broadcast; lineitem⋈orders shuffles once on
+    orderkey. Top-10 via TakeOrdered with full tie-break
+    (revenue desc, orderdate, orderkey) so the cut is deterministic.
+    """
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-30").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-30").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape — order-priority checking: orders in a quarter
+    with at least one line shipped > 30 days after the order date.
+
+    (The official Q4 uses commitdate/receiptdate, which this schema
+    lacks; shipdate-vs-orderdate keeps the EXISTS-correlated shape.)
+    The EXISTS compiles to a LEFT SEMI join on orderkey — one shuffle,
+    no row duplication, then a tiny 5-group aggregate.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+        SELECT n_name,
+               CAST(SUM({_REV_DUCK}) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 — local supplier volume: revenue where customer and
+    supplier share a nation, for one region and one year.
+
+    Six-way join: region→nation→supplier are broadcast dims; the
+    c_nationkey = s_nationkey condition rides on the customer join
+    (no extra shuffle). lineitem⋈orders is the only fact shuffle.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q_tpch_q6",
+    oracle=f"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("tpch", "filter", "agg"),
+)
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 — forecasting revenue change: a pure scan-filter-agg.
+
+    All four predicates push down to the parquet scan; the aggregate
+    is a single ungrouped partial+final sum — the cheapest possible
+    plan shape, and the canonical pushdown check.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM({_REV_DUCK}) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%red%'
+        -- group by the raw expressions: DuckDB won't bind the alias
+        -- "nation" here because it shadows the joined table's name
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY nation, o_year DESC
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape — product-type profit by nation and year for
+    parts matching a name pattern.
+
+    (No partsupp table in this schema, so profit = discounted revenue
+    without the supplycost term — the join/agg shape is Q9's.)
+    part/supplier/nation are broadcast dims; the p_name LIKE filter
+    shrinks the part build side before broadcast. One fact shuffle
+    (lineitem⋈orders), then a (nation × year) hash agg.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle=f"""
+        SELECT c_custkey, c_name,
+               CAST(SUM({_REV_DUCK}) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 — returned-item reporting: top-20 customers by lost
+    revenue from returned lines in one quarter.
+
+    nation broadcast; customer joins the pre-aggregated order revenue
+    side. Top-20 via TakeOrdered, tie-broken by custkey.
+    """
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+        SELECT CAST(100.0 AS DOUBLE)
+                   * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN {_REV_DUCK}
+                                   ELSE CAST(0 AS DECIMAL(12,2)) END)
+                          AS DOUBLE)
+                   / CAST(SUM({_REV_DUCK}) AS DOUBLE) AS promo_revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 — promotion effect: percent of one month's revenue
+    from promo parts.
+
+    part is broadcast; conditional + total sums computed in ONE pass
+    over the joined rows (no second scan). Both sums are exact
+    decimals, so the final double division is deterministic on both
+    engines.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
+        dlit(0)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(_rev()).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                   > CAST(300 AS DECIMAL(12,2))
+        )
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 — large-volume customer: orders whose total quantity
+    exceeds a threshold, with the customer attached.
+
+    The HAVING subquery is computed once as a pre-aggregate on the
+    fact and joined back LEFT SEMI on orderkey (one shuffle shared
+    with the main agg's key — Spark reuses the orderkey partitioning),
+    then customer attaches. Threshold 300 ≈ top few % of
+    orders in this synthetic data (max ≈ 458).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > dlit(300))
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"),
+                F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       / COUNT(c_acctbal) AS a
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > a
+          AND NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape — global sales opportunity: customers with
+    above-average balances and no orders, grouped by segment.
+
+    (The official Q22 keys on phone prefixes, which this schema lacks;
+    mktsegment keeps the scalar-subquery + anti-join shape.) The
+    average is a scalar broadcast; the NOT EXISTS is a LEFT ANTI join
+    against the distinct orders custkeys.
+    """
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("a")
+    )
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -140,12 +140,15 @@ def expected_schema(name: str) -> T.StructType:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; parquet schema is authoritative.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects ([PARQUET_TYPE_ILLEGAL]); it is read as raw long
-    nanos (legacy nanosAsLong) and truncated to a µs TimestampType —
-    the same truncation DuckDB applies casting TIMESTAMP_NS →
-    TIMESTAMP, so oracle comparisons agree. The scan stays distributed
-    and columnar (no driver-side materialization).
+    ``events.ts`` has shipped as either parquet TIMESTAMP(MICROS)
+    (read natively) or TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects ([PARQUET_TYPE_ILLEGAL]); the nanos form is read as
+    raw long nanos (legacy nanosAsLong) and truncated to a µs
+    TimestampType — the same truncation DuckDB applies casting
+    TIMESTAMP_NS → TIMESTAMP, so oracle comparisons agree either way.
+    The fix-up is keyed on the dtype Spark actually read, so the loader
+    works against both generations of the test data. The scan stays
+    distributed and columnar (no driver-side materialization).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
@@ -153,9 +156,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            # native µs NTZ → session-TZ (UTC) TimestampType, matching
+            # the nanos path's output type downstream
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(path)
 
 

@@ -25,16 +25,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (legacy nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """Probe the parquet footer (driver-side metadata only) for the
+    physical type of ``events.ts``. The test data has shipped as either
+    TIMESTAMP(NANOS) (Spark needs legacy nanosAsLong + µs truncation)
+    or TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_schema(f"{sf_dir.rstrip('/')}/events.parquet").field("ts").type
+    return pa.types.is_timestamp(t) and t.unit == "ns"
+
+
+def events_raw_schema(ts_is_nanos: bool) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            # raw nanos (legacy nanosAsLong) or native µs TIMESTAMP_NTZ
+            T.StructField(
+                "ts", T.LongType() if ts_is_nanos else T.TimestampNTZType()
+            ),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 _STREAM_DIRS: dict[tuple[str, int], str] = {}
@@ -91,14 +107,19 @@ def events_stream(
     """Replay events as a stream. With n_splits>1 the replay defaults
     to one file per trigger (``maxFilesPerTrigger`` is a file-source
     OPTION, not a SQL conf), i.e. n_splits real micro-batches."""
+    ts_is_nanos = _events_ts_is_nanos(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    reader = spark.readStream.schema(events_raw_schema(ts_is_nanos))
     if max_files_per_trigger is None and n_splits > 1:
         max_files_per_trigger = 1
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(_stream_dir(sf_dir, n_splits))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_is_nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # native µs NTZ → session-TZ (UTC) TimestampType, matching the
+    # nanos path's output type so every downstream consumer is unchanged
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(

@@ -90,7 +90,11 @@ def test_watermark_drops_late_row_across_batches(spark, tmp_path):
     numRowsDroppedByWatermark) plus a 15:00 row."""
     import os
 
-    from flink_rc_spark.streaming.replay import EVENTS_RAW_SCHEMA, run_to_memory
+    from flink_rc_spark.streaming.replay import events_raw_schema, run_to_memory
+
+    # this test writes its own raw-nanos files, so it always exercises
+    # the legacy long-nanos schema regardless of the shipped testdata
+    EVENTS_RAW_SCHEMA = events_raw_schema(ts_is_nanos=True)
 
     def ns(hour, minute=0):
         # 2024-06-01 HH:MM UTC in nanos
