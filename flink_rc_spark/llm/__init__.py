@@ -8,6 +8,8 @@ registry (flink_rc_spark.registry).
 """
 
 from flink_rc_spark.llm import (  # noqa: F401
+    audio,
+    curation,
     dedup,
     multimodal,
     profile,

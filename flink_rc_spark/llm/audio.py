@@ -1,0 +1,202 @@
+"""Audio-column support: real WAV (RIFF/PCM16) container codec plus
+the decode query — the audio twin of the BMP/PNG/JPEG image path in
+``llm/multimodal.py``.
+
+The payload is a valid mono 16-bit WAV: a RIFF header built once for
+the fixed geometry (64 samples @ 8 kHz) and 64 little-endian PCM16
+samples derived from ``doc_id`` by pure integer arithmetic
+(``(doc_id*7 + i*13) % 256``), constructed JVM-side so the oracle can
+reproduce every decoded feature exactly — no float DSP anywhere in the
+verified path. The decode kernel walks RIFF chunks for real (fmt +
+data, skipping unknown chunks) and would decode any PCM16 WAV, not
+just the synthetic ones.
+
+Scale notes (100 TB of audio): same playbook as images — payloads
+pruned unless needed (columnar parquet), decode streamed per Arrow
+batch via ``mapInPandas`` (never a whole partition of decoded sample
+arrays in memory), features written to a narrow table. Real feature
+extraction (spectrograms, VAD, resampling) plugs into the same kernel
+signature; the container parsing below is the genuine article.
+
+Reference parity: none — the reference is numeric-vector-only
+(SURVEY.md §1.1); driver-north-star multimodal surface.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources.tables import load
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (stdlib struct + numpy; no external audio libs in container)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 samples (mono ``(n,)`` or ``(n, ch)``) as a
+    canonical RIFF/WAVE PCM16 container."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate, block_align, 16
+    )
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data_hdr) + len(data), b"WAVE")
+    return riff + fmt + data_hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAVE container: returns (samples ``(n, ch)`` int16,
+    sample_rate). Walks chunks for real — unknown chunks (LIST, fact,
+    cue…) are skipped by their declared size, so files from other
+    writers parse too. PCM16 only (format tag 1, 16 bits)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = None
+    channels = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        body = payload[pos : pos + csize]
+        if cid == b"fmt ":
+            tag, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if tag != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV format tag={tag} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += csize + (csize & 1)  # RIFF chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(data, dtype="<i2").reshape(-1, channels)
+    return samples, sample_rate
+
+
+# ---------------------------------------------------------------------------
+# q_audio_decode — binary WAV column -> mapInPandas decode -> features
+# ---------------------------------------------------------------------------
+
+_N_SAMPLES = 64
+_SR = 8000
+# header is constant for the fixed geometry — built by the same encoder
+# the tests roundtrip, then inlined as a binary literal (BMP idiom)
+_WAV_HEADER = encode_wav(np.zeros(_N_SAMPLES, dtype=np.int16), _SR)[:44]
+_WAV_SIZE = 44 + 2 * _N_SAMPLES
+
+# sample i = (doc_id*7 + i*13) % 256 — non-negative int16, so its LE
+# encoding is (low byte, 0x00) and the JVM can emit it with hex/unhex
+_SAMPLES_SPARK = (
+    f"transform(sequence(0, {_N_SAMPLES - 1}), "
+    "i -> concat(lpad(hex((doc_id * 7 + i * 13) % 256), 2, '0'), '00'))"
+)
+_SAMPLES_DUCK = f"list_transform(range(0, {_N_SAMPLES}), i -> (doc_id * 7 + i * 13) % 256)"
+
+
+def with_audio_columns(docs: DataFrame) -> DataFrame:
+    """Attach a REAL WAV payload + typed metadata struct, constructed
+    entirely JVM-side (header literal + unhex'd sample bytes)."""
+    payload = F.concat(
+        F.lit(bytearray(_WAV_HEADER)),
+        F.unhex(F.concat_ws("", F.expr(_SAMPLES_SPARK))),
+    )
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit(_SR).alias("sample_rate"),
+            F.lit(_N_SAMPLES).alias("n_samples"),
+            F.lit("wav").alias("format"),
+        ).alias("meta"),
+    )
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("amp_sum", T.LongType()),
+        T.StructField("amp_max", T.IntegerType()),
+    ]
+)
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decode kernel: parse each RIFF container, derive
+    sample_rate/n_samples from the DECODED stream (not trusted
+    metadata), and fold the samples into integer features."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        srs, ns, sums, maxs = [], [], [], []
+        for payload in pdf["payload"]:
+            samples, sr = decode_wav(bytes(payload))
+            srs.append(sr)
+            ns.append(samples.shape[0])
+            sums.append(int(samples.sum()))
+            maxs.append(int(np.abs(samples).max()) if samples.size else 0)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int32"),
+                "sample_rate": pd.Series(srs, dtype="int32"),
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "amp_sum": pd.Series(sums, dtype="int64"),
+                "amp_max": pd.Series(maxs, dtype="int32"),
+            }
+        )
+
+
+@register(
+    "q_audio_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_WAV_SIZE} AS INT) AS n_bytes,
+           CAST({_SR} AS INT) AS sample_rate,
+           CAST({_N_SAMPLES} AS INT) AS n_samples,
+           CAST(list_sum({_SAMPLES_DUCK}) AS BIGINT) AS amp_sum,
+           CAST(list_max({_SAMPLES_DUCK}) AS INT) AS amp_max
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary audio column -> mapInPandas REAL WAV decode -> features.
+
+    The payload is a valid RIFF/PCM16 WAV built JVM-side; the kernel
+    walks the chunk structure and derives every output from the decoded
+    sample stream. The oracle reproduces amp_sum/amp_max from the same
+    integer recurrence the samples were built from, verifying the full
+    bytes -> parser -> feature path with an exact hash. Same 100 TB
+    shape as image decode: pruned 2-column scan, Arrow-batched kernel,
+    no shuffle.
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    audio = with_audio_columns(docs)
+    flat = audio.select("doc_id", "payload")
+    return flat.mapInPandas(_audio_batches, _AUDIO_SCHEMA)

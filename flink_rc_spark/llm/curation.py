@@ -1,0 +1,388 @@
+"""Corpus curation operators (LLM-data wave, r4 additions): intra-
+document repetition detection, corpus n-gram top-k, PII redaction,
+deterministic sharded training-order shuffle, and int8 embedding
+quantization.
+
+These are the quality-filter / serving-prep jobs that sit between raw
+dedup and tokenization in a pretraining pipeline (the Gopher/C4-style
+repetition rules, the "shuffle the corpus into shards" step, and the
+vector-compression step before ANN serving).
+
+Float policy: every fraction is a single division of two exactly-
+computed values (integer counts or float32 inputs widened to double),
+so both engines produce bit-identical doubles — no tolerance needed.
+
+Scale story (100 TB): everything here is per-row JVM expression work
+plus at most one hash aggregate / one window keyed by doc or shard;
+nothing leaves the JVM and nothing is all-pairs. Details per query.
+
+Reference parity: none — the reference is numeric-vector-only
+(SURVEY.md §1.1); this is driver-north-star surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources.tables import load
+
+# ---------------------------------------------------------------------------
+# q_repetition_stats — Gopher-style intra-document repetition signals
+# ---------------------------------------------------------------------------
+
+# word bigrams of a token array, 1-based engines spelled per dialect;
+# both guard the single-token case explicitly (Spark's sequence(1,0)
+# would count DOWN, so the guard is load-bearing there).
+_BIGRAMS_SPARK = (
+    "CASE WHEN size(toks) < 2 THEN array() "
+    "ELSE transform(sequence(1, size(toks) - 1), "
+    "i -> concat(toks[i-1], ' ', toks[i])) END"
+)
+_BIGRAMS_DUCK = (
+    "CASE WHEN len(toks) < 2 THEN [] "
+    "ELSE list_transform(generate_series(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1]) END"
+)
+
+
+@register(
+    "q_repetition_stats",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(len({_BIGRAMS_DUCK}) AS BIGINT) AS n_bigram,
+               CAST(len(list_distinct({_BIGRAMS_DUCK})) AS BIGINT)
+                   AS n_bigram_distinct
+        FROM tok
+    ),
+    top AS (
+        SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_tok_n
+        FROM (
+            SELECT doc_id, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            GROUP BY doc_id, t
+        )
+        GROUP BY doc_id
+    )
+    SELECT bg.doc_id, n_tok, n_bigram_distinct,
+           CASE WHEN n_bigram > 0 THEN
+                1.0 - CAST(n_bigram_distinct AS DOUBLE)
+                      / CAST(n_bigram AS DOUBLE)
+                ELSE 0.0 END AS dup_bigram_frac,
+           CAST(top_tok_n AS DOUBLE) / CAST(n_tok AS DOUBLE)
+               AS top_tok_frac,
+           (CASE WHEN n_bigram > 0 THEN
+                 1.0 - CAST(n_bigram_distinct AS DOUBLE)
+                       / CAST(n_bigram AS DOUBLE)
+                 ELSE 0.0 END) > 0.5
+               OR CAST(top_tok_n AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.2
+               AS is_repetitive
+    FROM bg JOIN top ON bg.doc_id = top.doc_id
+    ORDER BY bg.doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def q_repetition_stats(spark, sf_dir):
+    """Intra-document repetition signals (Gopher/C4-style quality
+    rules): duplicate-bigram fraction and most-common-token dominance,
+    plus the composite repetitive flag a filter pipeline would gate on.
+
+    The bigram stats are pure array expressions (no explode — the
+    bigram list never leaves its row); only the top-token count uses
+    an explode + two hash aggs keyed by doc_id. All fractions are one
+    double division of exact integer counts, so the hash matches the
+    oracle bit-for-bit. 100 TB: per-doc map + doc-keyed agg, fully
+    parallel, no global state.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    bg = tok.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.expr(f"CAST(size({_BIGRAMS_SPARK}) AS BIGINT)").alias("n_bigram"),
+        F.expr(
+            f"CAST(size(array_distinct({_BIGRAMS_SPARK})) AS BIGINT)"
+        ).alias("n_bigram_distinct"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("bigint").alias("top_tok_n"))
+    )
+    dup_frac = F.when(
+        F.col("n_bigram") > 0,
+        F.lit(1.0)
+        - F.col("n_bigram_distinct").cast("double")
+        / F.col("n_bigram").cast("double"),
+    ).otherwise(0.0)
+    top_frac = F.col("top_tok_n").cast("double") / F.col("n_tok").cast("double")
+    return (
+        bg.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_bigram_distinct",
+            dup_frac.alias("dup_bigram_frac"),
+            top_frac.alias("top_tok_frac"),
+            ((dup_frac > 0.5) | (top_frac > 0.2)).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_ngram_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM (SELECT unnest({_BIGRAMS_DUCK}) AS bigram FROM tok)
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 30
+    """,
+    tags=("llm", "text"),
+)
+def q_ngram_topk(spark, sf_dir):
+    """Global top-30 word bigrams by corpus frequency (tie-broken by
+    bigram text so the cut is deterministic cross-engine).
+
+    The bigram generation is a row-local array expression; explode →
+    partial count → shuffle only (distinct-bigram, partial-count)
+    pairs → TakeOrdered(30). The shuffle carries the bigram vocabulary
+    (bounded by distinct pairs), not the corpus — the standard scale
+    shape for phrase-statistics jobs.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.split("text", " ").alias("toks"))
+    return (
+        tok.select(F.explode(F.expr(_BIGRAMS_SPARK)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pii_scrub — regex PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no contact strings (verified: zero
+# '@'/digit-dash patterns), so the query deterministically injects one
+# email and one phone per document — derived from doc_id, inside the
+# query on BOTH engines — and the verified operator is the regex
+# detection + redaction itself. Patterns restricted to constructs with
+# identical Java-regex / RE2 semantics.
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-01'
+                    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   AS raw_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw_text, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(raw_text, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(raw_text,
+                   '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+    FROM raw
+    ORDER BY doc_id
+    """,
+    tags=("llm", "quality"),
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction: count email/phone matches per
+    document and fingerprint the redacted text.
+
+    DuckDB needs the 'g' flag for replace-all; Spark's regexp_replace
+    replaces all by default — the patterns themselves are dialect-
+    neutral. Emitting md5(redacted) instead of the full redacted text
+    keeps the result row small while still pinning every byte of the
+    redaction. 100 TB: pure per-row JVM regex work, no shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0)))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), F.lit(0)))
+            .cast("bigint")
+            .alias("n_phones"),
+            F.md5(redacted).alias("redacted_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_doc_shuffle — deterministic sharded training order
+# ---------------------------------------------------------------------------
+
+# md5-derived uniform byte of the doc_id (the sampling.py idiom):
+# shard = byte % 8 — partitioning-independent and re-ingest-stable.
+_HASHBYTE_SPARK = (
+    "(instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 1, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 2, 1)) - 1"
+)
+_HASHBYTE_DUCK = (
+    "(strpos('0123456789abcdef', substr(md5(cast(doc_id AS VARCHAR)), 1, 1)) - 1)"
+    " * 16 + strpos('0123456789abcdef', substr(md5(cast(doc_id AS VARCHAR)), 2, 1)) - 1"
+)
+_N_SHARDS = 8
+
+
+@register(
+    "q_doc_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5(cast(doc_id AS VARCHAR)) AS hkey,
+               CAST(({_HASHBYTE_DUCK}) % {_N_SHARDS} AS BIGINT) AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    ORDER BY shard, pos
+    """,
+    tags=("llm", "serving"),
+)
+def q_doc_shuffle(spark, sf_dir):
+    """Deterministic global shuffle into training shards: every doc
+    gets a (shard, position) that is a pure function of doc_id —
+    stable under any partitioning, re-ingest, or cluster size, which
+    is what makes a training run reproducible.
+
+    The naive spelling (ROW_NUMBER over a single global hash order) is
+    a one-partition window — a scale killer. Sharding first makes the
+    window PARTITION BY shard: each shard sorts independently in
+    parallel, and at 100 TB you raise _N_SHARDS to O(cluster cores)
+    and the per-shard sort stays bounded. The oracle is the same
+    sharded spelling, so the hash proves the distributed form exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        (F.expr(_HASHBYTE_SPARK) % _N_SHARDS).cast("bigint").alias("shard"),
+    )
+    win = W.partitionBy("shard").orderBy("hkey", "doc_id")
+    return (
+        h.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(win).cast("bigint").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_quantize — int8 symmetric quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) AS m
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, embedding, m,
+               CASE WHEN m > 0
+                    THEN CAST(127.0 AS DOUBLE) / CAST(m AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS scale
+        FROM s
+    ),
+    qq AS (
+        SELECT vec_id, embedding, scale,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER))
+                   AS qvec
+        FROM q
+    )
+    SELECT vec_id, scale, qvec,
+           CASE WHEN scale > 0 THEN
+               list_max(list_transform(generate_series(1, len(embedding)),
+                   i -> abs(CAST(embedding[i] AS DOUBLE)
+                            - CAST(qvec[i] AS DOUBLE) / scale)))
+               ELSE 0.0 END AS max_err
+    FROM qq
+    ORDER BY vec_id
+    """,
+    tags=("llm", "similarity"),
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the
+    standard 4× compression step before ANN serving — plus the max
+    reconstruction error per vector.
+
+    scale = 127 / max|x|; q_i = round(x_i * scale). Every number is a
+    single IEEE double op on exactly-widened float32 inputs, and both
+    engines round half away from zero, so qvec and max_err are
+    hash-exact. 100 TB: pure per-row array expressions, no shuffle,
+    no UDF — the whole transform is codegen'd JVM work.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    m = F.array_max(F.expr("transform(embedding, x -> abs(x))"))
+    scale = F.when(
+        m > 0, F.lit(127.0).cast("double") / m.cast("double")
+    ).otherwise(F.lit(0.0))
+    q = emb.select("vec_id", "embedding", scale.alias("scale"))
+    qq = q.withColumn(
+        "qvec",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT))"
+        ),
+    )
+    max_err = F.when(
+        F.col("scale") > 0,
+        F.array_max(
+            F.expr(
+                "zip_with(embedding, qvec, (x, qx) -> "
+                "abs(CAST(x AS DOUBLE) - CAST(qx AS DOUBLE) / scale))"
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        qq.select("vec_id", "scale", "qvec", max_err.alias("max_err"))
+        .orderBy("vec_id")
+    )

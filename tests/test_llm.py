@@ -5,6 +5,7 @@ text operators that a value-hash alone doesn't witness.
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
@@ -451,3 +452,73 @@ def test_multimodal_formats_jpeg_fidelity(spark, sf_dir):
             arr.tolist(),
             dec.tolist(),
         )
+
+
+def test_wav_codec_roundtrip_mono_and_stereo():
+    import struct
+
+    from flink_rc_spark.llm.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    mono = rng.integers(-32768, 32767, size=200, dtype=np.int16)
+    dec, sr = decode_wav(encode_wav(mono, 16000))
+    assert sr == 16000 and dec.shape == (200, 1)
+    assert np.array_equal(dec[:, 0], mono)
+
+    stereo = rng.integers(-32768, 32767, size=(50, 2), dtype=np.int16)
+    dec2, sr2 = decode_wav(encode_wav(stereo, 44100))
+    assert sr2 == 44100 and dec2.shape == (50, 2)
+    assert np.array_equal(dec2, stereo)
+
+    # a foreign chunk (LIST, odd size -> word-aligned pad) between fmt
+    # and data must be skipped by the chunk walker
+    payload = encode_wav(mono, 8000)
+    fmt_end = 12 + 8 + 16
+    foreign = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    patched = payload[:fmt_end] + foreign + payload[fmt_end:]
+    dec3, sr3 = decode_wav(patched)
+    assert sr3 == 8000 and np.array_equal(dec3[:, 0], mono)
+
+
+def test_wav_codec_rejects_bad_payloads():
+    import pytest as _pytest
+
+    from flink_rc_spark.llm.audio import decode_wav, encode_wav
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"nonsense")
+    ok = encode_wav(np.zeros(4, dtype=np.int16))
+    with _pytest.raises(ValueError):
+        decode_wav(ok[:12])  # fmt/data chunks missing
+    # non-PCM format tag rejected
+    bad = bytearray(ok)
+    bad[20] = 3  # fmt tag -> IEEE float
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_audio_payload_decodes_with_stdlib_wave(spark, sf_dir):
+    """The JVM-built payload must be a *real* WAV: python's stdlib
+    ``wave`` module (an independent parser) must read the same
+    sample bytes the query's kernel decodes."""
+    import io
+    import wave
+
+    from flink_rc_spark.llm.audio import with_audio_columns
+    from flink_rc_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(8)
+    rows = with_audio_columns(docs).collect()
+    assert len(rows) == 8
+    for r in rows:
+        with wave.open(io.BytesIO(bytes(r.payload))) as w:
+            assert w.getframerate() == 8000
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getnframes() == 64
+            raw = w.readframes(64)
+        samples = np.frombuffer(raw, dtype="<i2")
+        expect = np.array(
+            [(r.doc_id * 7 + i * 13) % 256 for i in range(64)], dtype=np.int16
+        )
+        assert np.array_equal(samples, expect)
