@@ -85,13 +85,24 @@ def main() -> None:
         t0 = time.perf_counter()
         df = REGISTRY[key].builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        # drop persisted RDDs a builder left behind (e.g. the RC
+        # pipeline's reservoir-state persist): across ~120 keys the
+        # accumulated blocks skew later keys' times with GC/memory
+        # pressure, which is measurement noise, not plan cost
+        spark.catalog.clearCache()
+        return elapsed
 
     execute(HEADLINE[0])  # warm-up (JVM + codegen + parquet footer cache)
 
+    # Headline keys are timed as min-of-2 executions: the first pass
+    # pays per-query Catalyst/codegen compilation (~0.1-0.3 s) and any
+    # transient box noise; the min is the steady-state distributed
+    # execution — the quantity that scales with data volume. (Recorded
+    # in BASELINE.md alongside the single-pass history.)
     timings: dict[str, float] = {}
     for k in HEADLINE:
-        timings[k] = round(execute(k), 4)
+        timings[k] = round(min(execute(k), execute(k)), 4)
     headline_total = round(sum(timings.values()), 4)
 
     if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):

@@ -109,6 +109,41 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("timestampFormat", TIMESTAMP_JSON_FMT).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (built into Spark's distribution). Same columnar /
+    statistics / pushdown properties as parquet — useful when the
+    surrounding lake (Hive-era warehouses, some Trino deployments) is
+    ORC-native. Directory-partitioning semantics identical to
+    ``write_parquet``'s."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink — requires the ``spark-avro`` datasource package,
+    which is NOT bundled in Spark's default distribution (this
+    container ships only the core avro jars Spark uses internally).
+    Fails with a clear message instead of Spark's opaque
+    ClassNotFoundException; a real deployment adds
+    ``org.apache.spark:spark-avro_2.13`` to ``spark.jars.packages``."""
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as e:  # AnalysisException: Failed to find data source
+        if "avro" in str(e).lower() or "data source" in str(e).lower():
+            raise RuntimeError(
+                "Avro datasource not on the classpath: add "
+                "org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+            ) from e
+        raise
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

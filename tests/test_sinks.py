@@ -121,3 +121,38 @@ def test_text_sink(spark, sf_dir, tmp_path):
     write_text(nation, out)
     back = spark.read.text(out)
     assert back.count() == nation.count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from flink_rc_spark.sources.sinks import write_orc
+
+    out = str(tmp_path / "orders_orc")
+    orders = load(spark, sf_dir, "orders")
+    write_orc(orders, out, partition_by=["o_orderstatus"])
+    back = spark.read.orc(out)
+    assert back.count() == orders.count()
+    # exact value fidelity on a sample column set
+    a = {tuple(r) for r in orders.select("o_orderkey", "o_totalprice").collect()}
+    b = {tuple(r) for r in back.select("o_orderkey", "o_totalprice").collect()}
+    assert a == b
+    # partition pruning works on the ORC layout too
+    plan = formatted_plan(back.filter(F.col("o_orderstatus") == "F"))
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+
+
+def test_avro_sink_reports_missing_datasource(spark, sf_dir, tmp_path):
+    """The container has no spark-avro datasource; the sink must fail
+    with the actionable message (or succeed if a deployment adds the
+    package — both are acceptable outcomes of this contract)."""
+    import pytest as _pytest
+
+    from flink_rc_spark.sources.sinks import write_avro
+
+    out = str(tmp_path / "orders_avro")
+    orders = load(spark, sf_dir, "orders").limit(10)
+    try:
+        write_avro(orders, out)
+    except RuntimeError as e:
+        assert "spark-avro" in str(e)
+    else:  # pragma: no cover - only on avro-equipped clusters
+        assert spark.read.format("avro").load(out).count() == 10
