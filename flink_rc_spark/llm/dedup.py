@@ -30,7 +30,7 @@ beyond-reference surface mandated by BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_rc_spark.registry import register
@@ -116,10 +116,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.array(*[f"m{j}" for j in range(_N_HASHES)]).alias("g"))
 
 
-@register(
-    "q_dedup_minhash",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# MinHash signature -> banded LSH -> candidate pairs, as a reusable
+# DuckDB CTE chain (shared by q_dedup_minhash and q_dedup_components)
+_MINHASH_PAIRS_CTE = f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS s
            FROM toks WHERE len(t) >= 3),
     sig AS (SELECT doc_id,
@@ -136,6 +136,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
               FROM bands a JOIN bands b
                 ON a.band_id = b.band_id AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE}
     SELECT doc_a, doc_b, est_jaccard FROM pairs ORDER BY doc_a, doc_b
     """,
     tags=("llm", "dedup"),
@@ -158,6 +165,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash unmatchable).
     """
     docs = load(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> distinct candidate pairs (doc_a < doc_b,
+    est_jaccard). Shared by q_dedup_minhash and q_dedup_components."""
     sig = minhash_signatures(docs)
     bands = sig.select(
         "doc_id",
@@ -186,22 +199,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     )
-    return (
-        pairs.select(
-            F.col("p.pa.doc_id").alias("doc_a"),
-            F.col("p.pb.doc_id").alias("doc_b"),
-            F.round(
-                F.expr(
-                    f"cast(size(filter(sequence(1, {_N_HASHES}),"
-                    f" i -> element_at(p.pa.g, i) = element_at(p.pb.g, i))) AS double)"
-                    f" / {_N_HASHES}"
-                ),
-                4,
-            ).alias("est_jaccard"),
-        )
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    return pairs.select(
+        F.col("p.pa.doc_id").alias("doc_a"),
+        F.col("p.pb.doc_id").alias("doc_b"),
+        F.round(
+            F.expr(
+                f"cast(size(filter(sequence(1, {_N_HASHES}),"
+                f" i -> element_at(p.pa.g, i) = element_at(p.pb.g, i))) AS double)"
+                f" / {_N_HASHES}"
+            ),
+            4,
+        ).alias("est_jaccard"),
+    ).distinct()
 
 
 @register(
@@ -494,4 +503,90 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.35)
         .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(v, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
+    ),
+    comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+               AS component_size,
+           doc_id = component AS is_canonical
+    FROM comp
+    ORDER BY doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup candidate graph —
+    the canonical-document selection step a production dedup pipeline
+    runs after pair generation: every document gets its component's
+    minimum doc_id as the representative, and non-canonical members are
+    the rows a dedup filter would drop.
+
+    Implementation is ITERATIVE min-label propagation (the reference
+    shape for distributed connected components): labels start as the
+    vertex id; each round every vertex takes the min of its own label
+    and its neighbors' labels; fixpoint when no label changes. Each
+    round is two hash joins + one aggregate, all key-partitioned —
+    no driver-side graph. ``localCheckpoint`` truncates the lineage so
+    the plan does not grow with iterations. Convergence needs
+    O(component diameter) rounds; near-dup clusters are shallow (the
+    sf0.01 graph converges in 2), and the max_iter guard turns a
+    pathological chain into a loud failure instead of a hang. At 100 TB
+    the same loop runs with the edges bucketed by src — or swaps in the
+    large-star/small-star variant for adversarial diameters — without
+    changing the declared output.
+
+    The oracle is a DuckDB recursive CTE computing min-reachable-id per
+    vertex over the same candidate pairs, so the driver hash proves the
+    distributed fixpoint exact (including singleton components from
+    documents in no pair).
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = docs.select(
+        F.col("doc_id").alias("v"), F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(20):
+        msgs = edges.join(labels, edges.src == labels.v).select(
+            F.col("dst").alias("v"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("v").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("q_dedup_components: no fixpoint in 20 rounds")
+
+    w = Window.partitionBy("component")
+    return (
+        labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+        .withColumn("component_size", F.count("*").over(w).cast("bigint"))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+        .orderBy("doc_id")
     )

@@ -522,3 +522,19 @@ def test_audio_payload_decodes_with_stdlib_wave(spark, sf_dir):
             [(r.doc_id * 7 + i * 13) % 256 for i in range(64)], dtype=np.int16
         )
         assert np.array_equal(samples, expect)
+
+
+def test_dedup_components_consistent_with_pairs(spark, sf_dir):
+    """Semantic witness beyond the oracle hash: both endpoints of every
+    candidate pair share a component; canonical docs = distinct
+    components; component sizes sum to the document count."""
+    comp = _run(spark, sf_dir, "q_dedup_components").toPandas()
+    pairs = _run(spark, sf_dir, "q_dedup_minhash").toPandas()
+    label = dict(zip(comp.doc_id, comp.component))
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert label[a] == label[b], (a, b)
+    assert comp.is_canonical.sum() == comp.component.nunique()
+    assert len(comp) == comp.doc_id.nunique()
+    sizes = comp.groupby("component").size()
+    assert (comp.set_index("doc_id").component_size
+            == comp.set_index("doc_id").component.map(sizes)).all()
