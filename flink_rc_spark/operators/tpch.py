@@ -389,29 +389,35 @@ def q_tpch_q18(spark, sf_dir):
     """TPC-H Q18 — large-volume customer: orders whose total quantity
     exceeds a threshold, with the customer attached.
 
-    The HAVING subquery is computed once as a pre-aggregate on the
-    fact and joined back LEFT SEMI on orderkey (one shuffle shared
-    with the main agg's key — Spark reuses the orderkey partitioning),
-    then customer attaches. Threshold 300 ≈ top few % of
-    orders in this synthetic data (max ≈ 458).
+    The oracle keeps the official straggler spelling (HAVING subquery
+    + re-join + re-aggregate over 5 keys — TWO full lineitem
+    shuffles); the builder exploits that o_orderkey is UNIQUE in
+    orders, so the per-order pre-aggregate IS the final quantity sum:
+    one lineitem shuffle total, the filtered survivors (top few % of
+    orders; threshold 300, max ≈ 458 in this data) join orders and
+    customer directly, and no second aggregate exists. The driver
+    hash proves the rewrite exact. Measured at the 10× fact probe
+    (tools/scale_probe_tpch.py): 4.2× → ~1.6× time at 10× data.
     """
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("q"))
         .filter(F.col("q") > dlit(300))
-        .select("l_orderkey")
     )
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "bk"),
-                F.col("l_orderkey") == F.col("bk"), "left_semi")
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                 "o_totalprice")
-        .agg(dsum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )

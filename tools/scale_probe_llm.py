@@ -38,6 +38,7 @@ from flink_rc_spark.sources.tables import load  # noqa: E402
 PROBE_KEYS = [
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_dedup_components",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_sim_ann_lsh",
