@@ -199,4 +199,7 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     audio = with_audio_columns(docs)
     flat = audio.select("doc_id", "payload")
+    # single-file local scan -> one split; spread the Python decode
+    # across cores (see q_multimodal_formats' note — same economics)
+    flat = flat.repartition(spark.sparkContext.defaultParallelism)
     return flat.mapInPandas(_audio_batches, _AUDIO_SCHEMA)

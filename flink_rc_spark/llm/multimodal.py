@@ -146,6 +146,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No output sort: the driver compare is order-insensitive, and a
     # global Sort after mapInPandas is a full extra shuffle at scale
     # (same waste class removed from q_dedup_simhash).
+    # single-file local scan -> one split; spread the Python decode
+    # across cores (see q_multimodal_formats' note — same economics)
+    flat = flat.repartition(spark.sparkContext.defaultParallelism)
     return flat.mapInPandas(_decode_batches, _DECODE_SCHEMA)
 
 
@@ -238,4 +241,11 @@ def q_multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select(
         "doc_id", F.unhex(F.substring(F.md5("text"), 1, 24)).alias("px")
     )
+    # The local testdata is ONE small parquet file -> one input split,
+    # which would serialize the CPU-heavy Python codec work onto a
+    # single core (measured 5.7 s -> 0.9 s at sf0.1). The round-robin
+    # exchange carries 13 bytes/row — negligible vs the kernel. On a
+    # real multi-file lake the scan already yields many splits and
+    # spark.sql.files.maxPartitionBytes does this job.
+    src = src.repartition(spark.sparkContext.defaultParallelism)
     return src.mapInPandas(_formats_batches, _FORMATS_SCHEMA)
