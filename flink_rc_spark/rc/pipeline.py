@@ -20,11 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_rc_spark.rc.readout import (
-    fit_readout_distributed,
-    mse,
-    predict,
-)
+from flink_rc_spark.rc.readout import fit_readout_distributed, predict
 from flink_rc_spark.rc.reservoir import ReservoirConfig, run_reservoir, washout
 
 
@@ -79,15 +75,28 @@ class ESNPipeline:
             )
             train_pred = predict(train, alpha)
             test_pred = predict(test, alpha).persist()
-            test_pred.count()  # materialize before states is released
 
+            # Two metric actions instead of five: each side's count +
+            # MSE(s) fold into ONE aggregate over the persisted states
+            # (a 1-series experiment pays per-action job overhead, so
+            # action count — not data volume — dominates its bench
+            # time; naive_pred rides through predict's projection).
+            sq = lambda a, b: F.avg(F.pow(F.col(a) - F.col(b), F.lit(2)))  # noqa: E731
+            tr = train_pred.agg(
+                F.count("*").alias("n"), sq("target", "y_hat").alias("m")
+            ).first()
+            te = test_pred.agg(
+                F.count("*").alias("n"),
+                sq("target", "y_hat").alias("m"),
+                sq("target", "naive_pred").alias("nm"),
+            ).first()
             metrics = {
-                "n_train": train.count(),
-                "n_test": test.count(),
+                "n_train": int(tr["n"]),
+                "n_test": int(te["n"]),
                 "alpha_norm": float(np.linalg.norm(alpha)),
-                "train_mse": mse(train_pred, "target", "y_hat"),
-                "test_mse": mse(test_pred, "target", "y_hat"),
-                "naive_mse": mse(test, "target", "naive_pred"),
+                "train_mse": float(tr["m"]),
+                "test_mse": float(te["m"]),
+                "naive_mse": float(te["nm"]),
             }
         finally:
             states.unpersist()
