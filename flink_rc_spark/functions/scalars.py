@@ -371,3 +371,56 @@ def q_hash_funcs(spark, sf_dir):
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+        WITH m AS (
+            SELECT event_id,
+                   MAP(['ev', 'cents'],
+                       [event_id % 100, CAST(floor(value * 100) AS BIGINT)])
+                       AS mp
+            FROM events
+        )
+        SELECT event_id,
+               mp['ev'][1] AS ev_mod,
+               mp['cents'][1] AS cents,
+               mp['absent'][1] AS missing_key,
+               CAST(cardinality(mp) AS INT) AS n_entries,
+               map_keys(mp) AS ks,
+               list_transform(map_values(mp), v -> v * 2) AS doubled
+        FROM m
+        ORDER BY event_id
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """MapType surface: construction (map_from_arrays), lookup
+    (element_at — NULL on a missing key in both engines), cardinality,
+    key/value extraction, and a value-side transform.
+
+    Dialect notes pinned by the oracle: DuckDB map extraction yields a
+    LIST (``mp['k'][1]`` for the scalar Spark's ``element_at``
+    returns), and DuckDB has no transform_values — the oracle rebuilds
+    the semantics with list_transform over map_values. Entry order is
+    construction order in both engines, so the ks/doubled arrays
+    hash-match. Scale: pure per-row JVM expressions, no shuffle.
+    """
+    e = load(spark, sf_dir, "events")
+    mp = F.map_from_arrays(
+        F.array(F.lit("ev"), F.lit("cents")),
+        F.array(
+            F.col("event_id") % 100,
+            F.floor(F.col("value") * 100).cast("bigint"),
+        ),
+    )
+    m = e.select("event_id", mp.alias("mp"))
+    return m.select(
+        "event_id",
+        F.element_at("mp", F.lit("ev")).alias("ev_mod"),
+        F.element_at("mp", F.lit("cents")).alias("cents"),
+        F.element_at("mp", F.lit("absent")).alias("missing_key"),
+        F.size("mp").alias("n_entries"),
+        F.map_keys("mp").alias("ks"),
+        F.expr("transform(map_values(mp), v -> v * 2)").alias("doubled"),
+    ).orderBy("event_id")

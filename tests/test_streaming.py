@@ -181,3 +181,51 @@ def test_stateful_api_adapter_paths(spark, sf_dir):
     )
     b = tws.orderBy("user_id", "event_id").toPandas()
     assert a.equals(b), "tws and apws paths diverge"
+
+
+def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming sink surface: a multi-micro-batch replay appending
+    each batch to a parquet target through foreachBatch must produce
+    exactly the batch-query result — the incremental-ETL contract
+    (idempotent per-batch append; exactly-once within this bounded
+    replay)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.sources.tables import load
+    from flink_rc_spark.streaming.replay import events_stream
+
+    out = str(tmp_path / "etl_out")
+    s = events_stream(spark, sf_dir, n_splits=4)
+    proj = s.select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    batches_seen = []
+
+    def write_batch(df, epoch_id):
+        batches_seen.append(epoch_id)
+        df.write.mode("append").parquet(out)
+
+    q = (
+        proj.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{uuid.uuid4().hex[:8]}"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(batches_seen) >= 4, batches_seen
+
+    back = spark.read.parquet(out)
+    e = load(spark, sf_dir, "events")
+    expect = e.select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    assert back.count() == expect.count()
+    assert back.exceptAll(expect).count() == 0
+    assert expect.exceptAll(back).count() == 0
