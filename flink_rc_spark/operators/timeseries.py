@@ -17,6 +17,7 @@ shape as q_win_first_last.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from flink_rc_spark.functions.exact import dsum
@@ -75,4 +76,69 @@ def q_ts_resample(spark, sf_dir):
             F.coalesce("total", F.lit(0.0)).alias("total"),
         )
         .orderBy("hour_start", "event_type")
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, ts, event_type, rn
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY rn) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY rn) IS NULL
+               AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+    tags=("timeseries", "window"),
+)
+def q_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) build from an event stream —
+    the warehouse pattern for "what was each user's state over time":
+    collapse each user's consecutive runs of the same event_type into
+    [valid_from, valid_to) intervals, open-ended on the current run
+    (gaps-and-islands via lag-compare + lead).
+
+    Scale: two windows over the SAME (user_id)-partitioned ordering —
+    Spark plans ONE exchange + sort and reuses it for both window
+    operators; the change filter shrinks the second window's input to
+    the run boundaries. No global sort, no self-join (the naive SCD2
+    spelling joins the table to itself on adjacency).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    nxt = F.lead("ts").over(w2)
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
     )
