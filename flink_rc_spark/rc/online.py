@@ -32,12 +32,15 @@ def online_sgd(
     target_col: str = "target",
     lr: float = 0.01,
     normalize: bool = True,
+    assume_layout: bool = False,
 ) -> DataFrame:
     """Per-key sequential SGD; emits (key, seq, y, y_hat, weight_norm)
     so both the prediction stream and model evolution are observable.
 
     ``normalize`` scales the gradient by the feature norm (normalized
-    LMS) for stability across feature magnitudes.
+    LMS) for stability across feature magnitudes. ``assume_layout``:
+    see run_reservoir — skips the repartition+sort when the caller's
+    window already produced key-contiguous partitions.
     """
     from flink_rc_spark.util import ensure_package_shipped
 
@@ -106,5 +109,8 @@ def online_sgd(
 
         yield from scan_sorted_groups(batches, key_col, scan_group)
 
-    parts = df.repartition(key_col).sortWithinPartitions(key_col, seq_col)
+    if assume_layout:
+        parts = df
+    else:
+        parts = df.repartition(key_col).sortWithinPartitions(key_col, seq_col)
     return parts.mapInPandas(scan_partition, schema=out_schema)

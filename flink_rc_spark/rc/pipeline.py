@@ -48,6 +48,9 @@ class ESNPipeline:
             .filter(F.col("target").isNotNull())
         )
 
+        # `labeled` comes straight off the series-partitioned lead
+        # window, so its exchange+sort already provides the kernel
+        # layout (assume_layout contract, run_reservoir docstring)
         states = run_reservoir(
             labeled,
             self.cfg,
@@ -55,6 +58,7 @@ class ESNPipeline:
             seq_col=seq_col,
             input_cols=[value_col],
             keep_cols=["target", "naive_pred"],
+            assume_layout=True,
         )
         states = washout(states, seq_col=seq_col, n=self.washout_steps)
         # The experiment consumes `states` ~6 times (split point, fit,

@@ -31,7 +31,10 @@ def q_esn_reservoir(spark, sf_dir):
         F.col("value"),
     )
     cfg = ReservoirConfig(n_u=1, n_x=16, topology="cycle_jumps", seed=42)
-    states = run_reservoir(series, cfg)
+    # seq was just assigned by the user_id-partitioned window, so the
+    # exchange+sort it planned already provides the kernel's layout —
+    # assume_layout reuses it instead of shuffling the events again
+    states = run_reservoir(series, cfg, assume_layout=True)
     return states.select(
         "series_id",
         "seq",
@@ -95,7 +98,9 @@ def q_lr_online(spark, sf_dir):
         )
         .filter(F.col("target").isNotNull())
     )
-    out = online_sgd(series, lr=0.05)
+    # same layout-reuse as q_esn_reservoir: the lead/row_number window
+    # already partitioned and ordered by user
+    out = online_sgd(series, lr=0.05, assume_layout=True)
     return out.select(
         "series_id",
         "seq",

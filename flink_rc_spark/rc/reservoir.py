@@ -109,10 +109,20 @@ def run_reservoir(
     seq_col: str = "seq",
     input_cols: Iterable[str] = ("value",),
     keep_cols: Iterable[str] = (),
+    assume_layout: bool = False,
 ) -> DataFrame:
     """Distributed ESN: one shuffle on series_col, sequential numpy scan
     per series, emitting ``features = [u(t); x(t)]`` (reference R4's
     output contract) plus pass-through columns.
+
+    ``assume_layout=True`` skips the repartition+sort when the caller
+    GUARANTEES the input is already hash-partitioned on ``series_col``
+    with each series' rows contiguous — true whenever ``seq`` was just
+    assigned by a ``row_number().over(partitionBy(series).orderBy(…))``
+    window, whose exchange+sort this flag then reuses instead of
+    duplicating (the seq-order inside a group is re-established by the
+    kernel's stable per-group sort either way). Declared-query parity
+    between both paths is equality-tested in tests/test_rc.py.
     """
     from flink_rc_spark.util import ensure_package_shipped
 
@@ -149,7 +159,12 @@ def run_reservoir(
 
         yield from scan_sorted_groups(batches, series_col, scan_group)
 
-    parts = df.repartition(series_col).sortWithinPartitions(series_col, seq_col)
+    if assume_layout:
+        parts = df
+    else:
+        parts = df.repartition(series_col).sortWithinPartitions(
+            series_col, seq_col
+        )
     return parts.mapInPandas(scan_partition, schema=out_schema)
 
 

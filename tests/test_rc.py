@@ -124,3 +124,27 @@ def test_scan_sorted_groups_streams_and_matches_batch():
             ignore_index=True,
         )
         pd.testing.assert_frame_equal(got, expected)
+
+
+def test_assume_layout_path_equals_repartition_path(spark, sf_dir):
+    """assume_layout=True (reusing the seq-window's exchange) must be
+    row-for-row identical to the explicit repartition+sort path."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.rc.reservoir import ReservoirConfig, run_reservoir
+    from flink_rc_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    series = e.select(
+        F.col("user_id").alias("series_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("seq"),
+        F.col("value"),
+    )
+    cfg = ReservoirConfig(n_u=1, n_x=8, topology="cycle_jumps", seed=7)
+    a = run_reservoir(series, cfg, assume_layout=True).collect()
+    b = run_reservoir(series, cfg, assume_layout=False).collect()
+    ka = {(r.series_id, r.seq): tuple(r.features) for r in a}
+    kb = {(r.series_id, r.seq): tuple(r.features) for r in b}
+    assert ka == kb
