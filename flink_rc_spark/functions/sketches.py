@@ -1,0 +1,123 @@
+"""Sketch operators: a Count-Min Sketch over the corpus vocabulary,
+built entirely from md5 arithmetic so the sketch itself — not just its
+use — is deterministic and exact-oracle-checkable in DuckDB.
+
+Why CMS here: frequency estimation over an unbounded key space is the
+canonical streaming-sketch job (heavy hitters, rate limiting, join-size
+estimation). A CMS is a (depth × width) grid of counters; each key
+increments one counter per depth row (bucket = hash_i(key) % width),
+and its estimate is the MIN over its counters — an upper bound on the
+true count that two engines reproduce bit-for-bit when the hash is md5.
+
+Scale story (100 TB): the sketch build is explode → hash agg on
+(depth, bucket) — at most depth×width cells survive regardless of
+input size, so the shuffle is bounded by the SKETCH size, not the
+corpus (the whole point of sketching). Partial aggregation does the
+per-partition sketch merge that a hand-rolled implementation would
+code by hand: map-side partial counts ARE per-partition sub-sketches,
+and the final aggregate is the cell-wise sum merge. The estimate probe
+broadcasts 10 keys against ≤1024 cells.
+
+Reference parity: none — beyond-reference surface (BASELINE.json);
+Spark's built-in ``df.stat.countMinSketch`` exists but uses a JVM
+hash family no oracle can reproduce, same reason q_dedup_minhash
+avoids MLlib MinHashLSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources.tables import load
+
+_DEPTH = 4
+_WIDTH = 256
+
+# md5-derived uniform byte (bucket in [0, 256)) of '<depth>|<token>' —
+# the sampling.py/profile.py idiom, reused as the CMS hash family
+_BUCKET_SPARK = (
+    "(instr('0123456789abcdef', substr(md5(concat(depth, '|', tok)), 1, 1)) - 1)"
+    " * 16 + instr('0123456789abcdef', substr(md5(concat(depth, '|', tok)), 2, 1)) - 1"
+)
+_BUCKET_DUCK = (
+    "(strpos('0123456789abcdef', substr(md5(depth || '|' || tok), 1, 1)) - 1)"
+    " * 16 + strpos('0123456789abcdef', substr(md5(depth || '|' || tok), 2, 1)) - 1"
+)
+
+
+@register(
+    "q_sketch_cms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cells AS (
+        SELECT CAST(d AS VARCHAR) AS depth, tok
+        FROM toks, range({_DEPTH}) r(d)
+    ),
+    sketch AS (
+        SELECT depth, {_BUCKET_DUCK} AS bucket, COUNT(*) AS c
+        FROM cells
+        GROUP BY depth, bucket
+    ),
+    probes AS (
+        SELECT tok, COUNT(*) AS true_n
+        FROM toks
+        GROUP BY tok
+        ORDER BY true_n DESC, tok
+        LIMIT 10
+    ),
+    probe_cells AS (
+        SELECT p.tok, p.true_n, CAST(d AS VARCHAR) AS depth
+        FROM probes p, range({_DEPTH}) r(d)
+    )
+    SELECT pc.tok, pc.true_n, MIN(s.c) AS cms_estimate
+    FROM probe_cells pc
+    JOIN sketch s
+      ON s.depth = pc.depth
+     AND s.bucket = {_BUCKET_DUCK.replace("tok", "pc.tok").replace("depth", "pc.depth")}
+    GROUP BY pc.tok, pc.true_n
+    ORDER BY true_n DESC, tok
+    """,
+    tags=("sketch", "llm"),
+)
+def q_sketch_cms(spark, sf_dir):
+    """Count-Min Sketch build + frequency estimation in one declared
+    plan: a {_DEPTH}x{_WIDTH} sketch of corpus token occurrences, then
+    the CMS estimate (min over depth rows) for the top-10 true-frequency
+    tokens. The estimate is provably >= the true count (collisions only
+    inflate), which tests/test_llm.py asserts alongside the oracle hash.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    cells = toks.select(
+        F.explode(
+            F.array(*[F.lit(str(d)) for d in range(_DEPTH)])
+        ).alias("depth"),
+        "tok",
+    )
+    sketch = (
+        cells.withColumn("bucket", F.expr(_BUCKET_SPARK))
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), "tok")
+        .limit(10)
+    )
+    probe_cells = probes.select(
+        "tok",
+        "true_n",
+        F.explode(
+            F.array(*[F.lit(str(d)) for d in range(_DEPTH)])
+        ).alias("depth"),
+    ).withColumn("bucket", F.expr(_BUCKET_SPARK))
+    return (
+        probe_cells.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("c").alias("cms_estimate"))
+        .orderBy(F.desc("true_n"), "tok")
+    )

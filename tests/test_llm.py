@@ -538,3 +538,14 @@ def test_dedup_components_consistent_with_pairs(spark, sf_dir):
     sizes = comp.groupby("component").size()
     assert (comp.set_index("doc_id").component_size
             == comp.set_index("doc_id").component.map(sizes)).all()
+
+
+def test_cms_estimate_upper_bounds_true_count(spark, sf_dir):
+    """CMS invariant the hash can't express: every estimate >= the true
+    count (collisions only inflate), and the top-1 token's estimate is
+    exact at this sketch load (1024 cells >> vocabulary pressure per
+    row would be needed to collide the heaviest key 4/4 times)."""
+    rows = _run(spark, sf_dir, "q_sketch_cms").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_estimate >= r.true_n, (r.tok, r.cms_estimate, r.true_n)
