@@ -549,3 +549,36 @@ def test_cms_estimate_upper_bounds_true_count(spark, sf_dir):
     assert len(rows) == 10
     for r in rows:
         assert r.cms_estimate >= r.true_n, (r.tok, r.cms_estimate, r.true_n)
+
+
+def test_hll_sketch_estimate_accuracy(spark, sf_dir):
+    """The HLL estimate must land near the true distinct-token count —
+    the quantitative check the hash can't do. The declared query emits
+    the RAW estimate plus exact register stats; the standard
+    small-range (linear counting) correction uses ln, which is libm-
+    dependent and so lives here, computed from the exact empty_buckets
+    column, not in the hash-compared oracle."""
+    import math
+
+    row = _run(spark, sf_dir, "q_sketch_hll").first()
+    from flink_rc_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    true_n = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .select("tok")
+        .distinct()
+        .count()
+    )
+    m = 256
+    est = row.hll_estimate
+    if est < 2.5 * m and row.empty_buckets > 0:
+        est = m * math.log(m / row.empty_buckets)  # linear counting
+    rel_err = abs(est - true_n) / true_n
+    # 3x the p=8 standard error (1.04/sqrt(m) ~ 6.5%), floor of 2 for
+    # tiny cardinalities where the bound is integer-granular
+    assert abs(est - true_n) <= max(3 * 1.04 / math.sqrt(m) * true_n, 2.0), (
+        est,
+        true_n,
+        rel_err,
+    )
