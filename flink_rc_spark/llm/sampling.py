@@ -21,7 +21,7 @@ breaks on re-ingestion; hash split does not).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_rc_spark.registry import register
@@ -119,4 +119,72 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_sampled"))
         .orderBy("c_mktsegment")
+    )
+
+
+_BOTTOMK_K = 64
+
+
+@register(
+    "q_sample_bottomk",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT AS hv
+        FROM documents
+    ),
+    bottom AS (
+        SELECT doc_id, h, hv,
+               ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rk
+        FROM hashed
+        QUALIFY rk <= {_BOTTOMK_K}
+    )
+    SELECT doc_id, rk,
+           -- KMV distinct estimate from the k-th minimum: (k-1)/u where
+           -- u = kth hash as a fraction of the 40-bit space; both
+           -- engines divide the same exact integers
+           CAST({_BOTTOMK_K - 1} AS DOUBLE)
+               / (CAST(MAX(hv) OVER () AS DOUBLE) / CAST(2 AS BIGINT) ** 40)
+               AS kmv_estimate
+    FROM bottom
+    ORDER BY rk
+    """,
+    tags=("llm", "sampling", "sketch"),
+)
+def q_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k hash sample: the k documents with the smallest
+    md5(doc_id) — the distributed way to draw a FIXED-SIZE uniform
+    sample (rate-based sampling can't promise a size). The same k
+    minima double as a KMV (k-minimum-values) sketch: (k-1)/u_k
+    estimates the distinct-key count, so one TakeOrdered yields both a
+    sample and a cardinality estimate.
+
+    Scale: TakeOrderedAndProject — each partition keeps its local k
+    smallest (bounded memory), the driver merges 32xk candidates; no
+    global sort, no full shuffle, identical output at any partitioning.
+    The estimate divides two exactly-agreed integers (40-bit hash
+    prefix), so the hash matches the oracle bit-for-bit.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10)"
+            " AS BIGINT)"
+        ).alias("hv"),
+    )
+    bottom = hashed.orderBy("h", "doc_id").limit(_BOTTOMK_K)
+    w = Window.orderBy("h", "doc_id")
+    wall = Window.partitionBy()
+    return (
+        bottom.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "kmv_estimate",
+            F.lit(float(_BOTTOMK_K - 1))
+            / (F.max("hv").over(wall).cast("double") / F.lit(float(1 << 40))),
+        )
+        .select("doc_id", "rk", "kmv_estimate")
+        .orderBy("rk")
     )

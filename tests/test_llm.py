@@ -582,3 +582,17 @@ def test_hll_sketch_estimate_accuracy(spark, sf_dir):
         true_n,
         rel_err,
     )
+
+
+def test_bottomk_kmv_estimate_accuracy(spark, sf_dir):
+    """KMV invariants: exactly k sample rows, and the distinct-count
+    estimate lands within 3 standard errors (rsd ~ 1/sqrt(k-2)) of the
+    true document count."""
+    rows = _run(spark, sf_dir, "q_sample_bottomk").collect()
+    assert len(rows) == 64
+    from flink_rc_spark.sources.tables import load
+
+    true_n = load(spark, sf_dir, "documents").count()
+    est = rows[0].kmv_estimate
+    rsd = 1.0 / (62 ** 0.5)
+    assert abs(est - true_n) <= 3 * rsd * true_n, (est, true_n)
