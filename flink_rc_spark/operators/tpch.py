@@ -470,3 +470,180 @@ def q_tpch_q22(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume_dec) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   {_REV_DUCK} AS volume_dec
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+                OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 — volume shipping: bilateral trade between two nations
+    by year.
+
+    The nation dimension joins TWICE under different roles (supplier's
+    nation, customer's nation) — both broadcast; the OR-of-pairs
+    predicate evaluates after the second nation attach. One fact⋈fact
+    shuffle (lineitem⋈orders); two-year shipdate range pushed to the
+    scan.
+    """
+    supp = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle=f"""
+        WITH revenue0 AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM({_REV_DUCK}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier
+        JOIN revenue0 ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+        ORDER BY s_suppkey
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 — top supplier: the supplier(s) with the maximum
+    quarterly revenue (the official query's CREATE VIEW + scalar MAX
+    subquery shape).
+
+    The revenue pre-aggregate is computed ONCE and persisted for its
+    two consumers (the max and the filter); the scalar max broadcasts.
+    Exact decimal revenue makes the equality predicate safe — float
+    revenue would make "= MAX" flaky on either engine.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue0 = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+        .persist()
+    )
+    try:
+        mx = revenue0.agg(F.max("total_revenue").alias("mx"))
+        supp = load(spark, sf_dir, "supplier")
+        return (
+            supp.join(
+                revenue0, supp.s_suppkey == revenue0.supplier_no
+            )
+            .join(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("mx"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey")
+        )
+    finally:
+        # deferred unpersist: the returned plan still references the
+        # cached data; blocking=False lets the driver release it after
+        # the query's consumers run
+        revenue0.unpersist(blocking=False)
+
+
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+        SELECT CAST(SUM({_REV_DUCK}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    tags=("tpch", "join", "filter"),
+)
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape — discounted revenue under an OR of
+    brand/size/quantity conjunctions (the official query's disjunctive
+    multi-attribute predicate, adapted to available columns).
+
+    Catalyst extracts the common sub-predicates to each side BEFORE the
+    join: the part scan receives a pushed brand/size disjunction and
+    the lineitem scan a quantity range — the textbook test that complex
+    OR predicates still prune at the scan instead of post-join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
