@@ -647,3 +647,207 @@ def q_tpch_q19(spark, sf_dir):
         .filter(cond)
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "q_tpch_q8",
+    oracle=f"""
+        SELECT o_year,
+               CAST(SUM(CASE WHEN nation = 'BRAZIL' THEN volume_dec
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                   / CAST(SUM(volume_dec) AS DOUBLE) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   {_REV_DUCK} AS volume_dec,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA'
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 — national market share: the fraction of one region's
+    market volume (for one part type, two years) supplied by one
+    nation, per year. The conditional/total decimal sums divide as
+    exact doubles, so the ratio is hash-stable.
+
+    Eight-way join, still ONE fact⋈fact shuffle: part/customer-side
+    nation+region/supplier/supplier-side nation are all broadcast dims
+    (nation joins twice under different roles, as in Q7).
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    supp = load(spark, sf_dir, "supplier")
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = _rev()
+    brazil = F.when(F.col("nation") == "BRAZIL", vol).otherwise(dlit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (F.sum(brazil).cast("double") / F.sum(vol).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+               COUNT(*) AS line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape — shipping-delay report: per order priority,
+    how many of a year's lineitems shipped more than 60 days after the
+    order. (The official Q12 groups by l_shipmode and checks
+    commit/receipt dates — columns this schema lacks; priority ×
+    ship-lag keeps the join + conditional-count shape.)
+
+    One fact⋈fact shuffle; the conditional count is a single-pass
+    CASE aggregate, 5 output groups.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = F.when(
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(late).cast("bigint").alias("late_count"),
+            F.count("*").alias("line_count"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 — customer order-count distribution: how many
+    customers placed 0, 1, 2, … orders (the LEFT JOIN keeps
+    zero-order customers; COUNT(col) skips their NULLs).
+
+    Double aggregation: the first groups by custkey (shuffle on the
+    join key, shared with the outer join's partitioning), the second
+    collapses to the tiny count-of-counts histogram.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle="""
+        WITH part_avg AS (
+            SELECT l_partkey AS pk,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       / COUNT(l_quantity) AS avg_qty
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN part_avg ON pk = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < 0.2 * avg_qty
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 — small-quantity-order revenue: lines of one brand
+    whose quantity is under 20% of that part's average quantity.
+
+    The official correlated scalar subquery (avg per part) decorrelates
+    to a per-part pre-aggregate joined back on partkey — one extra
+    fact aggregate, no per-row subquery execution. avg_qty is a
+    decimal-exact sum divided by an exact count, so the 0.2*avg
+    threshold compares identically cross-engine.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
