@@ -37,9 +37,16 @@ PROBE_KEYS = [
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
     "q_tpch_q9",
     "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
     "q_tpch_q18",
+    "q_tpch_q19",
     "q_tpch_q22",
 ]
 
