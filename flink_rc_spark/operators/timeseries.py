@@ -142,3 +142,119 @@ def q_scd2_intervals(spark, sf_dir):
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@register(
+    "q_ts_interpolate",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS mn,
+                      date_trunc('hour', MAX(ts)) AS mx
+               FROM events),
+    cal AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+            FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(value) AS v
+            FROM events GROUP BY 1, 2),
+    grid AS (
+        SELECT cal.h, types.event_type, agg.v
+        FROM cal CROSS JOIN types
+        LEFT JOIN agg ON agg.h = cal.h AND agg.event_type = types.event_type
+    ),
+    ctx AS (
+        SELECT h, event_type, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wp AS ph,
+               first_value(v IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wf AS nh
+        FROM grid
+        WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT h AS hour_start, event_type,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                     pv + (nv - pv)
+                          * (CAST(epoch(h) - epoch(ph) AS DOUBLE)
+                             / CAST(epoch(nh) - epoch(ph) AS DOUBLE))
+                WHEN pv IS NOT NULL THEN pv
+                ELSE nv END AS v_interp,
+           v IS NULL AS is_interpolated
+    FROM ctx
+    ORDER BY event_type, hour_start
+    """,
+    tags=("timeseries", "window"),
+)
+def q_ts_interpolate(spark, sf_dir):
+    """Linear interpolation over the dense hourly grid: missing hours
+    get pv + (nv-pv) * elapsed-fraction between the nearest known
+    neighbors (forward/backward fill at the edges) — the gap-repair
+    step between resampling and any model that assumes dense series
+    (the RC pipeline included).
+
+    Mechanics: IGNORE NULLS last_value/first_value over mirrored
+    unbounded frames find each gap's bracketing observations without
+    a self-join or explode-per-gap. The interpolation arithmetic is
+    spelled in the same operation order on both engines over
+    exactly-agreed inputs (decimal-exact hourly means, integer epoch
+    deltas), so the doubles hash-match. Scale: one exchange per window
+    partition key (event_type), grid size = hours x types.
+    """
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        (dsum("value", 18, 2) / F.count("value")).alias("v")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, INTERVAL 1 HOUR)")).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    grid = cal.crossJoin(types).join(agg, ["h", "event_type"], "left")
+
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = grid.select(
+        "h",
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    frac = (
+        (F.unix_timestamp("h") - F.unix_timestamp("ph")).cast("double")
+        / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        F.col("h").alias("hour_start"),
+        "event_type",
+        interp.alias("v_interp"),
+        F.col("v").isNull().alias("is_interpolated"),
+    ).orderBy("event_type", "hour_start")

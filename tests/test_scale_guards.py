@@ -38,6 +38,7 @@ NESTED_LOOP_ALLOWED = {
     "q_knn_label",  # 10 query vectors BROADCAST against candidates —
     #                 the broadcast side is tiny by construction
     "q_ts_resample",  # dense-grid spine cross: tiny broadcast spine
+    "q_ts_interpolate",  # same dense-grid spine cross as q_ts_resample
     "q_tpch_q22",  # scalar subquery: ONE broadcast row (the global avg
     #                balance) joined to customer — nested-loop over a
     #                single-row build side is the scalar-subquery plan
