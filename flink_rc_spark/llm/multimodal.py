@@ -249,3 +249,92 @@ def q_multimodal_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spark.sql.files.maxPartitionBytes does this job.
     src = src.repartition(spark.sparkContext.defaultParallelism)
     return src.mapInPandas(_formats_batches, _FORMATS_SCHEMA)
+
+
+_ARRAY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("image_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("brightness", T.LongType()),
+    ]
+)
+
+
+def _array_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Kernel for multi-image documents: each row carries a LIST of
+    BMP payloads; decode every element, emit one feature row per
+    (doc, image_idx)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = []
+        for doc_id, payloads in zip(pdf["doc_id"], pdf["payloads"]):
+            for idx, payload in enumerate(payloads):
+                arr = decode_image(bytes(payload))
+                rows.append(
+                    (int(doc_id), idx, len(bytes(payload)), int(arr.sum()))
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "image_idx", "n_bytes", "brightness"]
+        )
+
+
+@register(
+    "q_multimodal_array",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS image_idx,
+               CAST(list_sum(list_transform(range(1, 13), j ->
+                   (strpos('0123456789abcdef',
+                           substr(md5(text || '#' || CAST(i AS VARCHAR)),
+                                  2*j-1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef',
+                            substr(md5(text || '#' || CAST(i AS VARCHAR)),
+                                   2*j, 1)) - 1))
+                    AS BIGINT) AS brightness
+        FROM documents, range(0, 3) r(i)
+    )
+    SELECT doc_id, image_idx,
+           CAST({_BMP_SIZE} AS INT) AS n_bytes,
+           brightness
+    FROM feats
+    ORDER BY doc_id, image_idx
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-image documents: an ``array<binary>`` column of THREE real
+    BMP payloads per doc (pixels from md5(text || '#' || idx)), decoded
+    element-by-element in one Arrow-batched kernel — the schema shape
+    of a real interleaved multimodal corpus, where a document owns a
+    variable-length list of media blobs rather than one.
+
+    Scale: the list column keeps a document's media co-located with it
+    (one row per doc through the scan; payload bytes dominate row size
+    exactly as in the single-image path), and the kernel fans out to
+    per-image feature rows without a JVM-side explode of the binary
+    payloads — bytes cross into Python once, not once per image row.
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+
+    def bmp_payload(idx: int):
+        md5 = F.md5(F.concat(F.col("text"), F.lit(f"#{idx}")))
+        return F.concat(
+            F.lit(bytearray(_BMP_HEADER)),
+            F.unhex(F.substring(md5, 1, 12)),
+            F.lit(bytearray(b"\x00\x00")),
+            F.unhex(F.substring(md5, 13, 12)),
+            F.lit(bytearray(b"\x00\x00")),
+        )
+
+    media = docs.select(
+        "doc_id",
+        F.array(*[bmp_payload(i) for i in range(3)]).alias("payloads"),
+    )
+    media = media.repartition(spark.sparkContext.defaultParallelism)
+    return media.mapInPandas(_array_batches, _ARRAY_SCHEMA)
