@@ -9,3 +9,4 @@ import flink_rc_spark.operators.setops  # noqa: F401
 import flink_rc_spark.operators.subqueries  # noqa: F401
 import flink_rc_spark.operators.timeseries  # noqa: F401
 import flink_rc_spark.operators.tpch  # noqa: F401
+import flink_rc_spark.operators.analytics  # noqa: F401

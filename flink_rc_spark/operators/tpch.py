@@ -438,7 +438,9 @@ def q_tpch_q18(spark, sf_dir):
         FROM customer, avg_bal
         WHERE c_acctbal > a
           AND NOT EXISTS (
-              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '1999-01-01'
           )
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
@@ -447,18 +449,25 @@ def q_tpch_q18(spark, sf_dir):
 )
 def q_tpch_q22(spark, sf_dir):
     """TPC-H Q22 shape — global sales opportunity: customers with
-    above-average balances and no orders, grouped by segment.
+    above-average balances and no RECENT orders, grouped by segment.
 
     (The official Q22 keys on phone prefixes, which this schema lacks;
-    mktsegment keeps the scalar-subquery + anti-join shape.) The
-    average is a scalar broadcast; the NOT EXISTS is a LEFT ANTI join
-    against the distinct orders custkeys.
+    mktsegment keeps the scalar-subquery + anti-join shape. The "no
+    orders at all" form is structurally EMPTY in this data — ~10
+    orders per customer make a zero-order customer a (1-1/n)^(10n)
+    ≈ e^-10 event — so the anti-join keys on orders since 1999,
+    i.e. lapsed customers, keeping the result non-trivial at every
+    scale factor.) The average is a scalar broadcast; the NOT EXISTS
+    is a LEFT ANTI join against the recent orders' custkeys, with the
+    date predicate pushed to the orders scan.
     """
     cust = load(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         davg("c_acctbal").alias("a")
     )
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     return (
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
@@ -862,4 +871,426 @@ def q_tpch_q17(spark, sf_dir):
                 "avg_yearly"
             )
         )
+    )
+
+
+# Narrow decimals for rate columns (discount/tax are in [0, 0.25]):
+# keeping (1 - disc) at DECIMAL(5,2) lets the three-factor Q1 charge
+# product stay inside both engines' 38-digit width (SURVEY §4.2).
+_DISC1 = "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+_TAX1 = "(CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+@register(
+    "q_tpch_q1",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * {_DISC1})
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * {_DISC1}
+                        * {_TAX1}) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(l_extendedprice) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                   / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "agg"),
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 — pricing summary report, the FULL official aggregate
+    set (8 aggregates incl. the three-factor charge term; the flagship
+    q_agg_group covers only the 4-aggregate subset).
+
+    Pure scan → pushed date filter → 6-group partial+final hash agg:
+    the canonical columnar-scan benchmark. The charge product routes
+    discount/tax through DECIMAL(4,2) so the three-factor decimal
+    product stays within 38 digits in BOTH engines and every sum is
+    order-independent (hash-exact vs the oracle).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc1 = dlit(1, 4, 2) - dec("l_discount", 4, 2)
+    tax1 = dlit(1, 4, 2) + dec("l_tax", 4, 2)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * disc1).cast("double").alias(
+                "sum_disc_price"
+            ),
+            F.sum(dec("l_extendedprice") * disc1 * tax1)
+            .cast("double")
+            .alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_tpch_q2",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey AS pk, l_suppkey AS sk,
+                   MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supplycost
+            FROM lineitem
+            GROUP BY l_partkey, l_suppkey
+        ), eligible AS (
+            SELECT pk, sk, supplycost, s_acctbal, s_name, n_name
+            FROM cost
+            JOIN supplier ON s_suppkey = sk
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               CAST(supplycost AS DOUBLE) AS supplycost
+        FROM part
+        JOIN eligible ON pk = p_partkey
+        WHERE p_size <= 25 AND p_type = 'STANDARD'
+          AND supplycost = (
+              SELECT MIN(supplycost) FROM eligible e2 WHERE e2.pk = p_partkey
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    tags=("tpch", "subquery", "join"),
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape — minimum-cost supplier: for each qualifying
+    part, the region's supplier(s) offering it at the minimum cost.
+
+    (No partsupp table in this schema: lineitem is the part-supplier
+    associative table and MIN(l_extendedprice) per (part, supplier) is
+    the supply-cost proxy — MIN of exact decimals, so the correlated
+    "= MIN" equality is safe cross-engine.) The correlated scalar
+    subquery decorrelates to a per-part MIN pre-aggregate joined back.
+    supplier⋈nation⋈region and the filtered part are broadcast dims;
+    the only fact shuffle is the (part, supplier) cost aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(dec("l_extendedprice")).alias("supplycost_d"))
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 25) & (F.col("p_type") == "STANDARD")
+    )
+    eligible = cost.join(F.broadcast(supp), cost.sk == supp.s_suppkey).join(
+        F.broadcast(part), cost.pk == part.p_partkey
+    )
+    min_cost = eligible.groupBy(F.col("pk").alias("mpk")).agg(
+        F.min("supplycost_d").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (eligible.pk == min_cost.mpk)
+            & (eligible.supplycost_d == min_cost.min_cost),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("supplycost_d").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle="""
+        WITH value AS (
+            SELECT l_partkey AS pk,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2))) AS v
+            FROM lineitem
+            WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON n_nationkey = s_nationkey
+                WHERE n_name = 'NATION_3'
+            )
+            GROUP BY l_partkey
+        )
+        SELECT pk AS l_partkey, CAST(v AS DOUBLE) AS value
+        FROM value
+        WHERE CAST(v AS DOUBLE)
+              > CAST(0.0001 AS DOUBLE) * (SELECT CAST(SUM(v) AS DOUBLE) FROM value)
+        ORDER BY value DESC, l_partkey
+    """,
+    tags=("tpch", "subquery", "agg"),
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape — important stock: parts whose traded value
+    through one nation's suppliers exceeds a fraction of that nation's
+    total traded value.
+
+    (partsupp's availqty*supplycost becomes quantity*extendedprice
+    over lineitem — same nested-aggregate + scalar-subquery-threshold
+    shape.) The per-part value aggregate is computed ONCE and persisted
+    for its two consumers (HAVING threshold's total and the output);
+    the scalar total broadcasts. Values are exact decimal products, so
+    the double threshold comparison is identical cross-engine.
+    """
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    value = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity") * dec("l_extendedprice")).alias("v_d")
+    ).persist()
+    try:
+        total = value.agg(F.sum("v_d").cast("double").alias("t"))
+        return (
+            value.join(F.broadcast(total))
+            .filter(
+                F.col("v_d").cast("double") > F.lit(0.0001) * F.col("t")
+            )
+            .select(
+                "l_partkey", F.col("v_d").cast("double").alias("value")
+            )
+            .orderBy(F.desc("value"), "l_partkey")
+        )
+    finally:
+        value.unpersist(blocking=False)
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#4'
+          AND p_type NOT IN ('MEDIUM', 'PROMO')
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape — parts/supplier relationship: how many
+    distinct suppliers can provide each excluded-brand part class,
+    skipping blacklisted suppliers.
+
+    (partsupp → lineitem as the associative table; the "complaints"
+    comment filter becomes s_acctbal < 0.) The supplier blacklist is a
+    broadcast ANTI join (NOT IN with a provably non-null key list);
+    the filtered part dim broadcasts; COUNT(DISTINCT) shuffles on the
+    3-attribute group key with partial distinct-aggregation map-side.
+    """
+    complaints = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").isin("MEDIUM", "PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(complaints),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_partkey AS pk, l_suppkey AS sk,
+                   SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+              )
+            GROUP BY l_partkey, l_suppkey
+        ), part_total AS (
+            SELECT pk, SUM(qty) AS total_qty FROM shipped GROUP BY pk
+        )
+        SELECT s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (
+              SELECT sk FROM shipped
+              JOIN part_total ON shipped.pk = part_total.pk
+              WHERE qty * 2 > total_qty
+          )
+        ORDER BY s_name
+    """,
+    tags=("tpch", "subquery", "join"),
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape — potential part promotion: one region's
+    suppliers who shipped the MAJORITY of some matching part's yearly
+    volume (the "excess availability" predicate re-expressed over
+    lineitem: qty > 0.5 * part total, spelled 2*qty > total so both
+    sides stay exact decimals — no float threshold).
+
+    Doubly-nested IN subqueries → two semi-join stages: the part-name
+    filter semi-joins the fact BEFORE its aggregate (broadcast), and
+    the majority-supplier set semi-joins the supplier dim. One fact
+    shuffle on (part, supplier); the per-part total reuses that
+    partitioning (AQE coalesces).
+    """
+    part_red = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).join(
+        F.broadcast(part_red), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    shipped = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.sum(dec("l_quantity")).alias("qty"))
+    part_total = shipped.groupBy(F.col("pk").alias("tpk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    major = (
+        shipped.join(part_total, shipped.pk == part_total.tpk)
+        .filter(F.col("qty") * 2 > F.col("total_qty"))
+        .select("sk")
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(major, F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE o_orderstatus = 'F'
+          AND n_name = 'NATION_3'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+    tags=("tpch", "subquery", "join"),
+)
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape — suppliers who kept orders waiting: lines of
+    finished orders that shipped late (> 60 days after the order, the
+    schema's receipt/commit proxy, as in Q4/Q12) where the supplier
+    was the ONLY late supplier on a multi-supplier order.
+
+    The EXISTS / NOT EXISTS pair compiles to a LEFT SEMI then a LEFT
+    ANTI join against lineitem, both keyed on orderkey (equi-shuffle;
+    the suppkey≠ and lateness conditions ride on the join). The l1
+    side is pre-shrunk to one nation's suppliers (broadcast semi) and
+    finished orders BEFORE the two fact-sized joins, so the expensive
+    stages see 1/|nations| of the fact.
+    """
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    l1 = (
+        li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "s_name", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    waited = l1.join(
+        l2,
+        (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_anti",
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
     )
