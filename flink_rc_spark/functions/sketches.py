@@ -225,3 +225,157 @@ def q_sketch_hll(spark, sf_dir):
             F.lit(_HLL_NUMERATOR).cast("double") / scaled.cast("double")
         ).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sketch_bloom — Bloom filter with an EXACT oracle
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 2048   # m
+_BLOOM_K = 3         # hash functions
+# 32-bit words stored in BIGINT: shiftleft(1, bit<=31) stays positive in
+# both engines (a 64-bit word would need 1<<63, which wraps the sign
+# bit differently across engines' typing rules)
+_BLOOM_WORD_BITS = 32
+
+# md5-derived position in [0, 2048): first 3 hex chars of md5('<i>|<tok>')
+_POS_SPARK = (
+    "CAST(conv(substring(md5(concat(i, '|', tok)), 1, 3), 16, 10) AS BIGINT)"
+    f" % {_BLOOM_BITS}"
+)
+_POS_DUCK = (
+    f"(('0x' || substr(md5(i || '|' || tok), 1, 3))::BIGINT % {_BLOOM_BITS})"
+)
+
+
+@register(
+    "q_sketch_bloom",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE lang = 'en'
+    ),
+    build_cells AS (
+        SELECT CAST(i AS VARCHAR) AS i, tok
+        FROM build, range({_BLOOM_K}) r(i)
+    ),
+    sketch AS (
+        SELECT {_POS_DUCK} // {_BLOOM_WORD_BITS} AS word,
+               bit_or((1::BIGINT) << ({_POS_DUCK} % {_BLOOM_WORD_BITS}))
+                   AS word_val
+        FROM build_cells
+        GROUP BY word
+    ),
+    non_en_top AS (
+        SELECT tok FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE lang <> 'en'
+        ) GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 10
+    ),
+    probes AS (
+        SELECT tok FROM non_en_top
+        UNION ALL
+        SELECT tok || '_absent' FROM non_en_top
+    ),
+    probe_cells AS (
+        SELECT p.tok, CAST(i AS VARCHAR) AS i
+        FROM probes p, range({_BLOOM_K}) r(i)
+    ),
+    hits AS (
+        SELECT pc.tok,
+               bool_and(
+                   COALESCE(s.word_val, 0)
+                   & ((1::BIGINT) << ({_POS_DUCK.replace("tok", "pc.tok")}
+                                      % {_BLOOM_WORD_BITS})) <> 0
+               ) AS bloom_hit
+        FROM probe_cells pc
+        LEFT JOIN sketch s
+          ON s.word = {_POS_DUCK.replace("tok", "pc.tok")} // {_BLOOM_WORD_BITS}
+        GROUP BY pc.tok
+    )
+    SELECT h.tok,
+           EXISTS (SELECT 1 FROM build b WHERE b.tok = h.tok) AS truly_in,
+           h.bloom_hit
+    FROM hits h
+    ORDER BY truly_in DESC, tok
+    """,
+    tags=("sketch", "llm"),
+)
+def q_sketch_bloom(spark, sf_dir):
+    """Bloom-filter build + membership probe in one declared plan: a
+    2048-bit / 3-hash filter over the distinct English-corpus
+    vocabulary, probed with the top-10 non-English tokens (mixed
+    membership) and 10 guaranteed-absent variants. No false negatives
+    by construction (asserted in tests); false positives are
+    deterministic here because the md5 hash family is.
+
+    This is THE 100 TB join-pruning primitive: build once over the
+    small side's keys (the filter is  {_BLOOM_BITS // _BLOOM_WORD_BITS}
+    words regardless of input size — a bounded hash agg whose partial
+    aggregation does the per-partition sub-filter OR-merge), broadcast
+    it, and drop fact rows before the shuffle. The probe side here
+    joins the ≤64-row word table and AND-tests bits entirely JVM-side.
+    """
+    docs = load(spark, sf_dir, "documents")
+    build = (
+        docs.filter(F.col("lang") == "en")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    ks = F.array(*[F.lit(str(i)) for i in range(_BLOOM_K)])
+    build_cells = build.select(F.explode(ks).alias("i"), "tok").withColumn(
+        "pos", F.expr(_POS_SPARK)
+    )
+    sketch = (
+        build_cells.select(
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("bigint").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("bitval"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bitval)").alias("word_val"))
+    )
+    non_en_top = (
+        docs.filter(F.col("lang") != "en")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(10)
+        .select("tok")
+    )
+    probes = non_en_top.unionByName(
+        non_en_top.select(F.concat(F.col("tok"), F.lit("_absent")).alias("tok"))
+    )
+    probe_cells = (
+        probes.select("tok", F.explode(ks).alias("i"))
+        .withColumn("pos", F.expr(_POS_SPARK))
+        .withColumn("word", (F.col("pos") / _BLOOM_WORD_BITS).cast("bigint"))
+        .withColumn(
+            "bitval",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
+            ),
+        )
+    )
+    hits = (
+        probe_cells.join(F.broadcast(sketch), "word", "left")
+        .withColumn(
+            "hit",
+            (F.coalesce(F.col("word_val"), F.lit(0)).bitwiseAND(F.col("bitval")))
+            != 0,
+        )
+        .groupBy("tok")
+        .agg(F.expr("bool_and(hit)").alias("bloom_hit"))
+    )
+    membership = build.withColumn("truly_in", F.lit(True))
+    return (
+        hits.join(F.broadcast(membership), "tok", "left")
+        .select(
+            "tok",
+            F.coalesce(F.col("truly_in"), F.lit(False)).alias("truly_in"),
+            "bloom_hit",
+        )
+        .orderBy(F.desc("truly_in"), "tok")
+    )

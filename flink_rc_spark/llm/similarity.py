@@ -607,3 +607,126 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_pq — product quantization with an EXACT oracle
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = 8          # subspaces (64 dims / 8 per subspace)
+_PQ_SUBDIM = _DIM // _PQ_SUBS
+_PQ_K = 16            # centroids per subspace (4-bit codes)
+
+# squared L2 distance between a vector's subspace slice and a centroid's,
+# as a sequential left fold (bit-identical across engines; the (a-b)
+# term is spelled twice because DuckDB lambdas have no LET and ** / ^
+# power operators differ between engines)
+_PQ_DIST_SPARK = (
+    f"aggregate(transform(sequence(1, {_PQ_SUBDIM}), i ->"
+    f" (element_at(e, s * {_PQ_SUBDIM} + i) - element_at(ce, s * {_PQ_SUBDIM} + i))"
+    f" * (element_at(e, s * {_PQ_SUBDIM} + i) - element_at(ce, s * {_PQ_SUBDIM} + i))),"
+    " 0d, (acc, x) -> acc + x)"
+)
+_PQ_DIST_DUCK = (
+    f"list_reduce(list_transform(range(1, {_PQ_SUBDIM + 1}), i ->"
+    f" (p.e[p.s * {_PQ_SUBDIM} + i] - c.ce[p.s * {_PQ_SUBDIM} + i])"
+    f" * (p.e[p.s * {_PQ_SUBDIM} + i] - c.ce[p.s * {_PQ_SUBDIM} + i])),"
+    " (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "q_embedding_pq",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    vs AS (
+        SELECT vec_id, e, CAST(s AS INT) AS s
+        FROM v, range({_PQ_SUBS}) r(s)
+    ),
+    ranked AS (
+        SELECT s, vec_id, e,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s
+                   ORDER BY md5(CAST(s AS VARCHAR) || '#' || CAST(vec_id AS VARCHAR)),
+                            vec_id
+               ) AS rnk
+        FROM vs
+    ),
+    cents AS (
+        SELECT s, CAST(rnk - 1 AS INT) AS code, e AS ce
+        FROM ranked WHERE rnk <= {_PQ_K}
+    ),
+    dists AS (
+        SELECT p.vec_id, p.s, c.code, {_PQ_DIST_DUCK} AS d
+        FROM vs p JOIN cents c ON c.s = p.s
+    )
+    SELECT vec_id, s AS subspace, code, ROUND(d, 4) AS sq_dist
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, s ORDER BY d, code
+        ) AS rn
+        FROM dists
+    )
+    WHERE rn = 1
+    ORDER BY vec_id, subspace
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each 64-dim vector compresses to 8
+    4-bit codes — the nearest of 16 per-subspace centroids for each
+    8-dim slice. The IVF-PQ pair is how billion-vector ANN indexes
+    (FAISS-style) fit in memory: IVF (ivf_fit/ivf_topk above) prunes
+    the search space, PQ shrinks the residual distance table ~64x.
+
+    The "training" is deterministic sampling: subspace s's 16
+    centroids are the vectors ranked first by md5(s#vec_id) — a
+    reproducible stand-in for k-means (the IVF twin shows the
+    sample-fit k-means path) that keeps the whole operator
+    exact-oracle-checkable. Assignment is a broadcast join of the
+    128-row codebook against (vector × subspace) rows; the argmin is
+    a bounded 16-candidate window with code-ordered tie-break; the
+    distance fold is sequential in both engines, so even the double
+    sq_dist hash-matches post-round.
+
+    100 TB: codebook is O(K × dim) regardless of corpus size —
+    broadcast; assignment is an embarrassingly parallel map (no
+    shuffle beyond the argmin window's (vec, subspace) partitioning,
+    which AQE plans as a local window after the broadcast join since
+    the input is already vec-partitioned).
+    """
+    from pyspark.sql import Window
+
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    subs = F.array(*[F.lit(s) for s in range(_PQ_SUBS)])
+    vs = v.select("vec_id", "e", F.explode(subs).alias("s"))
+    w_rank = Window.partitionBy("s").orderBy(
+        F.md5(F.concat_ws("#", F.col("s").cast("string"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    cents = (
+        vs.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _PQ_K)
+        .select("s", (F.col("rnk") - 1).cast("int").alias("code"), F.col("e").alias("ce"))
+    )
+    dists = vs.join(F.broadcast(cents), "s").withColumn(
+        "d", F.expr(_PQ_DIST_SPARK)
+    )
+    w_min = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    return (
+        dists.withColumn("rn", F.row_number().over(w_min))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("s").alias("subspace"),
+            "code",
+            F.round("d", 4).alias("sq_dist"),
+        )
+        .orderBy("vec_id", "subspace")
+    )

@@ -275,3 +275,123 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(shingle_hashes).alias("min_shingle"),
         F.array_max(shingle_hashes).alias("max_shingle"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_tfidf_topk",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            GROUP BY doc_id, tok
+        ),
+        scored AS (
+            SELECT doc_id, tok, tf,
+                   COUNT(*) OVER (PARTITION BY tok) AS df,
+                   ROUND(tf * ln(CAST((SELECT COUNT(*) FROM documents)
+                                      AS DOUBLE) / COUNT(*) OVER (PARTITION BY tok)),
+                         4) AS score
+            FROM tf
+        )
+        SELECT doc_id, tok, tf, df, score
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, tok
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn <= 3 AND doc_id < 100
+        ORDER BY doc_id, score DESC, tok
+    """,
+    tags=("llm", "text", "window"),
+)
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (doc_id < 100 output block to
+    bound the declared result; the computation itself is full-corpus).
+
+    One explode → (doc, term) hash agg gives tf; df comes from a
+    COUNT OVER (PARTITION BY term) window on the already-distinct
+    (doc, term) rows — no second scan, no self-join (the naive df
+    spelling); the corpus size N is a broadcast scalar. Scores round
+    to 4 decimals on exactly-agreed integer inputs so the cross-engine
+    ln() agrees post-round; ties break on the term.
+
+    100 TB: tf agg shuffles on (doc, term); the df window re-shuffles
+    on term (unavoidable — df IS a per-term statistic); top-3 per doc
+    is a bounded per-partition window after a doc-key shuffle. All
+    JVM built-ins, no Python.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n"))
+    w_tok = Window.partitionBy("tok")
+    scored = (
+        tf.join(F.broadcast(n_docs))
+        .withColumn("df", F.count("*").over(w_tok))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 4
+            ),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_doc))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "tok", "tf", "df", "score")
+        .orderBy("doc_id", F.desc("score"), "tok")
+    )
+
+
+@register(
+    "q_inverted_index",
+    oracle="""
+        SELECT tok,
+               COUNT(DISTINCT doc_id) AS df,
+               (list_sort(list(DISTINCT doc_id)))[1:20] AS postings
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+        ORDER BY df DESC, tok
+        LIMIT 100
+    """,
+    tags=("llm", "text", "agg"),
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build: for the 100 highest-document-frequency
+    terms, the document frequency and the first 20 postings (sorted
+    doc ids) — the retrieval-side complement of q_tfidf_topk.
+
+    explode → distinct (term, doc) → per-term collect_set, sorted and
+    sliced JVM-side. At 100 TB the posting lists are the classic
+    skew hazard (stopword terms list every doc): the declared query
+    caps each list at 20 entries AFTER sort_array of the collected
+    set — bounded memory per group; a production variant shards
+    postings by (term, doc_id range) buckets, which is exactly the
+    doc-block pattern the dedup ops use.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = docs.select("doc_id", F.explode(_toks()).alias("tok")).distinct()
+    return (
+        pairs.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20).alias(
+                "postings"
+            ),
+        )
+        .orderBy(F.desc("df"), "tok")
+        .limit(100)
+    )

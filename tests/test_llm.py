@@ -596,3 +596,27 @@ def test_bottomk_kmv_estimate_accuracy(spark, sf_dir):
     est = rows[0].kmv_estimate
     rsd = 1.0 / (62 ** 0.5)
     assert abs(est - true_n) <= 3 * rsd * true_n, (est, true_n)
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every probe token that IS in the build set must
+    hit (false positives allowed, false negatives never); the absent
+    variants must exist to make the probe two-sided."""
+    rows = _run(spark, sf_dir, "q_sketch_bloom").collect()
+    assert len(rows) == 20
+    assert all(r.bloom_hit for r in rows if r.truly_in)
+    assert any(not r.truly_in for r in rows)
+
+
+def test_pq_codes_in_range_and_centroids_self_assign(spark, sf_dir):
+    """PQ invariants: every code is a valid 4-bit index, every vector
+    gets exactly 8 subspace codes, and a vector chosen as a centroid
+    assigns to ITSELF in that subspace (sq_dist 0 — the argmin must
+    find the exact match)."""
+    rows = _run(spark, sf_dir, "q_embedding_pq").collect()
+    assert all(0 <= r.code < 16 for r in rows)
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, set()).add(r.subspace)
+    assert all(subs == set(range(8)) for subs in per_vec.values())
+    assert any(r.sq_dist == 0.0 for r in rows)
