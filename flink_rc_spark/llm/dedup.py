@@ -590,3 +590,90 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs),
+    degs AS (
+        SELECT v, COUNT(*) AS d
+        FROM (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+        GROUP BY v
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM degs) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM degs) > 0
+                THEN ROUND(3.0 * (SELECT n_triangles FROM tri)
+                           / (SELECT SUM(d * (d - 1) / 2) FROM degs), 4)
+                ELSE 0.0 END AS clustering_coeff
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the MinHash near-dup candidate graph: edge /
+    wedge / triangle counts and the global clustering coefficient —
+    the structural health-check a dedup pipeline runs on its candidate
+    graph (near-dup clusters should be clique-ish: high closure;
+    hash-collision noise shows up as open wedges).
+
+    Triangle counting is the canonical multi-way distributed join: with
+    edges oriented a<b, e1(a,b) ⋈ e2(b,c) enumerates wedges in sorted
+    order and the second join probes (a,c) — each is an equi-shuffle
+    on a vertex key, never a cartesian. Wedge counts come from the
+    degree table (d·(d−1)/2, integer-exact). At 100 TB the standard
+    refinement is degree-ordered orientation (point each edge at the
+    higher-degree endpoint) which bounds the join fan-out by arboricity
+    — the orientation here (doc_id order) is its fixed-order twin.
+    """
+    docs = load(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs(docs).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    edges = edges.persist()
+    try:
+        degs = (
+            edges.select(F.col("a").alias("v"))
+            .unionByName(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        e1 = edges
+        e2 = edges.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+        e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+        tri = (
+            e1.join(e2, e1.b == F.col("a2"))
+            .join(e3, (e1.a == F.col("a3")) & (F.col("b2") == F.col("b3")))
+            .agg(F.count("*").alias("n_triangles"))
+        )
+        wedges = degs.agg(
+            F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges")
+        )
+        n_edges = edges.agg(F.count("*").alias("n_edges"))
+        return (
+            n_edges.join(F.broadcast(wedges))
+            .join(F.broadcast(tri))
+            .select(
+                "n_edges",
+                "n_wedges",
+                "n_triangles",
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.round(
+                        F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 4
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("clustering_coeff"),
+            )
+        )
+    finally:
+        edges.unpersist(blocking=False)
