@@ -169,3 +169,64 @@ def test_multimodal_decode_no_output_sort(spark, sf_dir):
     is a full extra shuffle of the decoded features at scale."""
     plan = formatted_plan(_q("q_multimodal_decode", spark, sf_dir))
     assert "Sort" not in plan, f"dead output sort in decode plan:\n{plan}"
+
+
+def test_tpch_q1_single_scan_hash_agg(spark, sf_dir):
+    """Q1 must be scan -> partial+final hash agg: one lineitem scan,
+    no join, no window."""
+    import re
+
+    plan = formatted_plan(_q("q_tpch_q1", spark, sf_dir))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan
+    assert "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_tpch_q21_semi_and_anti_on_orderkey(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS must compile to semi + anti joins (no
+    row duplication, no subplan re-execution) and no cartesian."""
+    df = _q("q_tpch_q21", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert_no_cartesian(df)
+
+
+def test_tpch_q2_broadcasts_dims(spark, sf_dir):
+    """Q2's supplier-nation-region chain and the filtered part dim
+    must broadcast — the only exchanges should be the cost aggregate's
+    and the per-part min's."""
+    plan = formatted_plan(_q("q_tpch_q2", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_funnel_single_events_scan(spark, sf_dir):
+    """The funnel folds the whole journey per user in one pass — a
+    second events scan would mean the per-step re-join anti-pattern
+    crept back in."""
+    import re
+
+    plan = formatted_plan(_q("q_funnel_steps", spark, sf_dir))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, plan
+
+
+def test_tfidf_no_df_selfjoin(spark, sf_dir):
+    """df comes from a window over the (doc, term) rows — the naive
+    per-term df spelling joins the exploded corpus against itself.
+    Two scans allowed: the token pipeline and the zero-column corpus
+    count feeding idf."""
+    import re
+
+    plan = formatted_plan(_q("q_tfidf_topk", spark, sf_dir))
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) <= 2, plan
+    assert "Window" in plan
+
+
+def test_pq_codebook_broadcasts(spark, sf_dir):
+    """The 128-row PQ codebook must broadcast against the vector side;
+    a shuffle join over the codebook would shuffle the corpus 16x."""
+    plan = formatted_plan(_q("q_embedding_pq", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan

@@ -42,6 +42,13 @@ NESTED_LOOP_ALLOWED = {
     "q_tpch_q22",  # scalar subquery: ONE broadcast row (the global avg
     #                balance) joined to customer — nested-loop over a
     #                single-row build side is the scalar-subquery plan
+    "q_tpch_q11",  # same scalar-subquery plan: the broadcast total is
+    #                one row compared by inequality (an equality would
+    #                rewrite to a hash join, as q_tpch_q15's does)
+    "q_tfidf_topk",  # corpus size N: one broadcast row feeding the idf
+    #                  division
+    "q_graph_triangles",  # combining the three single-row census
+    #                       aggregates (edges/wedges/triangles)
 }
 
 
