@@ -424,3 +424,31 @@ def q_map_funcs(spark, sf_dir):
         F.map_keys("mp").alias("ks"),
         F.expr("transform(map_values(mp), v -> v * 2)").alias("doubled"),
     ).orderBy("event_id")
+
+
+@register(
+    "q_posexplode",
+    oracle="""
+        SELECT doc_id, u.pos AS pos, u.tok AS tok
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(len(string_split(text, ' '))),
+                          i -> {'pos': i, 'tok': string_split(text, ' ')[i+1]}))
+                       AS u
+            FROM documents
+            WHERE doc_id < 50
+        )
+        ORDER BY doc_id, pos
+    """,
+    tags=("scalar", "generator"),
+)
+def q_posexplode(spark, sf_dir):
+    """posexplode: the ordinal-preserving generator (UDTF shape) —
+    token position survives the flattening, which plain explode
+    (q_explode) discards. Positions are 0-based in both spellings
+    (Spark posexplode natively; the oracle builds (pos, tok) structs
+    from range() since DuckDB's UNNEST carries no ordinality)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).orderBy("doc_id", "pos")

@@ -258,3 +258,53 @@ def q_ts_interpolate(spark, sf_dir):
         interp.alias("v_interp"),
         F.col("v").isNull().alias("is_interpolated"),
     ).orderBy("event_type", "hour_start")
+
+
+@register(
+    "q_ts_ewma",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               list_reduce(list(value ORDER BY ts, event_id),
+                           (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("timeseries", "hof", "agg"),
+)
+def q_ts_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (α=0.25) of each user's
+    event values in time order — the classic smoothing recurrence
+    s_t = α·x_t + (1−α)·s_{t−1}, seeded with the first observation.
+
+    A recurrence is a sequential fold, and both engines run list folds
+    left-to-right (Spark `aggregate` with null-init-then-seed ≡ DuckDB
+    `list_reduce`, which seeds from the first element), so with the
+    exact binary fractions 0.25/0.75 every intermediate double is
+    BIT-IDENTICAL cross-engine — no rounding needed even though this
+    is float arithmetic. Ordering ties break on event_id, making the
+    fold order total.
+
+    This is the same shape the RC module's reservoir recurrence uses
+    (state folded along a time-ordered series, parallel across
+    series); expressing the scalar case as a pure JVM array fold shows
+    the recurrence family needs Python only when state is a vector.
+    100 TB: one hash agg keyed on the series id; per-series memory =
+    the series (the same per-key bound every sessionization op has).
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "aggregate(transform(s, x -> x.value), CAST(NULL AS DOUBLE),"
+            " (acc, x) -> IF(acc IS NULL, x, 0.25 * x + 0.75 * acc))"
+        ).alias("ewma"),
+    ).orderBy("user_id")
