@@ -146,3 +146,66 @@ def q_retention_cohort(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(value AS DECIMAL(12,4))
+                            * CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sq,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT event_id, e.event_type,
+               CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) AS value_q,
+               ROUND((CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) - s / n)
+                     / sqrt((sq - s * s / n) / (n - 1)), 4) AS zscore
+        FROM events e
+        JOIN stats USING (event_type)
+        WHERE abs((CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) - s / n)
+                  / sqrt((sq - s * s / n) / (n - 1))) > 3.0
+        ORDER BY event_id
+    """,
+    tags=("analytics", "agg"),
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Z-score outlier detection per event type: events more than 3
+    sample standard deviations from their type's mean — the streaming
+    monitoring primitive, expressed batch-first.
+
+    Determinism without rounding the WHERE boundary away: values are
+    quantized to DECIMAL(12,4) once, then mean and variance come from
+    EXACT decimal Σx / Σx² (order-independent), so the double
+    std/z-score arithmetic runs on bit-identical inputs in both
+    engines and the |z| > 3 cut selects the same rows. 100 TB: the
+    stats are a 5-group partial+final agg BROADCAST back over the
+    fact — one scan for stats, one for scoring (the same two-pass
+    shape as q_subq_scalar); no window over the full fact.
+    """
+    from flink_rc_spark.functions.exact import dec
+
+    ev = load(spark, sf_dir, "events")
+    vq = dec("value", 12, 4)
+    stats = ev.groupBy("event_type").agg(
+        F.sum(vq).cast("double").alias("s"),
+        F.sum(vq * vq).cast("double").alias("sq"),
+        F.count("*").alias("n"),
+    )
+    z = (vq.cast("double") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            vq.cast("double").alias("value_q"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_id")
+    )
