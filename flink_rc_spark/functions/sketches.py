@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from flink_rc_spark.functions.exact import dsum
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -378,4 +379,98 @@ def q_sketch_bloom(spark, sf_dir):
             "bloom_hit",
         )
         .orderBy(F.desc("truly_in"), "tok")
+    )
+
+
+# Bloom positions for a BIGINT key (same family as the token filter,
+# over the key's decimal string)
+_KPOS_SPARK = (
+    "CAST(conv(substring(md5(concat(i, '|', CAST(k AS STRING))), 1, 3), 16, 10)"
+    f" AS BIGINT) % {_BLOOM_BITS}"
+)
+_KPOS_DUCK = (
+    "(('0x' || substr(md5(i || '|' || CAST(k AS VARCHAR)), 1, 3))::BIGINT"
+    f" % {_BLOOM_BITS})"
+)
+
+
+@register(
+    "q_bloom_prune_join",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 9500
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    tags=("sketch", "join"),
+)
+def q_bloom_prune_join(spark, sf_dir):
+    """Bloom-filter join pruning END-TO-END: the oracle is the PLAIN
+    join — the declared plan builds a Bloom filter over the small
+    side's keys, pre-filters the fact with it as a pure scan-side
+    expression, then runs the real join on the survivors. The driver
+    hash therefore PROVES the runtime filter dropped no qualifying row
+    (false positives are removed by the join itself; false negatives
+    would break the hash).
+
+    This is the pattern engines ship as "runtime filters" / dynamic
+    partition pruning: at 100 TB the 64-word filter (built by a
+    bounded bit_or aggregate, collected — 512 bytes of driver state,
+    the IVF-centroid precedent) reaches every fact task as a literal,
+    so fact rows die BEFORE the join shuffle instead of after it. With
+    ~0.4% qualifying customers, the shuffle carries ~1/250th of the
+    fact.
+    """
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
+    ks = F.array(*[F.lit(str(i)) for i in range(_BLOOM_K)])
+    build_cells = (
+        cust.select(F.col("c_custkey").alias("k"))
+        .select(F.explode(ks).alias("i"), "k")
+        .withColumn("pos", F.expr(_KPOS_SPARK))
+    )
+    words = (
+        build_cells.select(
+            (F.col("pos") / _BLOOM_WORD_BITS).cast("int").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("bitval"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bitval)").alias("word_val"))
+        .collect()
+    )
+    # 512 bytes of filter state inlined as a literal array — the
+    # "runtime filter" that reaches the scan as a plain expression
+    word_arr = [0] * (_BLOOM_BITS // _BLOOM_WORD_BITS)
+    for r in words:
+        word_arr[r.word] = r.word_val
+    lit_words = F.array(*[F.lit(w).cast("bigint") for w in word_arr])
+    orders = load(spark, sf_dir, "orders").withColumn("_bw", lit_words)
+    probe = orders
+    for i in range(_BLOOM_K):
+        pos = (
+            f"CAST(conv(substring(md5(concat('{i}', '|',"
+            f" CAST(o_custkey AS STRING))), 1, 3), 16, 10) AS BIGINT)"
+            f" % {_BLOOM_BITS}"
+        )
+        probe = probe.filter(
+            F.expr(
+                f"(element_at(_bw, CAST(({pos}) / {_BLOOM_WORD_BITS} AS INT) + 1)"
+                f" & shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(({pos}) % {_BLOOM_WORD_BITS} AS INT))) != 0"
+            )
+        )
+    return (
+        probe.join(F.broadcast(cust), probe.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -178,3 +178,90 @@ def q_stream_stateful_counter(spark, sf_dir):
     s = events_stream(spark, sf_dir)
     out = stateful_counter_stream(s)
     return run_to_memory(out, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_ewma — float recurrence as streaming state
+# ---------------------------------------------------------------------------
+
+EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType([T.StructField("s", T.DoubleType())])
+
+
+def _ewma_kernel(key, pdf_iter, state):
+    """Per-user EWMA state transition: s ← 0.25·x + 0.75·s, seeded by
+    the first observation. DELIBERATELY a sequential per-row loop —
+    the batch oracle is a sequential left fold, and any vectorized
+    rewrite (power-series form) reorders float ops and drifts; the
+    loop is bit-identical. Rows per (user, micro-batch) are bounded by
+    the batch size, so the loop is short by construction."""
+    s = state.get[0] if state.exists else None
+    outs = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ew = []
+        for x in pdf["value"].to_numpy():
+            x = float(x)
+            s = x if s is None else 0.25 * x + 0.75 * s
+            ew.append(s)
+        outs.append(
+            pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "ewma": ew,
+                }
+            )
+        )
+    state.update((s,))
+    return iter(outs)
+
+
+@register(
+    "q_stream_ewma",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        lists AS (
+            SELECT user_id, list(value ORDER BY ts, event_id) AS l
+            FROM events GROUP BY user_id
+        )
+        SELECT o.user_id, o.event_id,
+               list_reduce(l[1:o.rn], (acc, x) -> 0.25 * x + 0.75 * acc)
+                   AS ewma
+        FROM ordered o JOIN lists USING (user_id)
+    """,
+)
+def q_stream_ewma(spark, sf_dir):
+    """Streaming EWMA (α=0.25) per user — the float-state twin of
+    q_stream_stateful_counter and the streaming twin of the batch
+    q_ts_ewma fold: the running average survives micro-batch
+    boundaries in the state store, and because both the kernel and the
+    oracle fold the SAME total order (ts, event_id) left-to-right with
+    exact binary fractions, every emitted double hash-matches the
+    batch prefix-fold spelling — across however many micro-batches the
+    replay splits the stream into. This is the reference's R4/R6
+    pattern (numeric model state evolving along a stream) with scalar
+    state; the RC module carries the vector case.
+    """
+    ensure_package_shipped(spark)
+    s = events_stream(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _ewma_kernel,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return run_to_memory(out, output_mode="append")
