@@ -620,3 +620,12 @@ def test_pq_codes_in_range_and_centroids_self_assign(spark, sf_dir):
         per_vec.setdefault(r.vec_id, set()).add(r.subspace)
     assert all(subs == set(range(8)) for subs in per_vec.values())
     assert any(r.sq_dist == 0.0 for r in rows)
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    """Funnel invariant: each step's reach is <= the previous step's
+    (strict ordering can only lose users), and reach never exceeds the
+    user universe."""
+    row = _run(spark, sf_dir, "q_funnel_steps").collect()[0]
+    assert row.users_total >= row.reached_view >= row.reached_click >= row.reached_purchase
+    assert row.reached_purchase >= 0
