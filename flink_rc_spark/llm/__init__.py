@@ -18,4 +18,5 @@ from flink_rc_spark.llm import (  # noqa: F401
     similarity,
     text,
     udfs,
+    video,
 )

@@ -629,3 +629,22 @@ def test_funnel_counts_monotone(spark, sf_dir):
     row = _run(spark, sf_dir, "q_funnel_steps").collect()[0]
     assert row.users_total >= row.reached_view >= row.reached_click >= row.reached_purchase
     assert row.reached_purchase >= 0
+
+
+def test_avi_codec_roundtrip():
+    """Random RGB frames through encode_avi -> decode_avi: geometry,
+    fps, frame count, and every pixel byte (bottom-up BGR DIB rows,
+    4-byte row alignment) must survive."""
+    import numpy as np
+
+    from flink_rc_spark.llm.video import decode_avi, encode_avi
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (2, 2, 3), dtype=np.uint8) for _ in range(5)]
+    w, h, fps, n, dibs = decode_avi(encode_avi(frames, fps=25))
+    assert (w, h, fps, n) == (2, 2, 25, 5)
+    stride = ((w * 3 + 3) // 4) * 4
+    for orig, dib in zip(frames, dibs):
+        arr = np.frombuffer(dib, dtype=np.uint8).reshape(h, stride)
+        for y in range(h):
+            assert (arr[h - 1 - y, : w * 3].reshape(w, 3) == orig[y, :, ::-1]).all()
