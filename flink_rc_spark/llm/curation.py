@@ -386,3 +386,102 @@ def q_embedding_quantize(spark, sf_dir):
         qq.select("vec_id", "scale", "qvec", max_err.alias("max_err"))
         .orderBy("vec_id")
     )
+
+
+from flink_rc_spark.llm.profile import _SPLITV_DUCK
+from flink_rc_spark.llm.text import _STOPWORDS, _marker_count_sql
+
+_CURATION_ORACLE = f"""
+    WITH feat AS (
+        SELECT doc_id, lang, n_chars, text,
+               len(string_split(text, ' ')) AS n_tok,
+               {_marker_count_sql(_STOPWORDS)} AS n_stop
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM feat
+        WHERE n_tok >= 20
+          AND CAST(n_stop AS DOUBLE) / n_tok < 0.5
+          AND lang IN ('en', 'es')
+    ),
+    canonical AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+            ) AS rn
+            FROM gated
+        ) WHERE rn = 1
+    )
+    SELECT CASE WHEN ({_SPLITV_DUCK}) < 205 THEN 'train'
+                WHEN ({_SPLITV_DUCK}) < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM canonical
+    GROUP BY split, lang
+    ORDER BY split, lang
+"""
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=_CURATION_ORACLE,
+    tags=("llm", "curation", "pipeline"),
+)
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation pipeline in ONE declared plan — the
+    composition a training-data team actually ships, built from the
+    already-verified stage operators:
+
+      1. quality gate  (q_quality_score's keep rule: ≥20 tokens,
+         stopword ratio < 0.5)
+      2. language gate (en/es only)
+      3. exact-dedup canonicalization (q_dedup_exact's keep-min-doc_id
+         per md5(text))
+      4. train/val/test assignment (q_split_assign's md5-byte split)
+
+    Output: the per-(split, lang) manifest — doc counts, char totals,
+    first doc id. Each stage is the same expression its standalone
+    operator hash-verified; the pipeline key proves the COMPOSITION
+    (gates before dedup before split — order matters: deduping after
+    the gates means a kept doc can be canonical even when a
+    lower-doc_id duplicate was quality-rejected).
+
+    100 TB: gates are per-row maps at the scan; dedup is the only
+    shuffle (hash of text); the manifest agg is tiny. This plan IS the
+    production job minus the final write.
+    """
+    from flink_rc_spark.llm.profile import _SPLITV_SPARK
+    from flink_rc_spark.llm.text import _STOPWORDS, _marker_count_expr
+
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.withColumn("n_tok", F.size(F.split("text", " "))).withColumn(
+        "n_stop", F.expr(_marker_count_expr(_STOPWORDS))
+    )
+    gated = feat.filter(
+        (F.col("n_tok") >= 20)
+        & (F.col("n_stop").cast("double") / F.col("n_tok") < 0.5)
+        & (F.col("lang").isin("en", "es"))
+    )
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    canonical = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    v = F.expr(_SPLITV_SPARK)
+    split = (
+        F.when(v < 205, "train").when(v < 230, "val").otherwise("test")
+    ).alias("split")
+    return (
+        canonical.select(split, "lang", "doc_id", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split", "lang")
+    )
