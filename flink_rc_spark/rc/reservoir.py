@@ -52,6 +52,11 @@ class ReservoirConfig:
     input_scale: float = 0.5
     include_bias: bool = True
     seed: int = 42
+    # Leaky-integrator ESN (Jaeger et al. 2007, "Optimization and
+    # applications of echo state networks with leaky-integrator
+    # neurons"): x(t) = (1-a)·x(t-1) + a·tanh(…). a=1 is the classic
+    # non-leaky update above (the reference's R4 form).
+    leak_rate: float = 1.0
 
 
 def init_weights(cfg: ReservoirConfig) -> tuple[np.ndarray, np.ndarray]:
@@ -87,17 +92,22 @@ def init_weights(cfg: ReservoirConfig) -> tuple[np.ndarray, np.ndarray]:
 
 def reservoir_scan(
     u: np.ndarray, w_in: np.ndarray, w: np.ndarray, include_bias: bool,
-    x0: np.ndarray | None = None,
+    x0: np.ndarray | None = None, leak_rate: float = 1.0,
 ) -> np.ndarray:
     """Sequential recurrence over a (T, n_u) input block → (T, n_x)
-    states. Pure numpy; called once per series inside applyInPandas."""
+    states. Pure numpy; called once per series inside applyInPandas.
+
+    ``leak_rate`` a ∈ (0, 1]: leaky-integrator update
+    x(t) = (1-a)·x(t-1) + a·tanh(W_in·u + W·x(t-1)); a=1 reduces to
+    the classic ESN update (branch-free: the blend is a no-op)."""
     t_len, _ = u.shape
     n_x = w.shape[0]
     x = np.zeros(n_x) if x0 is None else np.asarray(x0, dtype=float)
     out = np.empty((t_len, n_x))
+    a = float(leak_rate)
     for t in range(t_len):
         u_t = np.concatenate(([1.0], u[t])) if include_bias else u[t]
-        x = np.tanh(w_in @ u_t + w @ x)
+        x = (1.0 - a) * x + a * np.tanh(w_in @ u_t + w @ x)
         out[t] = x
     return out
 
@@ -142,7 +152,7 @@ def run_reservoir(
     def scan_group(pdf):
         pdf = pdf.sort_values(seq_col, kind="mergesort")
         u = pdf[input_cols].to_numpy(dtype=float)
-        states = reservoir_scan(u, w_in, w, include_bias)
+        states = reservoir_scan(u, w_in, w, include_bias, leak_rate=cfg.leak_rate)
         feats = np.concatenate([u, states], axis=1)
         out = pdf[[series_col, seq_col, *keep_cols]].reset_index(drop=True)
         out["features"] = [row.tolist() for row in feats]

@@ -148,3 +148,50 @@ def test_assume_layout_path_equals_repartition_path(spark, sf_dir):
     ka = {(r.series_id, r.seq): tuple(r.features) for r in a}
     kb = {(r.series_id, r.seq): tuple(r.features) for r in b}
     assert ka == kb
+
+
+def test_leaky_reservoir_reduces_to_classic_at_a1():
+    """leak_rate=1 must reproduce the classic update exactly (the
+    blend degenerates to the plain tanh state)."""
+    import numpy as np
+
+    from flink_rc_spark.rc.reservoir import (
+        ReservoirConfig,
+        init_weights,
+        reservoir_scan,
+    )
+
+    cfg = ReservoirConfig(n_x=30, seed=9)
+    w_in, w = init_weights(cfg)
+    rng = np.random.default_rng(0)
+    u = rng.uniform(-1, 1, (40, 1))
+    classic = reservoir_scan(u, w_in, w, True)
+    leaky1 = reservoir_scan(u, w_in, w, True, leak_rate=1.0)
+    assert np.array_equal(classic, leaky1)
+
+
+def test_leaky_reservoir_smooths_and_keeps_echo_state():
+    """Leaky integration (a<1) must damp step-to-step state change
+    (smoother trajectories) and preserve the echo-state property
+    (two different initial states converge)."""
+    import numpy as np
+
+    from flink_rc_spark.rc.reservoir import (
+        ReservoirConfig,
+        init_weights,
+        reservoir_scan,
+    )
+
+    cfg = ReservoirConfig(n_x=30, seed=9, spectral_radius=0.8)
+    w_in, w = init_weights(cfg)
+    rng = np.random.default_rng(1)
+    u = rng.uniform(-1, 1, (200, 1))
+    fast = reservoir_scan(u, w_in, w, True, leak_rate=1.0)
+    slow = reservoir_scan(u, w_in, w, True, leak_rate=0.2)
+    step = lambda s: float(np.abs(np.diff(s, axis=0)).mean())
+    assert step(slow) < step(fast)
+    a = reservoir_scan(u, w_in, w, True, x0=np.zeros(cfg.n_x), leak_rate=0.2)
+    b = reservoir_scan(
+        u, w_in, w, True, x0=rng.uniform(-1, 1, cfg.n_x), leak_rate=0.2
+    )
+    assert float(np.abs(a[-1] - b[-1]).max()) < 1e-6
