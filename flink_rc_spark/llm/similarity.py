@@ -698,6 +698,19 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     which AQE plans as a local window after the broadcast join since
     the input is already vec-partitioned).
     """
+    assigned = _pq_assign(spark, sf_dir)
+    return assigned.select(
+        "vec_id",
+        F.col("s").alias("subspace"),
+        "code",
+        F.round("d", 4).alias("sq_dist"),
+    ).orderBy("vec_id", "subspace")
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str):
+    """(vs, cents): the per-(vector, subspace) rows and the 128-row
+    deterministic codebook (subspace s's 16 centroids = the vectors
+    ranked first by md5(s#vec_id))."""
     from pyspark.sql import Window
 
     v = load(spark, sf_dir, "embeddings").select(
@@ -715,6 +728,15 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_K)
         .select("s", (F.col("rnk") - 1).cast("int").alias("code"), F.col("e").alias("ce"))
     )
+    return vs, cents
+
+
+def _pq_assign(spark: SparkSession, sf_dir: str):
+    """Per-(vector, subspace) nearest-centroid assignment:
+    (vec_id, s, code, d) with code-ordered argmin tie-break."""
+    from pyspark.sql import Window
+
+    vs, cents = _pq_codebook(spark, sf_dir)
     dists = vs.join(F.broadcast(cents), "s").withColumn(
         "d", F.expr(_PQ_DIST_SPARK)
     )
@@ -722,11 +744,135 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dists.withColumn("rn", F.row_number().over(w_min))
         .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code", "d")
+    )
+
+
+_PQ_QDIST_DUCK = _PQ_DIST_DUCK.replace("p.e[", "q.e[").replace("p.s ", "c.s ")
+
+
+@register(
+    "q_sim_pq_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    vs AS (
+        SELECT vec_id, e, CAST(s AS INT) AS s
+        FROM v, range({_PQ_SUBS}) r(s)
+    ),
+    ranked AS (
+        SELECT s, vec_id, e,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s
+                   ORDER BY md5(CAST(s AS VARCHAR) || '#' || CAST(vec_id AS VARCHAR)),
+                            vec_id
+               ) AS rnk
+        FROM vs
+    ),
+    cents AS (
+        SELECT s, CAST(rnk - 1 AS INT) AS code, e AS ce
+        FROM ranked WHERE rnk <= {_PQ_K}
+    ),
+    dists AS (
+        SELECT p.vec_id, p.s, c.code, {_PQ_DIST_DUCK} AS d
+        FROM vs p JOIN cents c ON c.s = p.s
+    ),
+    codes AS (
+        SELECT vec_id, s, code FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, s ORDER BY d, code) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    vcodes AS (
+        SELECT vec_id, list(code ORDER BY s) AS codes
+        FROM codes GROUP BY vec_id
+    ),
+    queries AS (SELECT vec_id AS qid, e FROM v WHERE vec_id < 10),
+    qd AS (
+        SELECT q.qid, c.s, c.code, {_PQ_QDIST_DUCK} AS dq
+        FROM queries q CROSS JOIN cents c
+    ),
+    qflat AS (
+        SELECT qid, list(dq ORDER BY s, code) AS flat
+        FROM qd GROUP BY qid
+    ),
+    adc AS (
+        SELECT q.qid, vc.vec_id,
+               list_reduce(
+                   list_transform(range(0, {_PQ_SUBS}),
+                       s -> q.flat[s * {_PQ_K} + vc.codes[s + 1] + 1]),
+                   (acc, x) -> acc + x) AS adc_d
+        FROM vcodes vc CROSS JOIN qflat q
+    )
+    SELECT qid, vec_id, ROUND(adc_d, 4) AS adc
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY adc_d, vec_id) AS rn
+        FROM adc
+    )
+    WHERE rn <= 10
+    ORDER BY qid, adc_d, vec_id
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-10 search — the query-side
+    half of an IVF-PQ index: each query precomputes its 8×16 distance
+    table against the codebook ONCE (1,280 doubles), and every
+    database vector is then scored by EIGHT table lookups on its
+    4-bit codes instead of a 64-dim float computation. That lookup
+    asymmetry is why PQ search scales: per-vector work is O(subspaces),
+    independent of dimension.
+
+    Everything stays deterministic (md5-sampled codebook, sequential
+    per-subspace distance folds, fold-ordered ADC sum s=0..7), so even
+    this approximate search carries an EXACT oracle; recall vs the
+    true L2 top-10 is measured separately in tests — approximation
+    quality and implementation correctness are separate claims.
+
+    100 TB: the per-query distance table is broadcast (10 queries ×
+    128 cells); the codes table is the only fact-sized input (8 codes
+    per vector); scoring is an embarrassingly parallel map + bounded
+    per-query top-k window.
+    """
+    from pyspark.sql import Window
+
+    vs, cents = _pq_codebook(spark, sf_dir)
+    codes = _pq_assign(spark, sf_dir)
+    vcodes = codes.groupBy("vec_id").agg(
+        F.expr("transform(sort_array(collect_list(struct(s, code))), x -> x.code)")
+        .alias("codes")
+    )
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 10)
         .select(
-            "vec_id",
-            F.col("s").alias("subspace"),
-            "code",
-            F.round("d", 4).alias("sq_dist"),
+            F.col("vec_id").alias("qid"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
         )
-        .orderBy("vec_id", "subspace")
+    )
+    qd = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "dq", F.expr(_PQ_DIST_SPARK.replace("element_at(e,", "element_at(e,"))
+    )
+    qflat = qd.groupBy("qid").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(s, code, dq))), x -> x.dq)"
+        ).alias("flat")
+    )
+    adc = vcodes.crossJoin(F.broadcast(qflat)).withColumn(
+        "adc_d",
+        F.expr(
+            f"aggregate(sequence(0, {_PQ_SUBS - 1}), 0d, (acc, s) ->"
+            f" acc + element_at(flat, s * {_PQ_K} + element_at(codes, s + 1) + 1))"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy("adc_d", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id", F.round("adc_d", 4).alias("adc"))
+        .orderBy("qid", "adc_d", "vec_id")
     )

@@ -648,3 +648,30 @@ def test_avi_codec_roundtrip():
         arr = np.frombuffer(dib, dtype=np.uint8).reshape(h, stride)
         for y in range(h):
             assert (arr[h - 1 - y, : w * 3].reshape(w, 3) == orig[y, :, ::-1]).all()
+
+
+def test_pq_adc_recall_beats_chance(spark, sf_dir):
+    """ADC approximation quality, measured not guessed: mean recall@10
+    of the ADC top-10 vs the true L2 top-10. On ISOTROPIC random
+    vectors PQ has little structure to exploit (no clusters, no OPQ
+    rotation, untrained codebook), so absolute recall is modest by
+    nature — the assertion pins it well above the chance baseline
+    (10/N ≈ 0.02): implementation correctness is the oracle's job,
+    this guards approximation sanity."""
+    import numpy as np
+
+    rows = _run(spark, sf_dir, "q_sim_pq_topk").collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    ids = sorted(emb)
+    X = np.stack([emb[i] for i in ids])
+    recalls = []
+    for q in range(10):
+        d = ((X - emb[q]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        true10 = {ids[i] for i in order[:10]}
+        adc10 = {r.vec_id for r in rows if r.qid == q}
+        recalls.append(len(true10 & adc10) / 10)
+    assert sum(recalls) / len(recalls) >= 0.15, recalls

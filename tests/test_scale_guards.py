@@ -49,6 +49,9 @@ NESTED_LOOP_ALLOWED = {
     #                  division
     "q_graph_triangles",  # combining the three single-row census
     #                       aggregates (edges/wedges/triangles)
+    "q_sim_pq_topk",  # 10-query distance tables (10x128 cells) cross
+    #                   the codebook / ride broadcast onto the codes —
+    #                   both sides bounded by construction
 }
 
 
