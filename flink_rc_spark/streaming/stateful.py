@@ -265,3 +265,103 @@ def q_stream_ewma(spark, sf_dir):
         timeoutConf="NoTimeout",
     )
     return run_to_memory(out, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_funnel — conversion state machine as streaming state
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("step", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1", T.TimestampType()),
+        T.StructField("t2", T.TimestampType()),
+        T.StructField("t3", T.TimestampType()),
+    ]
+)
+
+
+def _funnel_kernel(key, pdf_iter, state):
+    """Per-user view→click→purchase state machine. Emits a row only at
+    each TRANSITION (step time getting set) — transitions are
+    invariant to micro-batch boundaries on the event-time-ordered
+    replay, which is what makes the streaming output equal the batch
+    CTE spelling row-for-row (emitting evolving state instead would
+    bake batch boundaries into the result)."""
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    outs = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for _, row in pdf.iterrows():
+            et, ts = row["event_type"], row["ts"]
+            if t1 is None:
+                if et == "view":
+                    t1 = ts
+                    outs.append((row["user_id"], 1, ts))
+            elif t2 is None:
+                if et == "click" and ts > t1:
+                    t2 = ts
+                    outs.append((row["user_id"], 2, ts))
+            elif t3 is None:
+                if et == "purchase" and ts > t2:
+                    t3 = ts
+                    outs.append((row["user_id"], 3, ts))
+    state.update((t1, t2, t3))
+    if outs:
+        yield pd.DataFrame(outs, columns=["user_id", "step", "ts"])
+
+
+@register(
+    "q_stream_funnel",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT user_id, 1 AS step, t1 AS ts FROM s1
+        UNION ALL SELECT user_id, 2 AS step, t2 AS ts FROM s2
+        UNION ALL SELECT user_id, 3 AS step, t3 AS ts FROM s3
+        ORDER BY user_id, step
+    """,
+)
+def q_stream_funnel(spark, sf_dir):
+    """REAL-TIME funnel: the strict-ordering view→click→purchase state
+    machine (batch twin: q_funnel_steps) carried per user in the
+    streaming state store, emitting a row at each conversion-step
+    transition. The batch oracle's 3-pass CTE chain computes the same
+    step times at rest; the hash match proves the incremental state
+    machine and the batch spelling agree — the streaming/batch
+    unification claim, now for a MULTI-step conditional state, not
+    just monotone accumulators.
+
+    Wait-free at scale: state is 3 timestamps per user; transition
+    rows are strictly fewer than input rows; everything shuffles once
+    on user_id into the state store.
+    """
+    ensure_package_shipped(spark)
+    s = events_stream(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _funnel_kernel,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return run_to_memory(out, output_mode="append")
