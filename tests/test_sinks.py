@@ -156,3 +156,29 @@ def test_avro_sink_reports_missing_datasource(spark, sf_dir, tmp_path):
         assert "spark-avro" in str(e)
     else:  # pragma: no cover - only on avro-equipped clusters
         assert spark.read.format("avro").load(out).count() == 10
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Spark 4 ships the (formerly spark-xml) XML datasource built in:
+    write nation as XML rows, read back with the same rowTag, and
+    compare exact values — source-breadth proof alongside
+    parquet/CSV/JSONL/ORC/text (XML has no DuckDB oracle, so this is
+    non-query surface like the ORC sink)."""
+    from flink_rc_spark.sources.tables import load
+
+    nation = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_xml")
+    (
+        nation.write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = spark.read.format("xml").option("rowTag", "nation").load(path)
+    a = {tuple(r) for r in nation.collect()}
+    b = {
+        tuple(r)
+        for r in back.select("n_nationkey", "n_name", "n_regionkey").collect()
+    }
+    assert a == b
