@@ -46,6 +46,15 @@ PROBE_KEYS = [
     "q_chunk_split",
     "q_vocab_topk",
     "q_text_normalize",
+    # r5 wave
+    "q_sketch_bloom",
+    "q_tfidf_topk",
+    "q_inverted_index",
+    "q_embedding_pq",
+    "q_sim_pq_topk",
+    "q_graph_triangles",
+    "q_bpe_merges",
+    "q_curation_pipeline",
 ]
 
 
