@@ -308,3 +308,89 @@ def q_ts_ewma(spark, sf_dir):
             " (acc, x) -> IF(acc IS NULL, x, 0.25 * x + 0.75 * acc))"
         ).alias("ewma"),
     ).orderBy("user_id")
+
+
+@register(
+    "q_scd2_lookup",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, ts, event_type, rn
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    dim AS (
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY rn) AS valid_to
+        FROM changes
+    ),
+    probes AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_id % 97 = 0
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           d.event_type AS state_at_ts, d.valid_from
+    FROM probes p
+    JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    ORDER BY p.event_id
+    """,
+    tags=("timeseries", "join", "window"),
+)
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time (temporal) lookup against the SCD2 dimension:
+    for a deterministic ~1% probe set of events, find the version row
+    whose [valid_from, valid_to) interval covers the probe timestamp —
+    the "what was this user's state WHEN the fact happened" join every
+    versioned-dimension warehouse runs.
+
+    The intervals partition each user's timeline (half-open,
+    consecutive), so every probe matches EXACTLY one version — row
+    count == probe count is part of what the hash verifies. Plan: the
+    dim build reuses q_scd2_intervals' one-exchange double window; the
+    temporal join is an equi-join on user_id with the range condition
+    as a residual predicate — never a cartesian, and at 100 TB both
+    sides bucket by the same user key (the dim is tiny relative to
+    facts after run-collapse).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state_at_ts"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    probes = e.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        probes.join(
+            dim,
+            (F.col("d_user") == F.col("user_id"))
+            & (F.col("valid_from") <= F.col("ts"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select("event_id", "user_id", "ts", "state_at_ts", "valid_from")
+        .orderBy("event_id")
+    )
