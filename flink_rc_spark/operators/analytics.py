@@ -209,3 +209,160 @@ def q_anomaly_zscore(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_sessionize_stats",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_id, value,
+                   CAST(SUM(is_start) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_no
+            FROM marked
+        )
+        SELECT user_id, session_no,
+               MIN(ts) AS session_start,
+               CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+                   AS duration_s,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_no
+    """,
+    tags=("analytics", "window", "agg"),
+)
+def q_sessionize_stats(spark, sf_dir):
+    """Batch sessionization with a 30-minute inactivity gap — the
+    gaps-and-islands TIME variant (q_scd2_intervals is the VALUE-run
+    variant; q_stream_session is the streaming twin via
+    session_window): mark session starts with a lag-compare, number
+    them with a running sum, then aggregate per-session duration /
+    volume stats.
+
+    One exchange total: the lag window, the running-sum window, and
+    the per-(user, session) aggregate all live on the same user_id
+    hash partitioning — Spark reuses the sort/exchange across all
+    three (same pattern q_scd2_intervals plan-asserts). Duration and
+    counts are integer-exact; values sum through decimal.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    marked = ev.withColumn(
+        "is_start",
+        F.when(F.lag("ts").over(w).isNull() | (gap_s > 1800), 1).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = marked.withColumn("session_no", F.sum("is_start").over(wrun))
+    from flink_rc_spark.functions.exact import dsum
+
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts").cast("long") - F.min("ts").cast("long"))
+            .cast("bigint")
+            .alias("duration_s"),
+            F.count("*").alias("n_events"),
+            dsum("value", 18, 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+        SELECT
+            (SELECT COUNT(*) FROM orders) AS orders_rows,
+            (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                AS dup_orderkeys,
+            (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                AS null_custkeys,
+            (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (
+                 SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+             )) AS orphan_orders,
+            (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (
+                 SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+             )) AS orphan_lineitems,
+            (SELECT COUNT(*) FROM lineitem
+             WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1
+                OR l_extendedprice < 0) AS domain_violations,
+            (SELECT COUNT(*) FROM orders
+             WHERE o_orderdate > TIMESTAMP '2026-01-01') AS future_orders
+    """,
+    tags=("analytics", "dq", "join"),
+)
+def q_dq_checks(spark, sf_dir):
+    """Data-quality audit in one declared plan — the checks a
+    warehouse runs before trusting a load: row counts, key uniqueness,
+    null keys, referential integrity in BOTH fact directions
+    (orders→customer, lineitem→orders), domain-range rules, and
+    future-dated records. One row of violation counters (all zeros on
+    this data except the structural row count — which is the point:
+    the hash proves the checks RAN and found clean data, not that they
+    were skipped).
+
+    Plan shape: the uniqueness check is a count-distinct aggregate;
+    each referential check is a LEFT ANTI join on the key (the same
+    shuffle the real join would do — at 100 TB you run these as
+    bucketed anti-joins on the load's own partitioning); domain rules
+    fold into one scan each.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    orders_rows = orders.agg(F.count("*").alias("orders_rows"))
+    dup = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_orderkeys")
+    )
+    nulls = orders.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkeys")
+    )
+    orphan_o = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_orders"))
+    )
+    orphan_l = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    domain = li.agg(
+        F.count(
+            F.when(
+                (F.col("l_quantity") <= 0)
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1)
+                | (F.col("l_extendedprice") < 0),
+                1,
+            )
+        ).alias("domain_violations")
+    )
+    future = orders.agg(
+        F.count(
+            F.when(
+                F.col("o_orderdate") > F.lit("2026-01-01").cast("timestamp"), 1
+            )
+        ).alias("future_orders")
+    )
+    out = orders_rows
+    for d in (dup, nulls, orphan_o, orphan_l, domain, future):
+        out = out.join(F.broadcast(d))
+    return out

@@ -52,6 +52,7 @@ NESTED_LOOP_ALLOWED = {
     "q_sim_pq_topk",  # 10-query distance tables (10x128 cells) cross
     #                   the codebook / ride broadcast onto the codes —
     #                   both sides bounded by construction
+    "q_dq_checks",  # combining seven single-row audit counters
 }
 
 
