@@ -395,3 +395,57 @@ def q_inverted_index(spark, sf_dir):
         .orderBy(F.desc("df"), "tok")
         .limit(100)
     )
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(text) + 1), i -> text[i]) AS cs
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(cs) AS BIGINT) AS n_chars,
+               CAST(len(list_distinct(cs)) AS INT) AS alphabet,
+               ROUND(-list_reduce(
+                   list_transform(list_sort(list_distinct(cs)), c ->
+                       (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+                        / len(cs))
+                       * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+                              / len(cs))),
+                   (acc, x) -> acc + x), 4) AS char_entropy
+        FROM chars
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "hof"),
+)
+def q_text_entropy(spark, sf_dir):
+    """Per-document character-distribution Shannon entropy — the
+    curation signal for gibberish/boilerplate detection (natural text
+    sits in a narrow entropy band; base64 blobs score high, repeated
+    padding scores low). Alphabet size rides along as the cheap
+    companion stat.
+
+    Determinism: character frequencies are integer-exact; the entropy
+    sum folds the distinct characters in SORTED order in both engines
+    (Spark aggregate over sort_array ≡ DuckDB list_reduce over
+    list_sort), so the only cross-engine risk is log2's final ulp,
+    absorbed by ROUND(4). Pure per-row array HOFs: no shuffle, no
+    Python; at 100 TB this is a free rider on any corpus scan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cs = docs.select("doc_id", F.split("text", "").alias("cs"))
+    p = "(CAST(size(filter(cs, x -> x = c)) AS DOUBLE) / size(cs))"
+    return cs.select(
+        "doc_id",
+        F.size("cs").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct("cs")).cast("int").alias("alphabet"),
+        F.round(
+            -F.expr(
+                f"aggregate(sort_array(array_distinct(cs)), 0d,"
+                f" (acc, c) -> acc + {p} * log2({p}))"
+            ),
+            4,
+        ).alias("char_entropy"),
+    ).orderBy("doc_id")
