@@ -449,3 +449,95 @@ def q_text_entropy(spark, sf_dir):
             4,
         ).alias("char_entropy"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_ngram_lm",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        doc_bigrams AS (
+            SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> {'w1': t[i], 'w2': t[i+1]})) AS u
+                FROM toks
+            )
+        ),
+        uni AS (
+            SELECT w1, COUNT(*) AS c1 FROM doc_bigrams GROUP BY w1
+        ),
+        bi AS (
+            SELECT w1, w2, COUNT(*) AS c2 FROM doc_bigrams GROUP BY w1, w2
+        ),
+        probs AS (
+            SELECT b.w1, b.w2,
+                   CAST(ROUND(log2(CAST(b.c2 AS DOUBLE) / u.c1), 6)
+                        AS DECIMAL(12,6)) AS logp
+            FROM bi b JOIN uni u ON u.w1 = b.w1
+        )
+        SELECT d.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(p.logp) AS DOUBLE) AS total_logp,
+               ROUND(-CAST(SUM(p.logp) AS DOUBLE) / COUNT(*), 4)
+                   AS bits_per_bigram
+        FROM doc_bigrams d
+        JOIN probs p ON p.w1 = d.w1 AND p.w2 = d.w2
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """,
+    tags=("llm", "text", "lm"),
+)
+def q_ngram_lm(spark, sf_dir):
+    """Bigram language-model scoring — the count-based perplexity
+    filter curation pipelines run to drop statistically anomalous
+    documents: MLE bigram log-probs fit on the corpus itself, then
+    each document scored by its average bits-per-bigram (low =
+    formulaic, high = unusual transitions).
+
+    Float-sum order independence WITHOUT a per-doc fold: each bigram's
+    log2 prob is rounded to 6 dp and CAST TO DECIMAL(12,6) before the
+    per-doc SUM, so the aggregation is exact and order-free in both
+    engines — the decimal-routing idiom (functions/exact.py) applied
+    to model scores instead of money. Counts are integer-exact; the
+    final bits-per-bigram divides two exactly-agreed numbers.
+
+    100 TB: the LM "fit" is two hash aggs (vocab-bounded); scoring is
+    one fact-side join per bigram against the broadcastable prob
+    table and one doc-keyed agg. The same shape scales to trigrams by
+    widening the key.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _toks().alias("t"))
+    doc_bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = doc_bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    bi = doc_bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    probs = bi.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.round(F.log2(F.col("c2").cast("double") / F.col("c1")), 6)
+        .cast("decimal(12,6)")
+        .alias("logp"),
+    )
+    return (
+        doc_bigrams.join(F.broadcast(probs), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("logp").cast("double").alias("total_logp"),
+            F.round(
+                -F.sum("logp").cast("double") / F.count("*"), 4
+            ).alias("bits_per_bigram"),
+        )
+        .orderBy("doc_id")
+    )
