@@ -176,3 +176,48 @@ def test_doc_shuffle_is_partitioning_invariant_permutation(spark, sf_dir):
         for r in REGISTRY["q_doc_shuffle"].builder(spark, sf_dir).collect()
     }
     assert again == base
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    n=st.integers(1, 200),
+    ch=st.integers(1, 2),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, sr, seed):
+    from flink_rc_spark.llm.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, (n, ch)).astype(np.int16)
+    out, rate = decode_wav(encode_wav(samples, sr))
+    assert rate == sr and out.shape == (n, ch) and (out == samples).all()
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    h=st.integers(1, 6),
+    w=st.integers(1, 6),
+    nf=st.integers(1, 6),
+    fps=st.sampled_from([5, 10, 30]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(h, w, nf, fps, seed):
+    """Any geometry: AVI container parse recovers geometry, frame
+    count, fps, and every pixel byte through the DIB row layout
+    (bottom-up, BGR, 4-byte-aligned rows)."""
+    from flink_rc_spark.llm.video import decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(nf)
+    ]
+    dw, dh, dfps, dn, dibs = decode_avi(encode_avi(frames, fps))
+    assert (dw, dh, dfps, dn) == (w, h, fps, nf)
+    stride = ((w * 3 + 3) // 4) * 4
+    for orig, dib in zip(frames, dibs):
+        arr = np.frombuffer(dib, dtype=np.uint8).reshape(h, stride)
+        for y in range(h):
+            assert (
+                arr[h - 1 - y, : w * 3].reshape(w, 3) == orig[y, :, ::-1]
+            ).all()
