@@ -876,3 +876,121 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", F.round("adc_d", 4).alias("adc"))
         .orderBy("qid", "adc_d", "vec_id")
     )
+
+
+@register(
+    "q_sim_ann_filtered",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, label, e, {_NORM_DUCK} AS nrm FROM v),
+    bits AS (SELECT vec_id, label, e, nrm,
+                    list_transform(range(0, {_N_PLANES}),
+                                   j -> {_LSH_BIT_DUCK}) AS b
+             FROM n),
+    bands AS (SELECT vec_id, label, e, nrm, bd AS band_id,
+                     b[2 * bd + 1] * 2 + b[2 * bd + 2] AS code
+              FROM bits, range({_N_PLANES // 2}) r(bd)),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS qid, a.label AS qlabel,
+               b.vec_id AS vec_id
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id
+         AND a.code = b.code
+         AND a.label = b.label
+         AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10
+    ),
+    scored AS (
+        SELECT c.qid, c.qlabel, c.vec_id,
+               {_DOT_DUCK} / (a.nrm * b.nrm) AS cos
+        FROM cand c
+        JOIN n a ON a.vec_id = c.qid
+        JOIN n b ON b.vec_id = c.vec_id
+    )
+    SELECT qid, qlabel, vec_id, ROUND(cos, 4) AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= 5
+    ORDER BY qid, cos DESC, vec_id
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def q_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTRIBUTE-FILTERED vector search — "nearest neighbors within a
+    category": top-5 same-label neighbors per query via banded LSH
+    (4 bands × 2 hyperplanes, OR semantics) with the label pushed INTO
+    the band join key. Filtered search is the production ANN case
+    engines get wrong by post-filtering (top-k then filter loses
+    recall when the filter is selective); filtering inside candidate
+    generation searches the constrained space directly — fan-out
+    shrinks by label selectivity, recall doesn't.
+
+    Same md5-derived hyperplanes as q_sim_ann_lsh, so the whole
+    filtered search stays exact-oracle-checkable; candidates are
+    distinct-deduped across bands and ranked by the raw bit-identical
+    cosine.
+    """
+    n = _vectors(spark, sf_dir)
+    bit_cols = [
+        F.expr(_lsh_bit_spark(j)).alias(f"bit{j}") for j in range(_N_PLANES)
+    ]
+    h = n.select("vec_id", "label", "e", "nrm", *bit_cols)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(bd).alias("band_id"),
+                (F.col(f"bit{2 * bd}") * 2 + F.col(f"bit{2 * bd + 1}")).alias(
+                    "code"
+                ),
+            )
+            for bd in range(_N_PLANES // 2)
+        ]
+    )
+    bands = h.select(
+        "vec_id", "label", F.explode(band_entries).alias("bc")
+    ).select("vec_id", "label", "bc.band_id", "bc.code")
+    a = bands.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        "band_id",
+        "code",
+    )
+    b = bands.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("label").alias("blabel"),
+        F.col("band_id").alias("band_b"),
+        F.col("code").alias("code_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_b"))
+            & (F.col("code") == F.col("code_b"))
+            & (F.col("qlabel") == F.col("blabel"))
+            & (F.col("qid") != F.col("vec_id")),
+        )
+        .select("qid", "qlabel", "vec_id")
+        .distinct()
+    )
+    qv = n.select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    bv = n.select(
+        F.col("vec_id").alias("vec_id"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
+    scored = cand.join(qv, "qid").join(bv, "vec_id").select(
+        "qid", "qlabel", "vec_id", cos.alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "qlabel", "vec_id", F.round("cos", 4).alias("cosine"))
+        .orderBy("qid", F.desc("cos"), "vec_id")
+    )
