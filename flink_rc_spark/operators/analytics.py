@@ -366,3 +366,138 @@ def q_dq_checks(spark, sf_dir):
     for d in (dup, nulls, orphan_o, orphan_l, domain, future):
         out = out.join(F.broadcast(d))
     return out
+
+
+@register(
+    "q_basket_pairs",
+    oracle="""
+        WITH basket AS (
+            SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )
+        SELECT a.part AS part_a, b.part AS part_b,
+               COUNT(*) AS support
+        FROM basket a JOIN basket b
+          ON a.cust = b.cust AND a.part < b.part
+        GROUP BY a.part, b.part
+        ORDER BY support DESC, part_a, part_b
+        LIMIT 20
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the top-20 part pairs bought by
+    the most customers — the "users who bought X also bought Y"
+    primitive behind co-occurrence recommenders.
+
+    The oracle spells the candidate generation as the textbook
+    self-join on the customer key (shuffles the basket table TWICE and
+    re-joins); the builder collects each customer's sorted distinct
+    parts ONCE and emits in-basket ordered combinations with the same
+    flatten/slice generator the MinHash buckets use — one shuffle, no
+    self-join, pairwise work bounded by basket size (the skew knob at
+    100 TB: cap or sample oversized baskets before the fan-out; the
+    driver hash proves the generator equals the self-join spelling).
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    basket = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    per_cust = basket.groupBy("cust").agg(
+        F.sort_array(F.collect_set("part")).alias("parts")
+    )
+    pairs = per_cust.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (a, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " b -> struct(a AS part_a, b AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT c_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                       AS monetary
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        ),
+        scored AS (
+            SELECT c_custkey, last_order, frequency, monetary,
+                   NTILE(4) OVER (ORDER BY last_order, c_custkey) AS r_score,
+                   NTILE(4) OVER (ORDER BY frequency, c_custkey) AS f_score,
+                   NTILE(4) OVER (ORDER BY monetary, c_custkey) AS m_score
+            FROM rfm
+        )
+        SELECT r_score, f_score, m_score,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(monetary AS DECIMAL(14,2))) AS DOUBLE)
+                   AS segment_value
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+    """,
+    tags=("analytics", "window", "agg"),
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: quartile-score every customer on
+    Recency (last order date), Frequency (order count), and Monetary
+    (decimal-exact lifetime value), then report the 4×4×4 segment
+    grid — the standard CRM slicing.
+
+    NTILE ties are broken by custkey so the quartile assignment is a
+    TOTAL order and hash-stable cross-engine. Scale note: the three
+    global NTILEs are single-partition windows over the CUSTOMER
+    AGGREGATE (one row per customer — already 3 orders of magnitude
+    smaller than the fact); at 100 TB you'd swap exact NTILE for
+    percentile boundaries from q_agg_percentile's sketching path, the
+    documented accuracy/latency trade.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    from flink_rc_spark.functions.exact import dsum
+
+    rfm = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            dsum("o_totalprice", 14, 2).alias("monetary"),
+        )
+    )
+    scored = (
+        rfm.withColumn(
+            "r_score", F.ntile(4).over(Window.orderBy("last_order", "c_custkey"))
+        )
+        .withColumn(
+            "f_score", F.ntile(4).over(Window.orderBy("frequency", "c_custkey"))
+        )
+        .withColumn(
+            "m_score", F.ntile(4).over(Window.orderBy("monetary", "c_custkey"))
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("monetary", 14, 2).alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
