@@ -485,3 +485,74 @@ def q_curation_pipeline(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "q_source_quality",
+    oracle=f"""
+        WITH feat AS (
+            SELECT source, lang, n_chars,
+                   len(string_split(text, ' ')) AS n_tok,
+                   {_marker_count_sql(_STOPWORDS)} AS n_stop,
+                   md5(text) AS h
+        FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 4)
+                   AS avg_tokens,
+               CAST(SUM(CASE WHEN n_tok >= 20
+                              AND CAST(n_stop AS DOUBLE) / n_tok < 0.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups
+        FROM feat
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "curation", "agg"),
+)
+def q_source_quality(spark, sf_dir):
+    """Per-SOURCE corpus health dashboard: volume, average length,
+    quality-gate pass counts, language spread, and exact-duplicate
+    counts — the rollup a data team reads before deciding which
+    sources to keep, upweight, or drop (source-level curation, the
+    step BEFORE document-level filtering).
+
+    One scan, one hash agg on source; the dup counter is
+    count(*) − count(distinct md5) per source (integer-exact). At
+    100 TB each distinct-aggregate adds a per-group dedup pass —
+    bounded by docs-per-source, the natural partitioning of a
+    source-sharded lake.
+    """
+    from flink_rc_spark.llm.text import _STOPWORDS, _marker_count_expr
+
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.expr(_marker_count_expr(_STOPWORDS)).alias("n_stop"),
+        F.md5("text").alias("h"),
+    )
+    quality = F.when(
+        (F.col("n_tok") >= 20)
+        & (F.col("n_stop").cast("double") / F.col("n_tok") < 0.5),
+        1,
+    ).otherwise(0)
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.count("*"), 4
+            ).alias("avg_tokens"),
+            F.sum(quality).cast("bigint").alias("n_quality_pass"),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.count("*") - F.countDistinct("h")).alias("n_exact_dups"),
+        )
+        .orderBy("source")
+    )

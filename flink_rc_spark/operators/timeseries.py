@@ -394,3 +394,71 @@ def q_scd2_lookup(spark, sf_dir):
         .select("event_id", "user_id", "ts", "state_at_ts", "valid_from")
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_ts_forecast_eval",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+            FROM events
+            GROUP BY event_type, h
+        ),
+        lagged AS (
+            SELECT event_type, h, v,
+                   lag(v, 168) OVER (PARTITION BY event_type ORDER BY h)
+                       AS forecast
+            FROM hourly
+        )
+        SELECT event_type,
+               COUNT(forecast) AS n_eval,
+               CAST(SUM(CAST(ROUND(abs(v - forecast), 2) AS DECIMAL(18,2)))
+                    AS DOUBLE) / COUNT(forecast) AS mae,
+               CAST(SUM(CASE WHEN v > forecast THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_over
+        FROM lagged
+        WHERE forecast IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("timeseries", "window", "agg"),
+)
+def q_ts_forecast_eval(spark, sf_dir):
+    """Seasonal-naive forecast evaluation: predict each hour's volume
+    with the same hour LAST WEEK (lag 168 on the hourly series) and
+    score MAE per event type — the baseline any learned forecaster
+    (the RC module's ESN included; tests/test_rc.py asserts the ESN
+    beats naive persistence on Mackey-Glass) must beat, expressed as a
+    declared query so the eval itself is hash-verified.
+
+    Exactness: hourly sums are decimal; |v − forecast| of two exact
+    doubles is deterministic, rounded to cents and routed back through
+    DECIMAL for the order-free MAE numerator. One exchange: the hourly
+    agg, the lag window, and the final agg share the event_type
+    partitioning.
+    """
+    from flink_rc_spark.functions.exact import dsum
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value", 18, 2).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.withColumn("forecast", F.lag("v", 168).over(w)).filter(
+        F.col("forecast").isNotNull()
+    )
+    abs_err = F.round(F.abs(F.col("v") - F.col("forecast")), 2).cast(
+        "decimal(18,2)"
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count("forecast").alias("n_eval"),
+            (F.sum(abs_err).cast("double") / F.count("forecast")).alias("mae"),
+            F.sum(F.when(F.col("v") > F.col("forecast"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_over"),
+        )
+        .orderBy("event_type")
+    )
