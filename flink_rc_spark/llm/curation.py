@@ -556,3 +556,81 @@ def q_source_quality(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# target language mixture for q_mixture_plan (shares sum to 1)
+_MIX_TARGET = {"en": 0.5, "es": 0.2, "de": 0.1, "fr": 0.1, "zh": 0.1}
+
+
+@register(
+    "q_mixture_plan",
+    oracle=f"""
+        WITH target(lang, share) AS (VALUES
+            {", ".join(f"('{k}', CAST({v} AS DOUBLE))" for k, v in _MIX_TARGET.items())}
+        ),
+        avail AS (
+            SELECT lang,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS avail_tokens
+            FROM documents GROUP BY lang
+        ),
+        joined AS (
+            SELECT t.lang, t.share, a.avail_tokens,
+                   CAST(a.avail_tokens AS DOUBLE) / t.share AS max_scale
+            FROM target t JOIN avail a ON a.lang = t.lang
+        ),
+        k AS (SELECT MIN(max_scale) AS k FROM joined)
+        SELECT j.lang, j.share AS target_share, j.avail_tokens,
+               CAST(floor(k.k * j.share) AS BIGINT) AS planned_tokens,
+               ROUND(floor(k.k * j.share) / j.avail_tokens, 4) AS sample_rate
+        FROM joined j, k
+        ORDER BY j.lang
+    """,
+    tags=("llm", "curation", "agg"),
+)
+def q_mixture_plan(spark, sf_dir):
+    """Pretraining data-MIXTURE planning: given a target language mix
+    and the corpus's available tokens per language, find the largest
+    total budget k such that every language can fill its share without
+    oversampling (k = min over langs of available/share — the binding
+    constraint), then emit per-language planned tokens and sampling
+    rates. This is the arithmetic behind every "X% web, Y% code"
+    pretraining recipe; the rates feed q_sample_stratified's
+    deterministic per-stratum sampler.
+
+    Exactness: token counts are integers; k and the planned floor()
+    are single double operations on exactly-agreed inputs. The scalar
+    min rides a single-partition window over the 5-language rollup —
+    scale-irrelevant (the fact-sized work is the token count, one hash
+    agg).
+    """
+    docs = load(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("avail_tokens")
+    )
+    share = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _MIX_TARGET.items()
+        ]
+    ).cast("double")
+    joined = avail.withColumn("target_share", share).withColumn(
+        "max_scale", F.col("avail_tokens").cast("double") / F.col("target_share")
+    )
+    w_all = W.partitionBy()
+    planned = F.floor(F.min("max_scale").over(w_all) * F.col("target_share")).cast(
+        "bigint"
+    )
+    return (
+        joined.withColumn("planned_tokens", planned)
+        .select(
+            "lang",
+            "target_share",
+            "avail_tokens",
+            "planned_tokens",
+            F.round(
+                F.col("planned_tokens") / F.col("avail_tokens"), 4
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
