@@ -365,3 +365,100 @@ def q_stream_funnel(spark, sf_dir):
         timeoutConf="NoTimeout",
     )
     return run_to_memory(out, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_esn — the reservoir recurrence as streaming VECTOR state
+# ---------------------------------------------------------------------------
+
+_ESN_NX = 16
+
+ESN_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("state_norm", T.DoubleType()),
+    ]
+)
+
+ESN_STATE_SCHEMA = T.StructType(
+    [T.StructField("x", T.ArrayType(T.DoubleType()))]
+)
+
+
+def _esn_weights():
+    """Deterministic small reservoir shared by the streaming kernel
+    and the batch-twin test (seeded init, closure-captured)."""
+    from flink_rc_spark.rc.reservoir import ReservoirConfig, init_weights
+
+    cfg = ReservoirConfig(n_u=1, n_x=_ESN_NX, seed=7, spectral_radius=0.8)
+    w_in, w = init_weights(cfg)
+    return cfg, w_in, w
+
+
+def _esn_kernel(key, pdf_iter, state):
+    """Per-series reservoir state transition across micro-batches: the
+    reference's R4 operator state (x(t-1) held in the Flink operator
+    instance) becomes a state-store array<double>. The kernel calls
+    the SAME ``reservoir_scan`` the batch RC module runs, seeded from
+    stored state, so stream and batch trajectories are bit-identical
+    float-for-float (asserted in tests/test_streaming.py)."""
+    import numpy as np
+
+    from flink_rc_spark.rc.reservoir import reservoir_scan
+
+    cfg, w_in, w = _esn_weights()
+    x = np.array(state.get[0], dtype=float) if state.exists else None
+    outs = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        u = pdf[["value"]].to_numpy(dtype=float)
+        states = reservoir_scan(u, w_in, w, cfg.include_bias, x0=x)
+        if len(states):
+            x = states[-1]
+        outs.append(
+            pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "x0": states[:, 0],
+                    "state_norm": np.sqrt((states * states).sum(axis=1)),
+                }
+            )
+        )
+    state.update((list(map(float, x)) if x is not None else None,))
+    return iter(outs)
+
+
+@register("q_stream_esn", oracle=None)
+def q_stream_esn(spark, sf_dir):
+    """STREAMING ESN reservoir — the reference's E2 pipeline
+    (SURVEY.md §3.1: reservoir state evolving over an unbounded
+    stream) in its most literal Spark form: the x(t−1) vector lives in
+    the streaming state store per series (user), advanced each
+    micro-batch by the SAME numpy ``reservoir_scan`` the batch RC
+    module uses.
+
+    Rows-only by the float-trajectory rationale (q_esn_reservoir's):
+    no SQL oracle can express tanh recurrences. The quantitative check
+    lives in tests/test_streaming.py: the streamed trajectory must be
+    BIT-IDENTICAL to the batch reservoir on the same series — state
+    carry-over across micro-batch boundaries is exactly the claim
+    being proven (a fresh-state-per-batch bug would diverge at batch 2
+    row 1).
+
+    100 TB: state is n_x doubles per series in the state store
+    (RocksDB at scale); throughput scales with series count exactly
+    like the batch twin — the reference's own parallelism model.
+    """
+    ensure_package_shipped(spark)
+    s = events_stream(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _esn_kernel,
+        outputStructType=ESN_OUT_SCHEMA,
+        stateStructType=ESN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return run_to_memory(out, output_mode="append")

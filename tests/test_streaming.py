@@ -229,3 +229,41 @@ def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
     assert back.count() == expect.count()
     assert back.exceptAll(expect).count() == 0
     assert expect.exceptAll(back).count() == 0
+
+
+def test_stream_esn_matches_batch_reservoir_bit_exact(spark, sf_dir):
+    """The streaming reservoir must produce the SAME float trajectory
+    as the batch scan on every series — bit-identical, no tolerance:
+    the stream seeds each micro-batch from stored state and both paths
+    run the identical numpy kernel, so any divergence means state
+    carry-over broke (e.g. fresh state per batch)."""
+    import numpy as np
+
+    from flink_rc_spark.registry import REGISTRY, load_all
+    from flink_rc_spark.rc.reservoir import reservoir_scan
+    from flink_rc_spark.sources.tables import load
+    from flink_rc_spark.streaming.stateful import _esn_weights
+
+    load_all()
+    streamed = (
+        REGISTRY["q_stream_esn"].builder(spark, sf_dir).collect()
+    )
+    got = {(r.user_id, r.event_id): (r.x0, r.state_norm) for r in streamed}
+
+    cfg, w_in, w = _esn_weights()
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    import pandas as pd
+
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    n_checked = 0
+    for uid, g in pdf.groupby("user_id"):
+        u = g[["value"]].to_numpy(dtype=float)
+        states = reservoir_scan(u, w_in, w, cfg.include_bias)
+        norms = np.sqrt((states * states).sum(axis=1))
+        for i, eid in enumerate(g["event_id"].to_numpy()):
+            x0, nrm = got[(uid, eid)]
+            assert x0 == states[i, 0] and nrm == norms[i], (uid, eid)
+            n_checked += 1
+    assert n_checked == len(got) and n_checked > 0
