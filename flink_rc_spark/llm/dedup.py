@@ -677,3 +677,122 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         edges.unpersist(blocking=False)
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_transform(e, x -> x*x),
+                                  (acc, x) -> acc + x)) AS nrm
+          FROM v),
+    h AS (SELECT vec_id, e, nrm,
+                 CAST(list_sum(list_transform(range(0, 8), j ->
+                      (CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+                         (strpos('0123456789abcdef',
+                          substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 8.5)
+                         * e[i]), (acc, x) -> acc + x) >= 0 THEN 1 ELSE 0 END)
+                      * CAST(power(2, j) AS BIGINT)))
+                      AS BIGINT) AS bucket
+          FROM n),
+    cand AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               list_reduce(list_transform(range(1, 65),
+                           i -> a.e[i] * b.e[i]), (acc, x) -> acc + x)
+                   / (a.nrm * b.nrm) AS cos
+        FROM h a JOIN h b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    close AS (SELECT doc_a, doc_b, cos FROM cand WHERE cos >= 0.30),
+    sh AS (
+        SELECT doc_id, {_SHINGLES_DUCK} AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+    )
+    SELECT c.doc_a, c.doc_b, ROUND(c.cos, 4) AS cosine,
+           CAST(len(list_intersect(sa.s, sb.s)) AS INT) AS n_shared,
+           ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                 4) AS jaccard,
+           (CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+            >= 0.2) AS is_dup
+    FROM close c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup — the cross-MODAL composition: embedding-space
+    candidates (8-plane LSH bucket join + exact cosine ≥ 0.30) are
+    verified against the TEXT with exact 3-gram-shingle Jaccard, and
+    each pair reports both signals plus the combined verdict. This is
+    the production near-dup architecture when embeddings and text
+    disagree (paraphrases score high cosine / low Jaccard; boilerplate
+    scores low cosine / high Jaccard) — the engine must join the two
+    modalities, not pick one.
+
+    Both stages reuse already-hash-verified machinery (the ANN bucket
+    join of q_sim_ann_lsh; the shingle sets of q_dedup_ngram_jaccard),
+    so the whole composition keeps an exact oracle. Scale: candidates
+    come from the bucket equi-join (never all-pairs); shingle sets
+    attach only to the ≤|candidates| surviving docs via two hash
+    joins.
+    """
+    from flink_rc_spark.llm.similarity import (
+        _DOT_SPARK,
+        _lsh_bit_spark,
+        _vectors,
+    )
+
+    n = _vectors(spark, sf_dir)
+    bucket_expr = " + ".join(
+        f"({_lsh_bit_spark(j)}) * {2 ** j}" for j in range(8)
+    )
+    h = n.withColumn("bucket", F.expr(bucket_expr).cast("bigint"))
+    a = h.select(
+        F.col("vec_id").alias("doc_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = h.select(
+        F.col("vec_id").alias("doc_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"),
+    )
+    cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
+    close = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.30)
+    )
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter.cast("double") / union
+    return (
+        close.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("cos", 4).alias("cosine"),
+            inter.cast("int").alias("n_shared"),
+            F.round(jac, 4).alias("jaccard"),
+            (jac >= 0.2).alias("is_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
