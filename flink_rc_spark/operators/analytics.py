@@ -501,3 +501,159 @@ def q_rfm_segments(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "q_merge_classify",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey AS k,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                       AS old_val
+            FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_custkey
+        ),
+        delta AS (
+            SELECT o_custkey AS k,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                       AS new_val
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_custkey
+        )
+        SELECT CASE WHEN b.k IS NULL THEN 'insert'
+                    WHEN d.k IS NULL THEN 'unchanged'
+                    ELSE 'update' END AS change_type,
+               COUNT(*) AS n_keys,
+               CAST(SUM(CAST(COALESCE(b.old_val, 0) AS DECIMAL(14,2))
+                        + CAST(COALESCE(d.new_val, 0) AS DECIMAL(14,2)))
+                    AS DOUBLE) AS merged_value
+        FROM base b FULL OUTER JOIN delta d ON b.k = d.k
+        GROUP BY change_type
+        ORDER BY change_type
+    """,
+    tags=("analytics", "join", "etl"),
+)
+def q_merge_classify(spark, sf_dir):
+    """MERGE INTO, classified: apply a change batch (1997 order
+    volumes) to a base state (pre-1997 volumes) and report what the
+    merge DID — inserts (keys first seen in the batch), updates (keys
+    in both), unchanged (base keys the batch missed) — with the merged
+    value per class. This is the upsert-audit every incremental ETL
+    job logs; the full-outer join IS the merge's matching phase, and
+    the classification is the CASE over null sides.
+
+    Exact decimals end-to-end. 100 TB: base and delta shuffle once on
+    the merge key (bucketed tables co-locate it away — the
+    tests/test_bucketing.py path); classification adds no extra
+    exchange (the CASE rides the join output into a 3-group agg).
+    """
+    from flink_rc_spark.functions.exact import dsum
+
+    orders = load(spark, sf_dir, "orders")
+    base = (
+        orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("bk"))
+        .agg(dsum("o_totalprice", 14, 2).alias("old_val"))
+    )
+    delta = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_custkey").alias("dk"))
+        .agg(dsum("o_totalprice", 14, 2).alias("new_val"))
+    )
+    merged = base.join(delta, base.bk == delta.dk, "full_outer")
+    change_type = (
+        F.when(F.col("bk").isNull(), "insert")
+        .when(F.col("dk").isNull(), "unchanged")
+        .otherwise("update")
+    )
+    val = F.coalesce(F.col("old_val"), F.lit(0.0)).cast(
+        "decimal(14,2)"
+    ) + F.coalesce(F.col("new_val"), F.lit(0.0)).cast("decimal(14,2)")
+    return (
+        merged.select(change_type.alias("change_type"), val.alias("v"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("v").cast("double").alias("merged_value"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
+    "q_pareto_abc",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(12,2))
+                          - CAST(l_discount AS DECIMAL(12,2)))) AS r
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT l_partkey, r,
+                   SUM(r) OVER (ORDER BY r DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(r) OVER () AS total
+            FROM rev
+        )
+        SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                         THEN 'A'
+                    WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+                         THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               COUNT(*) AS n_parts,
+               CAST(SUM(r) AS DOUBLE) AS class_revenue
+        FROM ranked
+        GROUP BY abc_class
+        ORDER BY abc_class
+    """,
+    tags=("analytics", "window", "agg"),
+)
+def q_pareto_abc(spark, sf_dir):
+    """Pareto / ABC classification: rank parts by revenue, classify by
+    cumulative share (A: first 80%, B: to 95%, C: tail) — the
+    inventory-management standard for "which 20% of parts make 80% of
+    revenue".
+
+    The cumulative sum runs over EXACT decimals in a total order
+    (revenue desc, partkey), so the share boundaries — double
+    divisions of exactly-agreed decimals — classify identically
+    cross-engine; no boundary row can flip. Scale: the per-part
+    aggregate is the fact-sized work; the ranked cumsum is a
+    single-partition window over the PART rollup (dim-sized, the
+    q_rfm_segments trade — swap in percentile boundaries at extreme
+    part counts).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    from flink_rc_spark.functions.exact import dec, dlit
+
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (dlit(1) - dec("l_discount"))).alias("r")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("r"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.withColumn("cum", F.sum("r").over(w_cum)).withColumn(
+        "total", F.sum("r").over(w_all)
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    abc = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        ranked.select(abc.alias("abc_class"), "r")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
