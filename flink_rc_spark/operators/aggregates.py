@@ -444,3 +444,55 @@ def q_agg_percentile(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_order_nested",
+    oracle="""
+        SELECT o_orderkey, o_orderdate,
+               COUNT(*) AS n_lines,
+               list(l_linenumber || ':' || l_partkey || ':'
+                    || CAST(CAST(l_quantity AS INT) AS VARCHAR)
+                    ORDER BY l_linenumber || ':' || l_partkey || ':'
+                    || CAST(CAST(l_quantity AS INT) AS VARCHAR)) AS lines
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderkey < 200
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY o_orderkey
+    """,
+    tags=("agg", "nested"),
+)
+def q_order_nested(spark, sf_dir):
+    """Nested document assembly: each order with its line items
+    collected into a lexicographically-ordered array — the denormalization
+    step that builds JSON/parquet EXPORT documents from a star schema
+    (the inverse of q_explode). Lines serialize to
+    'linenumber:partkey:qty' strings so the nested payload stays
+    byte-comparable cross-engine (struct arrays stringify differently
+    per client; strings don't), sorted BY that string — line numbers
+    are not unique per order in this data, so the serialized form is
+    the only total order both engines can agree on.
+
+    One shuffle on the orderkey; per-group memory is bounded by lines
+    per order (~7 max in TPC-H data — the safest collect_list bound in
+    the schema). The orderkey block filter bounds the declared output;
+    the plan is block-size-independent.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    li = load(spark, sf_dir, "lineitem")
+    line_str = F.concat_ws(
+        ":",
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_quantity").cast("int"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("line", line_str)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sort_array(F.collect_list("line")).alias("lines"),
+        )
+        .orderBy("o_orderkey")
+    )
