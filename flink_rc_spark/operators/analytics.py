@@ -650,3 +650,139 @@ def q_pareto_abc(spark, sf_dir):
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "q_fuzzy_join",
+    oracle="""
+        WITH named AS (
+            SELECT p_partkey, p_name,
+                   string_split(p_name, ' ')[2] AS block
+            FROM part
+        ),
+        pairs AS (
+            SELECT a.block,
+                   levenshtein(a.p_name, b.p_name) AS d
+            FROM named a JOIN named b
+              ON a.block = b.block AND a.p_partkey < b.p_partkey
+        )
+        SELECT n.block,
+               COUNT(DISTINCT n.p_partkey) AS n_parts,
+               (SELECT COUNT(*) FROM pairs p WHERE p.block = n.block)
+                   AS n_candidates,
+               (SELECT COUNT(*) FROM pairs p
+                WHERE p.block = n.block AND p.d <= 2) AS n_fuzzy,
+               (SELECT COUNT(*) FROM pairs p
+                WHERE p.block = n.block AND p.d = 0) AS n_exact
+        FROM named n
+        GROUP BY n.block
+        ORDER BY n.block
+    """,
+    tags=("analytics", "join", "text"),
+)
+def q_fuzzy_join(spark, sf_dir):
+    """Blocked FUZZY JOIN (entity resolution): part names matched
+    within edit distance ≤ 2, candidates generated per BLOCK (the
+    name's noun token) — the classic blocking-key architecture that
+    makes fuzzy matching survive scale: levenshtein runs only inside
+    blocks, never across the full cross product. Output is the
+    per-block audit (parts, candidates, fuzzy matches, exact dups) a
+    dedup/ER pipeline reports.
+
+    levenshtein is unit-cost edit distance with identical semantics in
+    Spark and DuckDB, so even the fuzzy counts hash-match. 100 TB:
+    block size bounds the quadratic (same knob as basket size /
+    LSH bucket occupancy); skewed blocks split by a second key (name
+    length band) — the standard ER blocking refinement.
+    """
+    part = load(spark, sf_dir, "part")
+    named = part.select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(1).alias("block"),
+    )
+    a = named.select(
+        F.col("block"), F.col("p_partkey").alias("ka"), F.col("p_name").alias("na")
+    )
+    b = named.select(
+        F.col("block").alias("block_b"),
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+    )
+    pairs = (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("ka") < F.col("kb")))
+        .withColumn("d", F.levenshtein("na", "nb"))
+        .select("block", "d")
+    )
+    pair_stats = pairs.groupBy("block").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("d") <= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fuzzy"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+    )
+    part_stats = named.groupBy("block").agg(
+        F.countDistinct("p_partkey").alias("n_parts")
+    )
+    return (
+        part_stats.join(pair_stats, "block", "left")
+        .select(
+            "block",
+            "n_parts",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_fuzzy", F.lit(0)).alias("n_fuzzy"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+        )
+        .orderBy("block")
+    )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+        SELECT p_partkey, p_retailprice, p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size <= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size < p.p_size)
+        )
+        ORDER BY p_retailprice, p_size, p_partkey
+    """,
+    tags=("analytics", "window"),
+)
+def q_skyline(spark, sf_dir):
+    """SKYLINE (Pareto frontier): parts where no other part is both
+    cheaper-or-equal AND smaller-or-equal (strict in one) — the
+    multi-criteria "best tradeoffs" operator from the classic Börzsönyi
+    et al. skyline paper.
+
+    The oracle is the quadratic NOT EXISTS dominator spelling; the
+    builder is the O(n log n) 2-D sweep: collapse to per-price minimum
+    sizes, take the running strict-prefix minimum over ascending
+    prices, and a part survives iff its size beats every
+    strictly-cheaper minimum AND is minimal within its own price
+    group. The driver hash proves the sweep equals the quadratic
+    definition. Scale: one window over the DISTINCT-price rollup plus
+    a broadcast-back join — no self-join of the base table.
+    """
+    part = load(spark, sf_dir, "part")
+    g = part.groupBy("p_retailprice").agg(F.min("p_size").alias("gmin"))
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g2 = g.withColumn("rm_strict", F.min("gmin").over(w))
+    return (
+        part.join(F.broadcast(g2), "p_retailprice")
+        .filter(
+            (F.col("rm_strict").isNull() | (F.col("p_size") < F.col("rm_strict")))
+            & (F.col("p_size") == F.col("gmin"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_size", "p_partkey")
+    )
