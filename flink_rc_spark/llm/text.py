@@ -554,3 +554,121 @@ def q_ngram_lm(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_BM25_TERMS = ("table", "stream", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_term_duck(term: str) -> str:
+    return f"""
+        (CASE WHEN tf_{term} > 0 THEN
+            ln((n_docs - df_{term} + 0.5) / (df_{term} + 0.5) + 1)
+            * tf_{term} * ({_BM25_K1} + 1)
+            / (tf_{term} + {_BM25_K1} * (1 - {_BM25_B}
+               + {_BM25_B} * dl / avgdl))
+         ELSE 0 END)
+    """
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, len(t) AS dl,
+                   {", ".join(f"len(list_filter(t, x -> x = '{w}')) AS tf_{w}"
+                              for w in _BM25_TERMS)}
+            FROM toks
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   {", ".join(f"SUM(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) AS df_{w}"
+                              for w in _BM25_TERMS)}
+            FROM feat
+        )
+        SELECT doc_id,
+               ROUND({" + ".join(_bm25_term_duck(w) for w in _BM25_TERMS)}, 4)
+                   AS bm25
+        FROM feat, stats
+        WHERE {" + ".join(f"tf_{w}" for w in _BM25_TERMS)} > 0
+        ORDER BY {" + ".join(_bm25_term_duck(w) for w in _BM25_TERMS)} DESC,
+                 doc_id
+        LIMIT 20
+    """,
+    tags=("llm", "text", "retrieval"),
+)
+def q_bm25(spark, sf_dir):
+    """BM25 ranking (Robertson-Spärck Jones) for a fixed 3-term query
+    over the corpus — THE lexical-retrieval scoring standard (k1=1.2,
+    b=0.75, the +1 idf smoothing Lucene uses), top-20 documents. With
+    TF-IDF, the inverted index, embeddings ANN, and this, the engine
+    covers the full hybrid-retrieval stack.
+
+    Determinism: tf/df/dl/avgdl are exact integers (or one exact
+    division); each term's score is a fixed expression tree evaluated
+    in a FIXED order (the 3-term sum is written out, not aggregated),
+    so both engines compute the identical double; ranking uses the
+    raw score, output rounds to 4.
+
+    100 TB: per-doc features are one scan of per-row HOF counts; the
+    corpus stats are ONE broadcast row; scoring and top-k are
+    embarrassingly parallel + TakeOrdered. (A real query engine would
+    hit q_inverted_index's postings instead of scanning — that is the
+    storage-side half; this is the scoring math, exact.)
+    """
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        F.size(_toks()).alias("dl"),
+        *[
+            F.size(F.expr(f"filter(split(text, ' '), x -> x = '{w}')")).alias(
+                f"tf_{w}"
+            )
+            for w in _BM25_TERMS
+        ],
+    )
+    stats = feat.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0)).alias(f"df_{w}")
+            for w in _BM25_TERMS
+        ],
+    )
+
+    def term_score(w: str):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{w}") + 0.5)
+            / (F.col(f"df_{w}") + 0.5)
+            + 1
+        )
+        tf = F.col(f"tf_{w}")
+        return F.when(
+            tf > 0,
+            idf
+            * tf
+            * (_BM25_K1 + 1)
+            / (
+                tf
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    score = term_score(_BM25_TERMS[0])
+    for w in _BM25_TERMS[1:]:
+        score = score + term_score(w)
+    any_tf = sum(F.col(f"tf_{w}") for w in _BM25_TERMS)
+    return (
+        feat.join(F.broadcast(stats))
+        .filter(any_tf > 0)
+        .select("doc_id", score.alias("_raw"))
+        .orderBy(F.desc("_raw"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("_raw", 4).alias("bm25"))
+    )
