@@ -47,6 +47,8 @@ NESTED_LOOP_ALLOWED = {
     #                rewrite to a hash join, as q_tpch_q15's does)
     "q_tfidf_topk",  # corpus size N: one broadcast row feeding the idf
     #                  division
+    "q_bm25",  # same shape as q_tfidf_topk: ONE broadcast corpus-stats
+    #            row (n_docs/avgdl/df) riding onto every doc's features
     "q_graph_triangles",  # combining the three single-row census
     #                       aggregates (edges/wedges/triangles)
     "q_sim_pq_topk",  # 10-query distance tables (10x128 cells) cross
