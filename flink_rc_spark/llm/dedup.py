@@ -796,3 +796,109 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_PR_SCALE = 1_000_000_000_000  # fixed-point rank unit (10^12)
+_PR_TELEPORT = 150_000_000_000  # 0.15 * SCALE, exact
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank CTE chain (r0..r5). Every step is
+    integer arithmetic — contributions are r // deg, damping is
+    (85 * m) // 100 — so DuckDB and Spark compute bit-identical BIGINT
+    ranks with no float-summation order sensitivity."""
+    cte = f"""
+    WITH {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    degs AS (SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src),
+    ew AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN degs d ON d.v = e.src),
+    r0 AS (SELECT doc_id AS v, CAST({_PR_SCALE} AS BIGINT) AS r FROM documents)"""
+    for i in range(1, _PR_ITERS + 1):
+        cte += f""",
+    r{i} AS (
+        SELECT d.doc_id AS v,
+               CAST({_PR_TELEPORT} + (85 * COALESCE(s.m, 0)) // 100
+                    AS BIGINT) AS r
+        FROM documents d
+        LEFT JOIN (SELECT ew.dst AS v,
+                          CAST(SUM(p.r // ew.deg) AS BIGINT) AS m
+                   FROM ew JOIN r{i - 1} p ON p.v = ew.src
+                   GROUP BY ew.dst) s
+          ON s.v = d.doc_id)"""
+    cte += f"""
+    SELECT v AS doc_id, r AS pr_scaled,
+           CAST(RANK() OVER (ORDER BY r DESC) AS BIGINT) AS pr_rank
+    FROM r{_PR_ITERS}
+    ORDER BY doc_id"""
+    return cte
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("llm", "dedup", "graph"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, 5 synchronous iterations) over the
+    MinHash near-dup candidate graph — the authority score a curation
+    pipeline uses to pick the most-central member of a duplicate
+    cluster as its canonical representative (vs q_dedup_components'
+    min-id choice, which is arbitrary).
+
+    DETERMINISM BY FIXED-POINT ARITHMETIC: float PageRank can never
+    hash-match across engines (sum order changes the low bits), so
+    ranks live in integer fixed-point — SCALE = 10^12 per unit mass,
+    contribution = r div deg (integer division), damping =
+    (85 * m) div 100. Both engines do exact int64 arithmetic in the
+    same dataflow order, so 5 rounds produce bit-identical BIGINT
+    ranks. Mass bound: total mass <= N * SCALE, and 85 * per-vertex
+    inflow stays far inside int64 even at 10^6 documents.
+
+    ITERATION AS DATAFLOW (the reference's IterativeStream shape,
+    SURVEY.md §2.1 R6, re-expressed batch): edges carry their source
+    degree (one join, done once); each round is then ONE equi-join
+    (rank onto edge source) + ONE key-partitioned sum (inflow by dst)
+    + a left join back onto the vertex set for teleport/dangling
+    handling. ``localCheckpoint`` truncates lineage each round, same
+    as q_dedup_components. 100 TB: every step is hash-partitioned on a
+    vertex key — the loop is Pregel-on-DataFrames; dangling documents
+    (no candidate edges) settle at pure teleport mass, exactly like
+    the oracle's COALESCE(m, 0).
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    degs = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = edges.join(degs, "src").localCheckpoint(eager=True)
+
+    verts = docs.select(F.col("doc_id").alias("v"))
+    rank = verts.select("v", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(_PR_ITERS):
+        inflow = (
+            ew.join(rank, ew.src == rank.v)
+            .select(F.col("dst").alias("v"), F.expr("r div deg").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").cast("bigint").alias("m"))
+        )
+        rank = (
+            verts.join(inflow, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(_PR_TELEPORT)
+                    + F.expr("85 * coalesce(m, 0L) div 100")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank.select(
+        F.col("v").alias("doc_id"),
+        F.col("r").alias("pr_scaled"),
+        F.rank().over(Window.orderBy(F.desc("r"))).cast("bigint").alias("pr_rank"),
+    ).orderBy("doc_id")
