@@ -30,6 +30,8 @@ training-data pipeline).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,19 +83,18 @@ def _bpe_oracle(n_merges: int) -> str:
     )
 
 
-def bpe_merge_table(
+def learn_merges(
     spark: SparkSession, docs: DataFrame, n_merges: int
-) -> DataFrame:
+) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges over ``docs.text``; returns the
-    merge table (step, left, right, n). Library entry point — the
-    declared query fixes n_merges for the oracle.
+    merge list [(step, left, right, n)] — driver-side model state, as
+    in any production BPE trainer.
 
     Iteration pattern (the q_dedup_components precedent): each
     generation of the rewritten corpus is REPARTITIONED off the
     single-file scan (pair counting is fan-out heavy; a one-split
     corpus would serialize it) and PERSISTED, the step's winning pair
-    — one row — is collected into the merge table (driver-side model
-    state, as in any production BPE trainer), and the previous
+    — one row — is collected into the merge table, and the previous
     generation is released. Without the persist, step k's plan would
     re-derive every earlier rewrite from scratch (quadratic scans:
     measured 17.9 s → ~4 s at sf0.1)."""
@@ -136,8 +137,38 @@ def bpe_merge_table(
                 cur = nxt
     finally:
         cur.unpersist(blocking=False)
+    return merges
+
+
+# Learned merges memoized per (sf_dir, documents.parquet mtime) — the
+# q_win_salted cache precedent (operators/windows.py): q_bpe_merges and
+# q_bpe_encode share one training pass per dataset within a process;
+# the mtime key invalidates on data regeneration.
+_MERGE_CACHE: dict[tuple[str, float], list[tuple[int, str, str, int]]] = {}
+
+
+def _merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, int]]:
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = 0.0
+    key = (sf_dir.rstrip("/"), mtime)
+    if key not in _MERGE_CACHE:
+        _MERGE_CACHE[key] = learn_merges(
+            spark, load(spark, sf_dir, "documents"), _N_MERGES
+        )
+    return _MERGE_CACHE[key]
+
+
+def bpe_merge_table(
+    spark: SparkSession, docs: DataFrame, n_merges: int
+) -> DataFrame:
+    """Merge table (step, left, right, n) as a DataFrame — the
+    declared-query face of ``learn_merges``."""
     return spark.createDataFrame(
-        merges, "step int, left string, right string, n bigint"
+        learn_merges(spark, docs, n_merges),
+        "step int, left string, right string, n bigint",
     ).orderBy("step")
 
 
@@ -151,4 +182,78 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged pair and its frequency AT SELECTION TIME (counted over the
     corpus as rewritten by all previous merges — the iterative
     dependency that makes this training, not counting)."""
-    return bpe_merge_table(spark, load(spark, sf_dir, "documents"), _N_MERGES)
+    return spark.createDataFrame(
+        _merges_for(spark, sf_dir),
+        "step int, left string, right string, n bigint",
+    ).orderBy("step")
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Recompute the merge chain (same CTEs as the training oracle, but
+    carrying doc_id through every rewrite generation) and emit the
+    per-document encoding audit."""
+    ctes = ["e0 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents)"]
+    for k in range(n_merges):
+        ctes.append(
+            f"p{k} AS (SELECT a, b, COUNT(*) AS n FROM ({_pairs_duck(f'e{k}')})"
+            " GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"e{k + 1} AS (SELECT doc_id, replace(s,"
+            f" ' ' || p{k}.a || ' ' || p{k}.b || ' ',"
+            f" ' ' || p{k}.a || '_' || p{k}.b || ' ') AS s"
+            f" FROM e{k}, p{k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT r.doc_id,
+               CAST(len(string_split(trim(r.s), ' ')) AS BIGINT) AS n_tok_raw,
+               CAST(len(string_split(trim(e.s), ' ')) AS BIGINT) AS n_tok_bpe,
+               md5(trim(e.s)) AS encoded_hash
+        FROM e0 r JOIN e{n_merges} e USING (doc_id)
+        ORDER BY r.doc_id"""
+    )
+
+
+@register(
+    "q_bpe_encode",
+    oracle=_bpe_encode_oracle(_N_MERGES),
+    tags=("llm", "tokenizer"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — apply the learned merge table, in training
+    order, to every document (the tokenize step that follows
+    q_bpe_merges' train step): per doc, the raw whitespace token
+    count, the post-merge token count (merged symbols count once — the
+    compression the tokenizer buys), and an md5 of the encoded symbol
+    sequence pinning every byte of the encoding.
+
+    Exactness: each merge application is the same space-sentineled
+    left-to-right ``replace`` the trainer uses, applied in the same
+    order, so the encoded corpus — and therefore both counts and the
+    hash — match the oracle's chained-CTE rewrite bit-for-bit.
+
+    Scale: training state is the 6-row driver-side merge list (shared
+    with q_bpe_merges via an mtime-keyed cache — one training pass per
+    dataset per process); encoding itself is ONE scan with 6 chained
+    codegen string replaces — embarrassingly parallel, no shuffle. At
+    a production 30k-merge vocab the chained-replace column becomes a
+    broadcast trie + mapInPandas greedy matcher; the declared 6-merge
+    surface keeps the exact-oracle contract.
+    """
+    merges = _merges_for(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    s0 = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    enc = s0
+    for _, left, right, _n in merges:
+        enc = F.replace(
+            enc, F.lit(f" {left} {right} "), F.lit(f" {left}_{right} ")
+        )
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(s0), " ")).cast("bigint").alias("n_tok_raw"),
+        F.size(F.split(F.trim(enc), " ")).cast("bigint").alias("n_tok_bpe"),
+        F.md5(F.trim(enc)).alias("encoded_hash"),
+    ).orderBy("doc_id")

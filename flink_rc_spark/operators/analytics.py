@@ -988,3 +988,90 @@ def q_corr_matrix(spark, sf_dir):
         .select("kv.var_a", "kv.var_b", "kv.corr")
         .orderBy("var_a", "var_b")
     )
+
+
+@register(
+    "q_ivm_delta",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_orderkey % 13 = 5
+           OR (l_orderkey % 13 != 5 AND l_orderkey % 17 != 2)
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("analytics", "agg", "ivm"),
+)
+def q_ivm_delta(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE: maintain a revenue-per-
+    (returnflag, linestatus) materialized view under a change batch of
+    inserts AND deletes WITHOUT recomputing from scratch — the
+    signed-multiplicity (Z-relation) delta algebra of the incremental
+    view maintenance literature (DBSP / differential dataflow lineage,
+    all public): inserts carry +1, deletes carry −1, and the new view
+    is base ⊕ Σ(signed delta), group-wise.
+
+    The workload is derived deterministically inside the query: rows
+    with orderkey ≡ 5 (mod 13) are the insert batch (excluded from the
+    base view), base rows with orderkey ≡ 2 (mod 17) are the delete
+    batch. The ORACLE IS THE FULL RECOMPUTE over the final row set —
+    so the driver's value hash proves the incremental path produces
+    bit-identical results to rebuilding the view, which is the entire
+    correctness obligation of IVM. Sums are decimal-exact (the
+    engine's aggregation policy), counts are signed bigints.
+
+    100 TB: the base view is TINY (group cardinality); only the change
+    batch is scanned at refresh — one filtered scan + one group agg on
+    the delta + a broadcast-size merge with the stored view. Refresh
+    cost tracks delta size, not table size, which is the point.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+    is_insert = F.col("l_orderkey") % 13 == 5
+    is_delete = (~is_insert) & (F.col("l_orderkey") % 17 == 2)
+
+    # The stored view: aggregated over the base (pre-change) rows.
+    base_view = (
+        li.filter(~is_insert)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("b_n"), F.sum(rev).alias("b_rev"))
+    )
+    # The signed delta: +1 inserts, -1 deletes, aggregated in ONE pass
+    # over only the change rows. Sign via negation, not multiplication —
+    # a decimal*decimal sign product would overflow precision 38 and
+    # silently round, breaking the exact-sum contract.
+    sign = F.when(is_insert, F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        li.filter(is_insert | is_delete)
+        .groupBy(*keys)
+        .agg(
+            F.sum(sign).alias("d_n"),
+            F.sum(F.when(is_insert, rev).otherwise(-rev)).alias("d_rev"),
+        )
+    )
+    zero = F.lit(0).cast(delta.schema["d_rev"].dataType)
+    return (
+        base_view.join(delta, keys, "full_outer")
+        .select(
+            *keys,
+            (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+            .cast("bigint")
+            .alias("n_rows"),
+            (
+                F.coalesce(F.col("b_rev").cast(delta.schema["d_rev"].dataType), zero)
+                + F.coalesce("d_rev", zero)
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy(*keys)
+    )
