@@ -188,3 +188,69 @@ def q_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rk", "kmv_estimate")
         .orderBy("rk")
     )
+
+
+_WEIGHTED_K = 20
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT
+                    + 1.0) / 1099511627776.0)
+                   / CAST(n_chars AS DOUBLE) AS ekey
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(ekey * 1000000, 4) AS ekey_ppm,
+           ROW_NUMBER() OVER (ORDER BY ekey, doc_id) AS rk
+    FROM keyed
+    QUALIFY rk <= {_WEIGHTED_K}
+    ORDER BY rk
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    exponential-sort): each document draws u ~ Uniform(0,1] and
+    competes with key −ln(u)/w; the k smallest keys are a weighted
+    sample — here w = n_chars, the "sample long documents more"
+    policy a curation pipeline uses for quality-weighted draws.
+
+    Determinism: u comes from the 40-bit md5(doc_id) prefix
+    ((hv+1)/2^40 ∈ (0,1], the q_sample_bottomk integer idiom), so both
+    engines take ln/divide on IDENTICAL doubles — the keys, the top-k
+    cut, and the output ranks all hash-match exactly. Exposing the key
+    as parts-per-million (ROUND(·e6, 4)) keeps the column readable
+    without losing the hash pin.
+
+    Scale: TakeOrdered on the key — per-partition k minima, driver
+    merge, no global sort, no shuffle; partitioning-independent like
+    every sampler here. One pass, no replacement bookkeeping — THE
+    property that makes exponential-sort the distributed weighted
+    sampler.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hv = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10)"
+        " AS BIGINT)"
+    )
+    ekey = -F.log((hv.cast("double") + F.lit(1.0)) / F.lit(float(1 << 40))) / F.col(
+        "n_chars"
+    ).cast("double")
+    keyed = docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"),
+                        ekey.alias("ekey"))
+    top = keyed.orderBy("ekey", "doc_id").limit(_WEIGHTED_K)
+    w = Window.orderBy("ekey", "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(F.col("ekey") * 1e6, 4).alias("ekey_ppm"),
+            "rk",
+        )
+        .orderBy("rk")
+    )

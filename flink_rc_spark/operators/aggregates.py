@@ -496,3 +496,72 @@ def q_order_nested(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+_ANALYZE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q_analyze_stats",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   {", ".join(
+                       f"CAST(COUNT({c}) AS BIGINT) AS cnt_{c},"
+                       f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_{c},"
+                       f" MIN({c}) AS min_{c}, MAX({c}) AS max_{c}"
+                       for c in _ANALYZE_COLS)}
+            FROM lineitem
+        )
+        {" UNION ALL ".join(
+            f'''SELECT '{c}' AS col_name, n_rows,
+                       n_rows - cnt_{c} AS n_nulls,
+                       ndv_{c} AS ndv, min_{c} AS min_val, max_{c} AS max_val
+                FROM s''' for c in _ANALYZE_COLS)}
+        ORDER BY col_name
+    """,
+    tags=("agg", "stats"),
+)
+def q_analyze_stats(spark, sf_dir):
+    """ANALYZE-style column statistics — row count, null count, exact
+    NDV, min/max per measure column — the table metadata a cost-based
+    optimizer (and every min/max-skipping file format) feeds on. The
+    numbers here are what Catalyst's CBO reads from
+    ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``; declaring
+    the computation as a query makes the stats pipeline itself
+    hash-verified.
+
+    ONE scan computes all four columns' stats as a single aggregate
+    row (count-distinct sub-aggregates expand to the standard
+    expand-node plan); the per-column output rows are a driver-side
+    unpivot of that row. 100 TB: exact NDV per column is the expand's
+    shuffle — production trades it for HLL (q_sketch_hll) above a
+    cardinality budget; min/max/nulls stay single-pass partial+final
+    either way.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in _ANALYZE_COLS:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"cnt_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"ndv_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    s = li.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_nulls"),
+            F.col(f"ndv_{c}").alias("ndv"),
+            F.col(f"min_{c}").alias("min_val"),
+            F.col(f"max_{c}").alias("max_val"),
+        )
+        for c in _ANALYZE_COLS
+    ]
+    return (
+        s.select(F.explode(F.array(*rows)).alias("kv"))
+        .select("kv.*")
+        .orderBy("col_name")
+    )
