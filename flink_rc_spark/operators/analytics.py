@@ -952,15 +952,28 @@ def q_corr_matrix(spark, sf_dir):
     beyond the single-row final agg.
     """
     li = load(spark, sf_dir, "lineitem")
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # Materialize the decimal casts AND products once in the projection
+    # (the q_tpch_q1 lesson, BASELINE.md r5 log: Catalyst does not CSE
+    # across aggregate expressions, so 14 aggregates each redoing the
+    # cast/multiply per row cost ~12 s at sf0.1; this is ~4x).
+    proj = li.select(
+        *[F.col(c).cast("decimal(18,2)").alias(f"d_{c}") for c in _CORR_COLS]
+    ).select(
+        "*",
+        *[
+            (F.col(f"d_{a}") * F.col(f"d_{b}")).alias(f"pr_{a}_{b}")
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i:]
+        ],
+    )
     aggs = [F.count("*").cast("double").alias("n")]
-    aggs += [F.sum(d(c)).cast("double").alias(f"s_{c}") for c in _CORR_COLS]
+    aggs += [F.sum(f"d_{c}").cast("double").alias(f"s_{c}") for c in _CORR_COLS]
     aggs += [
-        F.sum(d(a) * d(b)).cast("double").alias(f"p_{a}_{b}")
+        F.sum(f"pr_{a}_{b}").cast("double").alias(f"p_{a}_{b}")
         for i, a in enumerate(_CORR_COLS)
         for b in _CORR_COLS[i:]
     ]
-    stats = li.agg(*aggs)
+    stats = proj.agg(*aggs)
     pairs = [
         F.struct(
             F.lit(a).alias("var_a"),

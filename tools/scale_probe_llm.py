@@ -55,6 +55,10 @@ PROBE_KEYS = [
     "q_graph_triangles",
     "q_bpe_merges",
     "q_curation_pipeline",
+    # r6 wave
+    "q_graph_pagerank",
+    "q_bpe_encode",
+    "q_sample_weighted",
 ]
 
 

@@ -48,6 +48,14 @@ PROBE_KEYS = [
     "q_tpch_q18",
     "q_tpch_q19",
     "q_tpch_q22",
+    # r6 wave (lineitem/orders-driven; q_basket_pairs is deliberately
+    # NOT probed this way — 10x parts per unchanged customer key grows
+    # in-basket pairs ~100x by design, measuring the documented skew
+    # knob rather than plan scaling)
+    "q_snapshot_diff",
+    "q_corr_matrix",
+    "q_zorder_layout",
+    "q_ivm_delta",
 ]
 
 _OFFSET = 1_000_000_000
