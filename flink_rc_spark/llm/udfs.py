@@ -124,3 +124,69 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = with_tok.groupBy("source").applyInPandas(_agg_source, _AGG_SCHEMA)
     return agg.mapInPandas(_unpivot, _UNPIVOT_SCHEMA).orderBy("source", "metric")
+
+
+_UDTF_WIDTH = 64
+
+
+@register(
+    "q_udtf_surface",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(len(text) / {_UDTF_WIDTH}.0) AS BIGINT)))
+                   AS chunk_id
+        FROM documents
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(substr(text, CAST(chunk_id * {_UDTF_WIDTH} + 1 AS INTEGER),
+                           {_UDTF_WIDTH})) AS BIGINT) AS piece_len,
+           md5(substr(text, CAST(chunk_id * {_UDTF_WIDTH} + 1 AS INTEGER),
+                      {_UDTF_WIDTH})) AS piece_hash
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "udf", "udtf"),
+)
+def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4's user-defined TABLE function —
+    the fourth and last Python extension shape, completing
+    q_udf_surface's scalar/UDAF/map trio): a ``@udtf`` class chunks
+    every document into 64-char pieces via a LATERAL join,
+    emitting (chunk_id, piece) rows per input row.
+
+    The UDTF runs on the ARROW path (``ArrowEvalPythonUDTF`` —
+    enforced by setting the arrow conf in-builder and by the global
+    BatchEvalPython plan ban, which would catch the pickled fallback's
+    ``BatchEvalPythonUDTF`` node by substring). Python computes only
+    substring slicing, so the DuckDB oracle (the q_chunk_split range/
+    substr spelling) hash-matches every piece via md5.
+
+    Scale: a lateral UDTF is pipelined per-partition — no shuffle, no
+    state; fan-out is bounded by doc length / width, the same bound
+    q_chunk_split documents. The JVM-only q_chunk_split IS the hot-
+    path spelling; this key exists to prove the extension surface.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="chunk_id: long, piece: string")
+    class Chunker:
+        def eval(self, text: str, width: int):
+            for i in range(0, len(text), width):
+                yield i // width, text[i : i + width]
+
+    spark.udtf.register("rc_chunker", Chunker)
+    docs = load(spark, sf_dir, "documents")
+    view = "docs_udtf_src"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_id,
+               CAST(length(c.piece) AS BIGINT) AS piece_len,
+               md5(c.piece) AS piece_hash
+        FROM {view} d, LATERAL rc_chunker(d.text, {_UDTF_WIDTH}) c
+        ORDER BY d.doc_id, c.chunk_id
+        """
+    )
