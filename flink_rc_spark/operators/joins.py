@@ -323,3 +323,102 @@ def q_join_cross(spark, sf_dir):
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+        WITH iv AS (
+            SELECT o_custkey AS cust, o_orderkey AS k,
+                   o_orderdate AS s,
+                   o_orderdate + INTERVAL 7 DAY AS e
+            FROM orders
+        )
+        SELECT a.cust, a.k AS key_a, b.k AS key_b,
+               CAST(date_diff('day',
+                              greatest(a.s, b.s),
+                              least(a.e, b.e)) AS BIGINT) AS overlap_days
+        FROM iv a JOIN iv b
+          ON a.cust = b.cust AND a.k < b.k
+         AND a.s < b.e AND b.s < a.e
+        ORDER BY a.cust, key_a, key_b
+    """,
+    tags=("join", "interval"),
+)
+def q_join_interval(spark, sf_dir):
+    """INTERVAL OVERLAP self-join: pairs of 7-day order windows of the
+    same customer that overlap in time ("concurrent open orders") with
+    the exact overlap length — the general interval join, where as-of
+    (q_join_asof) is the point-lookup special case and the band theta
+    join (q_join_theta) is the fixed-offset special case.
+
+    The oracle spells the textbook quadratic-per-key overlap
+    predicate. The builder is the GRID-BUCKETED candidate generator —
+    q_geo_radius_join's playbook in one dimension (time): week cells
+    sized to the interval width, every interval lands in ≤ 2 cells, so
+    candidates come from an EQUI-join on (customer, cell), are
+    deduped (a pair may share both cells), and only then verified by
+    the exact predicate. The driver hash proves grid candidates +
+    verify ≡ the quadratic spelling.
+
+    100 TB: shuffle is on (cust, cell) — time-bounded and key-spread —
+    and per-cell occupancy (orders per customer per week) bounds the
+    in-bucket quadratic, the same knob as LSH bucket size / geo cell
+    occupancy / fuzzy-join block size. An unkeyed interval join
+    drops the customer key from the cell id; nothing else changes.
+    Overlap arithmetic is whole days on date-truncated timestamps —
+    integer-exact in both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day"),
+    )
+    cells = iv.select(
+        "cust",
+        "k",
+        "s",
+        "e",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr("day div 7"),
+                    F.expr("(day + 6) div 7"),
+                )
+            )
+        ).alias("cell"),
+    )
+    a = cells.select(
+        "cust", "cell", F.col("k").alias("ka"), F.col("s").alias("sa"), F.col("e").alias("ea")
+    )
+    b = cells.select(
+        F.col("cust").alias("cust_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("k").alias("kb"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cust") == F.col("cust_b"))
+            & (F.col("cell") == F.col("cell_b"))
+            & (F.col("ka") < F.col("kb")),
+        )
+        .select("cust", "ka", "kb", "sa", "ea", "sb", "eb")
+        .distinct()
+        .filter((F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea")))
+    )
+    return pairs.select(
+        "cust",
+        F.col("ka").alias("key_a"),
+        F.col("kb").alias("key_b"),
+        F.datediff(
+            F.least("ea", "eb"), F.greatest("sa", "sb")
+        )
+        .cast("bigint")
+        .alias("overlap_days"),
+    ).orderBy("cust", "key_a", "key_b")
