@@ -105,8 +105,18 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 4)
 
+    def jvm_gc() -> None:
+        """Full GC between measurements: accumulated garbage from
+        PRIOR keys' execution degrades later keys 3-4x (measured via
+        the calibration probe: 0.13 s fresh -> 0.45 s after 60 keys ->
+        0.13 s after System.gc()). Collecting it outside the timed
+        window makes each key's number reflect its own plan, the same
+        isolation a fresh-process-per-key harness would buy."""
+        spark._jvm.System.gc()
+
     execute(HEADLINE[0])  # warm-up (JVM + codegen + parquet footer cache)
     calibrate()
+    jvm_gc()
     calib_start = min(calibrate(), calibrate())
     calib_samples = [calib_start]
 
@@ -117,11 +127,14 @@ def main() -> None:
     # in BASELINE.md alongside the single-pass history.)
     timings: dict[str, float] = {}
     for k in HEADLINE:
+        jvm_gc()
         timings[k] = round(min(execute(k), execute(k)), 4)
     headline_total = round(sum(timings.values()), 4)
 
     if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
         for i, k in enumerate(sorted(REGISTRY.keys() - set(HEADLINE))):
+            if i % 10 == 0:
+                jvm_gc()
             if i % 25 == 0 and i > 0:
                 calib_samples.append(calibrate())
             t = execute(k)

@@ -865,7 +865,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_dedup_components. 100 TB: every step is hash-partitioned on a
     vertex key — the loop is Pregel-on-DataFrames; dangling documents
     (no candidate edges) settle at pure teleport mass, exactly like
-    the oracle's COALESCE(m, 0).
+    the oracle's COALESCE(m, 0). The output's global pr_rank window is
+    the one single-partition stage — a presentation column; at 100 TB
+    it swaps for the range-bucketed two-phase ranking q_win_salted
+    demonstrates, without touching the iteration.
     """
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")

@@ -130,3 +130,93 @@ def q_zorder_layout(spark, sf_dir):
         .orderBy(F.desc("n_rows"), "bucket")
         .limit(20)
     )
+
+
+_COMPACT_TARGET = 2_000  # target bin size (chars of text per output file; sized to the synthetic corpus so the packing is non-degenerate at every SF)
+
+
+@register(
+    "q_compaction_plan",
+    oracle=f"""
+        WITH files AS (
+            SELECT source,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                        % 64 AS BIGINT) AS shard,
+                   CAST(SUM(n_chars) AS BIGINT) AS bytes
+            FROM documents
+            GROUP BY source, shard
+        ),
+        planned AS (
+            SELECT source, shard, bytes,
+                   SUM(bytes) OVER (PARTITION BY source ORDER BY shard
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                   (SUM(bytes) OVER (PARTITION BY source ORDER BY shard
+                                     ROWS UNBOUNDED PRECEDING) - bytes)
+                       // {_COMPACT_TARGET} AS bin
+            FROM files
+        )
+        SELECT source, CAST(bin AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+               ROUND(CAST(SUM(bytes) AS DOUBLE) / {_COMPACT_TARGET}, 4)
+                   AS fill_ratio
+        FROM planned
+        GROUP BY source, bin
+        ORDER BY source, bin
+    """,
+    tags=("scan", "layout", "maintenance"),
+)
+def q_compaction_plan(spark, sf_dir):
+    """COMPACTION PLANNING (the Iceberg/Delta OPTIMIZE bin-pack step):
+    given a small-file inventory — here 64 hash-shards per source with
+    their exact byte sizes — assign contiguous runs of files to target-
+    sized output bins and report each bin's file count, byte total,
+    and fill ratio. This is the maintenance query a 100 TB lake runs
+    nightly: small files are THE silent scan killer (per-file open
+    cost + unsplittable row groups), and the planner's output feeds a
+    per-bin coalescing rewrite.
+
+    The packing is NEXT-FIT over the shard order: a file goes to the
+    bin where its cumulative start offset lands (start div target), so
+    bins are contiguous, deterministic, and computed by ONE window
+    cumsum per source partition — no sequential driver loop, unlike
+    first-fit-decreasing (whose ~11/9 OPT bound buys little for
+    near-uniform shard sizes). Bins may overflow by at most one file —
+    the standard streaming-compaction tradeoff, visible in fill_ratio.
+    All arithmetic is integer-exact; the window partitions by source,
+    so parallelism is per-source and no global order exists anywhere.
+    """
+    docs = load(spark, sf_dir, "documents")
+    files = (
+        docs.select(
+            "source",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10)"
+                " % 64 AS BIGINT)"
+            ).alias("shard"),
+            "n_chars",
+        )
+        .groupBy("source", "shard")
+        .agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = files.withColumn("cum", F.sum("bytes").over(w)).withColumn(
+        "bin", F.expr(f"(cum - bytes) div {_COMPACT_TARGET}")
+    )
+    return (
+        planned.groupBy("source", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("bin_bytes"),
+            F.round(
+                F.sum("bytes").cast("double") / F.lit(_COMPACT_TARGET), 4
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source", "bin")
+    )
