@@ -136,7 +136,7 @@ def main() -> None:
             if i % 10 == 0:
                 jvm_gc()
             if i % 25 == 0 and i > 0:
-                calib_samples.append(calibrate())
+                calib_samples.append(min(calibrate(), calibrate()))
             t = execute(k)
             # retry-if-slow: this box shows 2-5x single-run noise
             # spikes (a 2.5 s key has benched at 13 s); one retry on
@@ -149,7 +149,7 @@ def main() -> None:
                 if t > 4.0 and calibrate() > 2 * calib_start:
                     t = min(t, execute(k))
             timings[k] = round(t, 4)
-        calib_samples.append(calibrate())
+        calib_samples.append(min(calibrate(), calibrate()))
 
     line = json.dumps(
         {

@@ -690,20 +690,25 @@ def q_fuzzy_join(spark, sf_dir):
     dedup/ER pipeline reports.
 
     levenshtein is unit-cost edit distance with identical semantics in
-    Spark and DuckDB, so even the fuzzy counts hash-match. 100 TB:
-    block size bounds the quadratic (same knob as basket size /
-    LSH bucket occupancy); skewed blocks split by a second key (name
-    length band) — the standard ER blocking refinement.
+    Spark and DuckDB, so even the fuzzy counts hash-match.
 
-    Three exact-preserving cuts vs the naive spelling (24 s → measured
-    A/B below): (1) n_candidates is n·(n−1)/2 from the block size —
-    the candidate count never needed the join; (2) |len(a)−len(b)| ≤ 2
-    is a true lower bound on edit distance, so the length prefilter
-    drops most pairs before any DP runs; (3) the survivors use Spark's
-    BANDED levenshtein(na, nb, 2) (O(len·k) cells, −1 when the band
-    overflows) instead of the full O(len²) table — a pair pruned by
-    (2) or banded-out by (3) has true distance > 2, exactly the rows
-    the counters exclude anyway.
+    PLAN — MULTIPLICITY COMPRESSION, not pair enumeration (the oracle
+    enumerates; the hash proves the rewrite): the naive in-block
+    self-join emits ~2.2M key-pairs at sf0.1 and pays levenshtein on
+    each (26 s; a length-band prefilter + banded levenshtein(·,·,2)
+    still 15 s — the DP dominates). But edit distance only depends on
+    the VALUES: group to distinct (block, name) with counts first
+    (~200 distinct names regardless of row count), run the pair join
+    over distinct values only (a few hundred DPs total), and expand
+    the counters by multiplicity —
+        n_exact  = Σ C(cnt, 2)                   (same-name pairs)
+        n_fuzzy  = n_exact + Σ_{d≤2, a<b} cnt_a·cnt_b
+    This is the dedup-first principle every operator here leans on:
+    work scales with DISTINCT values, row multiplicity is arithmetic.
+    100 TB: the distinct-name rollup is one hash agg; if distinct
+    names themselves blow up, the value-pair stage swaps in segment
+    signatures (PassJoin) or the MinHash bucket join — candidate
+    generation over values, never over rows.
     """
     part = load(spark, sf_dir, "part")
     named = part.select(
@@ -711,33 +716,34 @@ def q_fuzzy_join(spark, sf_dir):
         "p_name",
         F.split("p_name", " ").getItem(1).alias("block"),
     )
-    a = named.select(
-        F.col("block"), F.col("p_partkey").alias("ka"), F.col("p_name").alias("na")
-    )
-    b = named.select(
+    g = named.groupBy("block", "p_name").agg(F.count("*").alias("cnt"))
+    ga = g.select("block", F.col("p_name").alias("na"), F.col("cnt").alias("ca"))
+    gb = g.select(
         F.col("block").alias("block_b"),
-        F.col("p_partkey").alias("kb"),
         F.col("p_name").alias("nb"),
+        F.col("cnt").alias("cb"),
     )
-    pairs = (
-        a.join(
-            b,
+    cross = (
+        ga.join(
+            gb,
             (F.col("block") == F.col("block_b"))
-            & (F.col("ka") < F.col("kb"))
-            & (
-                F.abs(F.length("na") - F.length("nb")) <= 2
-            ),
+            & (F.col("na") < F.col("nb"))
+            & (F.abs(F.length("na") - F.length("nb")) <= 2),
         )
         .withColumn("d", F.levenshtein("na", "nb", 2))
-        .select("block", "d")
+        .filter(F.col("d") >= 0)
+        .groupBy("block")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("n_cross"))
     )
-    pair_stats = pairs.groupBy("block").agg(
-        F.sum(F.when(F.col("d") >= 0, 1).otherwise(0))
+    same = g.groupBy("block").agg(
+        F.sum(F.expr("cnt * (cnt - 1) div 2")).cast("bigint").alias("n_same")
+    )
+    pair_stats = same.join(cross, "block", "left").select(
+        "block",
+        (F.col("n_same") + F.coalesce("n_cross", F.lit(0)))
         .cast("bigint")
         .alias("n_fuzzy"),
-        F.sum(F.when(F.col("d") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_exact"),
+        F.col("n_same").cast("bigint").alias("n_exact"),
     )
     part_stats = named.groupBy("block").agg(
         F.countDistinct("p_partkey").alias("n_parts")

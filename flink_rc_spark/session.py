@@ -34,6 +34,15 @@ def get_spark(app: str = "flink_rc_spark", cpus: int | None = None) -> SparkSess
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # The in-memory status store retains ~1000 executions/jobs/
+        # stages even with the UI off; across a ~190-query bench sweep
+        # that retention taxes the driver (listener bus + heap) and
+        # measurably degrades later keys. Keep only a working set.
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.sql.ui.retainedExecutions", "10")
+        .config("spark.appStateStore.asyncTracking.enable", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
