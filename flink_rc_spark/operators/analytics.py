@@ -1094,3 +1094,128 @@ def q_ivm_delta(spark, sf_dir):
         .filter(F.col("n_rows") > 0)
         .orderBy(*keys)
     )
+
+
+_ATTR_CHANNELS = "CASE %s %% 5 WHEN 0 THEN 'organic' WHEN 1 THEN 'paid' WHEN 2 THEN 'email' WHEN 3 THEN 'social' ELSE 'direct' END"
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+        WITH clicks AS (
+            SELECT event_id AS ck, user_id, ts AS cts,
+                   {_ATTR_CHANNELS % "CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)"}
+                       AS channel
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT event_id AS pk, user_id, ts AS pts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT p.pk, p.value, c.channel,
+                   ROW_NUMBER() OVER (PARTITION BY p.pk
+                                      ORDER BY c.cts, c.ck) AS rn_first,
+                   ROW_NUMBER() OVER (PARTITION BY p.pk
+                                      ORDER BY c.cts DESC, c.ck DESC) AS rn_last
+            FROM purchases p JOIN clicks c
+              ON c.user_id = p.user_id
+             AND c.cts < p.pts
+             AND c.cts >= p.pts - INTERVAL 3 DAY
+        )
+        SELECT channel,
+               CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_first,
+               CAST(SUM(CASE WHEN rn_first = 1
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS first_touch_revenue,
+               CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_last,
+               CAST(SUM(CASE WHEN rn_last = 1
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS last_touch_revenue
+        FROM touches
+        GROUP BY channel
+        ORDER BY channel
+    """,
+    tags=("analytics", "join", "window"),
+)
+def q_attribution(spark, sf_dir):
+    """MARKETING ATTRIBUTION (first-touch vs last-touch): every
+    purchase credits its revenue to the user's earliest and latest
+    click channel within a 3-day lookback — the two bookend models
+    every attribution system ships (the channel derives
+    deterministically from the click's JSON props inside the query,
+    both engines alike). Output: per channel, credited purchase counts
+    and decimal-exact revenue under each model — the comparison that
+    shows how model choice moves budget between channels.
+
+    Plan: clicks and purchases are two filtered projections of ONE
+    events scan; the touch join is the INTERVAL-join shape keyed by
+    user (fan-out bounded by per-user activity in the lookback — the
+    q_join_interval cell playbook applies verbatim when the lookback
+    is long); first/last selection is two ROW_NUMBERs over the same
+    (purchase) partitioning — one exchange, deterministically
+    tie-broken by click id. 100 TB: everything shuffles on user_id /
+    purchase_id; no self-scan per model (the rn trick computes both
+    models from one join pass).
+    """
+    from flink_rc_spark.functions.exact import dec  # decimal cast helper
+
+    e = load(spark, sf_dir, "events")
+    k_int = F.get_json_object("props", "$.k").cast("int")
+    channel = (
+        F.when(k_int % 5 == 0, "organic")
+        .when(k_int % 5 == 1, "paid")
+        .when(k_int % 5 == 2, "email")
+        .when(k_int % 5 == 3, "social")
+        .otherwise("direct")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("ck"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        channel.alias("channel"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pk"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    touches = purchases.join(
+        clicks,
+        (clicks.user_id == purchases.user_id)
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 3 DAY")),
+    ).select("pk", "value", "channel", "cts", "ck")
+    w_first = Window.partitionBy("pk").orderBy("cts", "ck")
+    w_last = Window.partitionBy("pk").orderBy(F.desc("cts"), F.desc("ck"))
+    ranked = touches.withColumn("rn_first", F.row_number().over(w_first)).withColumn(
+        "rn_last", F.row_number().over(w_last)
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_first"),
+            F.sum(
+                F.when(F.col("rn_first") == 1, dec("value", 18, 2)).otherwise(zero)
+            )
+            .cast("double")
+            .alias("first_touch_revenue"),
+            F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_last"),
+            F.sum(
+                F.when(F.col("rn_last") == 1, dec("value", 18, 2)).otherwise(zero)
+            )
+            .cast("double")
+            .alias("last_touch_revenue"),
+        )
+        .orderBy("channel")
+    )
