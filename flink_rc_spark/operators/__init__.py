@@ -11,3 +11,4 @@ import flink_rc_spark.operators.timeseries  # noqa: F401
 import flink_rc_spark.operators.tpch  # noqa: F401
 import flink_rc_spark.operators.analytics  # noqa: F401
 import flink_rc_spark.operators.geo  # noqa: F401
+import flink_rc_spark.operators.graph  # noqa: F401

@@ -1,0 +1,240 @@
+"""Iterative graph-traversal operators: bounded multi-source BFS and
+hierarchy (tree) rollup via pointer doubling.
+
+These complete the graph surface next to the existing fixpoint keys
+(q_dedup_components label propagation, q_graph_pagerank, and the
+q_graph_triangles census): PageRank/label-prop iterate VALUES over a
+fixed topology, while the two keys here iterate the TOPOLOGY itself —
+reachability frontiers and ancestor closures — which is what recursive
+CTEs compute in a warehouse. Spark has no WITH RECURSIVE, so each key
+shows the idiomatic distributed replacement and its DuckDB oracle IS
+the recursive CTE it replaces.
+
+100 TB story:
+- BFS expands a frontier for a BOUNDED hop count: each round is one
+  equi-join (frontier ⋈ edges on the source vertex) + one anti-join
+  (drop already-visited) — both hash-partitioned by vertex, never a
+  cartesian. Rounds are data-independent (fixed k), so the job graph
+  is static and AQE sizes every shuffle. ``localCheckpoint`` truncates
+  lineage so plan size stays O(1) per round, the same discipline as
+  q_dedup_components.
+- The hierarchy rollup uses POINTER DOUBLING: jump tables double the
+  ancestor distance every round, so a depth-d tree closes in ⌈log₂ d⌉
+  joins instead of d (a depth-10k chain = 14 rounds, not 10k). The
+  ancestor closure it materializes is O(V·depth) rows — the price of
+  making subtree aggregation a single hash aggregate keyed by
+  ancestor, which partitions perfectly and needs no recursion at read
+  time.
+
+Reference parity: none — the reference is a numeric dataflow engine
+(SURVEY.md §1.1); this is driver-north-star graph surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_rc_spark.llm.dedup import _MINHASH_PAIRS_CTE, minhash_candidate_pairs
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources.tables import load
+
+_BFS_MAX_HOPS = 4
+
+
+@register(
+    "q_graph_bfs",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(v, d) AS (
+        SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+        UNION
+        SELECT e.b, reach.d + 1
+        FROM edges e JOIN reach ON reach.v = e.a
+        WHERE reach.d < {_BFS_MAX_HOPS}
+    )
+    SELECT v AS doc_id, CAST(MIN(d) AS BIGINT) AS dist
+    FROM reach
+    GROUP BY v
+    ORDER BY doc_id
+    """,
+    tags=("graph", "join", "iterative"),
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS: hop distance (≤ 4) from seed
+    documents (doc_id % 97 = 0) over the MinHash near-dup candidate
+    graph — "how far does contamination spread from these known-bad
+    docs" is exactly this query in a curation pipeline.
+
+    Classic frontier expansion: round i joins the CURRENT frontier
+    (nodes first reached at distance i−1) against the edge list, then
+    anti-joins the visited set so each vertex is labeled exactly once
+    with its true BFS distance. Joining only the frontier — not the
+    whole visited set — keeps per-round shuffle volume proportional to
+    the wave actually moving, the standard distributed-BFS shape
+    (Pregel's message set). The hop bound makes the loop
+    data-independent; the oracle is the recursive CTE with the same
+    bound (UNION-dedup on (v, d) pairs guarantees termination, MIN(d)
+    recovers the BFS distance).
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # computed once, probed every round
+    )
+
+    dist = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("v"), F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for i in range(1, _BFS_MAX_HOPS + 1):
+        reached = (
+            edges.join(frontier, edges.src == frontier.v)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist, "v", "left_anti")
+            .select("v", F.lit(i).cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if new.rdd.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return dist.select(F.col("v").alias("doc_id"), "dist").orderBy("doc_id")
+
+
+_HIER_MAX_ROUNDS = 12  # pointer doubling: covers depth 2^12 = 4096
+
+
+@register(
+    "q_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT c_custkey AS v, CAST((c_custkey - 1) // 2 AS BIGINT) AS p
+        FROM customer WHERE c_custkey >= 1
+    ),
+    anc(v, a, d) AS (
+        SELECT v, p, CAST(1 AS BIGINT) FROM edges
+        UNION ALL
+        SELECT anc.v, e.p, anc.d + 1 FROM anc JOIN edges e ON anc.a = e.v
+    ),
+    depths AS (SELECT v, MAX(d) AS depth FROM anc GROUP BY v),
+    sub AS (
+        SELECT a, COUNT(*) AS n_desc,
+               SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_desc
+        FROM anc JOIN customer ON c_custkey = anc.v
+        GROUP BY a
+    )
+    SELECT c_custkey,
+           CAST(COALESCE(depths.depth, 0) AS BIGINT) AS depth,
+           CAST(1 + COALESCE(sub.n_desc, 0) AS BIGINT) AS subtree_size,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                + COALESCE(sub.bal_desc, CAST(0 AS DECIMAL(12,2)))
+                AS DOUBLE) AS subtree_bal
+    FROM customer
+    LEFT JOIN depths ON depths.v = c_custkey
+    LEFT JOIN sub ON sub.a = c_custkey
+    ORDER BY c_custkey
+    """,
+    tags=("graph", "join", "iterative", "agg"),
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tree rollup over an org-chart-style hierarchy: every customer
+    reports to customer (c_custkey−1) div 2 (a heap-shaped tree rooted
+    at 0, built as an explicit edge table and traversed as opaque
+    edges). Output per node: depth, subtree size, and the exact
+    subtree balance total — the manager-rollup / BOM-explosion query
+    a warehouse writes as WITH RECURSIVE.
+
+    The closure is built by POINTER DOUBLING: ``jump`` holds each
+    node's 2^k-th ancestor, ``closure`` all ancestors within 2^k hops;
+    one round of two equi-joins doubles both, so a depth-d tree closes
+    in ⌈log₂ d⌉ rounds (sf0.1's depth-14 tree: 4 rounds) instead of
+    d sequential self-joins — THE reason this scales where naive
+    row-at-a-time recursion cannot. Subtree aggregates then reduce the
+    (descendant, ancestor) closure with one hash aggregate keyed by
+    ancestor; balances sum in DECIMAL so both engines are
+    order-independent-exact (registry float policy).
+    """
+    from flink_rc_spark.functions.exact import dec
+
+    cust = load(spark, sf_dir, "customer")
+    edges = (
+        cust.filter(F.col("c_custkey") >= 1)
+        .select(
+            F.col("c_custkey").alias("v"),
+            ((F.col("c_custkey") - 1) / F.lit(2)).cast("bigint").alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # jump: (v, u, d) — u is v's d-th ancestor, d = 2^k after round k.
+    # closure: all (v, a, d) with 1 <= d <= 2^k.
+    jump = edges.select("v", F.col("p").alias("u"), F.lit(1).cast("bigint").alias("d"))
+    closure = jump.select("v", F.col("u").alias("a"), "d")
+    for _ in range(_HIER_MAX_ROUNDS):
+        far = (
+            jump.alias("j")
+            .join(closure.alias("c"), F.col("j.u") == F.col("c.v"))
+            .select(
+                F.col("j.v").alias("v"),
+                F.col("c.a").alias("a"),
+                (F.col("j.d") + F.col("c.d")).alias("d"),
+            )
+        )
+        if far.rdd.isEmpty():
+            break
+        closure = closure.unionByName(far).localCheckpoint(eager=True)
+        jump = (
+            jump.alias("x")
+            .join(jump.alias("y"), F.col("x.u") == F.col("y.v"))
+            .select(
+                F.col("x.v").alias("v"),
+                F.col("y.u").alias("u"),
+                (F.col("x.d") + F.col("y.d")).alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError("q_hierarchy_rollup: tree deeper than 2^12")
+
+    depths = closure.groupBy("v").agg(F.max("d").alias("depth"))
+    sub = (
+        closure.join(
+            cust.select(F.col("c_custkey").alias("v"), "c_acctbal"), "v"
+        )
+        .groupBy(F.col("a"))
+        .agg(
+            F.count("*").alias("n_desc"),
+            F.sum(dec("c_acctbal")).alias("bal_desc"),
+        )
+    )
+    return (
+        cust.join(depths, cust.c_custkey == depths.v, "left")
+        .join(sub, cust.c_custkey == sub.a, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("depth"), F.lit(0)).cast("bigint").alias("depth"),
+            (F.lit(1) + F.coalesce(F.col("n_desc"), F.lit(0)))
+            .cast("bigint")
+            .alias("subtree_size"),
+            (
+                dec("c_acctbal")
+                + F.coalesce(F.col("bal_desc"), F.lit(0).cast("decimal(12,2)"))
+            )
+            .cast("double")
+            .alias("subtree_bal"),
+        )
+        .orderBy("c_custkey")
+    )
