@@ -1219,3 +1219,178 @@ def q_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_markov_transitions — next-event transition matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+        WITH t AS (
+            SELECT event_type AS src,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS dst
+            FROM events
+        ),
+        c AS (
+            SELECT src, dst, COUNT(*) AS n
+            FROM t WHERE dst IS NOT NULL
+            GROUP BY src, dst
+        )
+        SELECT src, dst, n,
+               ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 4)
+                   AS p
+        FROM c
+        ORDER BY src, dst
+    """,
+    tags=("analytics", "window", "agg"),
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the user event stream:
+    for each ordered pair (src → dst) of consecutive events within a
+    user's timeline, the transition count and the row-normalized
+    probability — the model behind next-action prediction, journey
+    Sankey diagrams, and anomalous-flow detection.
+
+    One window (lead over the user timeline — the same hash partition
+    a sessionize needs), one hash aggregate on the 5×5 state space,
+    and one tiny window to normalize rows. Determinism: counts are
+    integers; p is a single double division of two exact integers,
+    rounded identically in both engines. 100 TB: the only full-fact
+    shuffle is the per-user window; the transition matrix itself is
+    |states|² rows — the aggregate combines map-side to almost
+    nothing.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = t.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wsrc = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 4).alias("p"),
+    ).orderBy("src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# q_ab_ztest — two-proportion experiment readout
+# ---------------------------------------------------------------------------
+
+# arm = md5-bucket parity of the exposure key (reuses the deterministic
+# [0,255] hash bucket the sampling wave established). The exposure unit
+# is the EVENT (impression-grain experiment): user-grain conversion
+# saturates to 100% on the small-sf fixtures (every user eventually
+# purchases), which degenerates the pooled variance to 0 — event-grain
+# conversion (~20% purchases) is well-conditioned at every sf.
+_AB_KEY_DUCK = "concat('e', CAST(event_id AS VARCHAR))"
+_AB_KEY_SPARK = "concat('e', CAST(event_id AS STRING))"
+
+
+@register(
+    "q_ab_ztest",
+    oracle=f"""
+        WITH armed AS (
+            SELECT CAST(((strpos('0123456789abcdef', substr(md5({_AB_KEY_DUCK}), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substr(md5({_AB_KEY_DUCK}), 2, 1)) - 1) % 2
+                   AS BIGINT) AS arm,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+            FROM events
+        ),
+        s AS (
+            SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                   SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS conv_a,
+                   SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS conv_b
+            FROM armed
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(conv_a AS BIGINT) AS conv_a,
+               CAST(conv_b AS BIGINT) AS conv_b,
+               ROUND(CAST(conv_a AS DOUBLE) / n_a, 4) AS rate_a,
+               ROUND(CAST(conv_b AS DOUBLE) / n_b, 4) AS rate_b,
+               CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+                    THEN ROUND((CAST(conv_a AS DOUBLE) / n_a
+                                - CAST(conv_b AS DOUBLE) / n_b)
+                               / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                                      * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                               / (n_a + n_b))
+                                      * (1.0 / n_a + 1.0 / n_b)), 4)
+                    ELSE NULL END AS z
+        FROM s
+    """,
+    tags=("analytics", "agg"),
+)
+def q_ab_ztest(spark, sf_dir):
+    """A/B experiment readout: exposures (events) are hash-assigned to
+    two arms by md5-bucket parity — the same deterministic [0,255]
+    bucket the sampling wave uses, so assignment is reproducible and
+    partition-independent — success is "the event is a purchase", and
+    the output is the standard two-proportion pooled z statistic.
+
+    Determinism: arm counts and successes are exact integers; every
+    rate and the z statistic is a fixed sequence of IEEE double ops on
+    those integers, identical in both engines, rounded once at the
+    end. The z is NULL-guarded for the degenerate pools (0% / 100%)
+    where its variance term is 0 — ANSI mode makes the unguarded
+    division an ERROR, not an inf, so the guard is load-bearing.
+    100 TB: one scan, one global partial+final aggregate of 4
+    counters; the z arithmetic runs on one row.
+    """
+    ev = load(spark, sf_dir, "events")
+    armed = ev.select(
+        (
+            F.expr(
+                f"(instr('0123456789abcdef', substr(md5({_AB_KEY_SPARK}), 1, 1)) - 1) * 16"
+                f" + instr('0123456789abcdef', substr(md5({_AB_KEY_SPARK}), 2, 1)) - 1"
+            )
+            % 2
+        )
+        .cast("bigint")
+        .alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    s = armed.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    conv_t = F.col("conv_a") + F.col("conv_b")
+    n_t = F.col("n_a") + F.col("n_b")
+    pp = conv_t.cast("double") / n_t
+    z = F.when(
+        (conv_t > 0) & (conv_t < n_t),
+        F.round(
+            (ra - rb)
+            / F.sqrt(
+                pp
+                * (F.lit(1.0) - pp)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+            4,
+        ),
+    ).alias("z")
+    return s.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(ra, 4).alias("rate_a"),
+        F.round(rb, 4).alias("rate_b"),
+        z,
+    )

@@ -462,3 +462,122 @@ def q_ts_forecast_eval(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_changepoint_cusum — CUSUM changepoint detection per series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_changepoint_cusum",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   SUM(CAST(value AS DECIMAL(12,4))) AS s
+            FROM events
+            GROUP BY 1, 2
+        ),
+        pre AS (
+            SELECT event_type, day, s,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS idx,
+                   CAST(SUM(s) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING)
+                        AS DECIMAL(18,4)) AS prefix,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_days,
+                   CAST(SUM(s) OVER (PARTITION BY event_type)
+                        AS DECIMAL(18,4)) AS total
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        scored AS (
+            SELECT event_type, day, n_days,
+                   abs(CAST(n_days AS DECIMAL(6,0)) * prefix
+                       - CAST(idx AS DECIMAL(6,0)) * total) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(CAST(n_days AS DECIMAL(6,0)) * prefix
+                                    - CAST(idx AS DECIMAL(6,0)) * total) DESC,
+                                day ASC) AS rk
+            FROM pre
+        )
+        SELECT event_type, day AS cp_day, n_days,
+               ROUND(CAST(score AS DOUBLE) / n_days, 4) AS max_abs_cusum
+        FROM scored
+        WHERE rk = 1
+        ORDER BY event_type
+    """,
+    tags=("timeseries", "window", "agg"),
+)
+def q_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection on each event type's daily-total
+    series: the day where the cumulative deviation from the series
+    mean |Σ_{i≤d}(s_i − μ)| peaks — the classic single-changepoint
+    estimator (level-shift localization) a monitoring pipeline runs
+    over its metric rollups.
+
+    Exactness trick: the textbook statistic needs μ = total/n (an
+    inexact double). Scaling by n keeps everything in integers/
+    decimals: n·Σprefix − idx·total = n·(prefix − idx·μ), so the
+    ARGMAX is taken over exact decimal scores — both engines pick the
+    same day even when two days differ in the 15th digit — and only
+    the reported magnitude divides by n (one IEEE op, rounded).
+    Precision is kept in-range by quantizing daily sums to
+    DECIMAL(18,4) and the n/idx factors to DECIMAL(6,0), so products
+    stay ≤ 25 digits in BOTH engines (no silent Spark precision-loss
+    rounding at 38).
+
+    100 TB: one hash agg to daily grain (the cardinality crusher —
+    everything after runs on |types|×|days| rows), two windows
+    partitioned by type, one ranking window. The same shape batch
+    rollup + anomaly scoring takes at warehouse scale; no UDF, no
+    driver loop.
+    """
+    from flink_rc_spark.functions.exact import dec
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(dec("value", 12, 4)).alias("s"))
+
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w_ord).cast("bigint").alias("idx"),
+        F.sum("s").over(w_run).cast("decimal(18,4)").alias("prefix"),
+        F.count("*").over(w_all).cast("bigint").alias("n_days"),
+        F.sum("s").over(w_all).cast("decimal(18,4)").alias("total"),
+    )
+    score = F.abs(
+        F.col("n_days").cast("decimal(6,0)") * F.col("prefix")
+        - F.col("idx").cast("decimal(6,0)") * F.col("total")
+    )
+    scored = pre.select(
+        "event_type",
+        "day",
+        "n_days",
+        score.alias("score"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                score.desc(), F.col("day").asc()
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        scored.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            "n_days",
+            F.round(F.col("score").cast("double") / F.col("n_days"), 4).alias(
+                "max_abs_cusum"
+            ),
+        )
+        .orderBy("event_type")
+    )
