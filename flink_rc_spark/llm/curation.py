@@ -634,3 +634,224 @@ def q_mixture_plan(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dsir_weights — hashed-feature importance weights (DSIR-style)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64  # hashed feature buckets
+
+# token -> bucket in [0, 63]: the sampling wave's md5 [0,255] bucket mod 64
+_DSIR_BUCKET_SPARK = (
+    "((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) % 64"
+)
+_DSIR_BUCKET_DUCK = (
+    "((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) % 64"
+)
+
+
+@register(
+    "q_dsir_weights",
+    oracle=f"""
+        WITH tokens AS (
+            SELECT doc_id, lang, tok
+            FROM (SELECT doc_id, lang,
+                         unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        bucketed AS (
+            SELECT doc_id, lang,
+                   CAST({_DSIR_BUCKET_DUCK} AS BIGINT) AS b
+            FROM tokens
+        ),
+        stats AS (
+            SELECT b,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_f,
+                   COUNT(*) AS r_f
+            FROM bucketed GROUP BY b
+        ),
+        tot AS (SELECT SUM(t_f) AS t_tot, SUM(r_f) AS r_tot FROM stats),
+        ratio AS (
+            SELECT b,
+                   CAST(ROUND(ln((CAST(t_f + 1 AS DOUBLE)
+                                  / (t_tot + {_DSIR_B}))
+                                 / (CAST(r_f + 1 AS DOUBLE)
+                                    / (r_tot + {_DSIR_B}))), 6)
+                        AS DECIMAL(12,6)) AS l
+            FROM stats, tot
+        ),
+        doc_feats AS (
+            SELECT doc_id, ANY_VALUE(lang) AS lang, b, COUNT(*) AS c
+            FROM bucketed GROUP BY doc_id, b
+        ),
+        weights AS (
+            SELECT doc_id, ANY_VALUE(lang) AS lang,
+                   SUM(CAST(c AS DECIMAL(10,0)) * l) AS w
+            FROM doc_feats JOIN ratio USING (b)
+            GROUP BY doc_id
+        )
+        SELECT doc_id, lang, ROUND(CAST(w AS DOUBLE), 4) AS weight
+        FROM weights
+        ORDER BY w DESC, doc_id
+        LIMIT 20
+    """,
+    tags=("llm", "curation", "agg"),
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style data-selection importance weights: score every
+    document by the log-likelihood ratio of its hashed-unigram
+    features under a TARGET distribution (English docs) vs the RAW
+    corpus distribution — the hashed-n-gram importance resampling
+    recipe (Xie et al., DSIR) used to up-select pretraining data that
+    "looks like" a trusted target set; output the top-20 most
+    target-like documents.
+
+    Exactness: bucket counts are integers; each bucket's log-ratio is
+    computed once, ROUNDED TO 6 DECIMALS AND QUANTIZED TO DECIMAL so
+    the per-document dot product Σ c_b·L_b is decimal-exact and
+    order-independent — the engines disagree only about things that
+    were already rounded away. The top-20 ORDER BY runs on the exact
+    decimal weight (ties broken by doc_id), so the selected set is
+    deterministic, not hash-luck.
+
+    100 TB: tokenize+bucket is one scan of JVM built-ins; the feature
+    table is 64 rows (broadcast); per-doc weights are one hash agg
+    keyed by doc; the final top-k is TakeOrdered (no global sort
+    materialization). This is the actual shape DSIR runs at corpus
+    scale — the whole model is the broadcast 64-row ratio table.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucketed = tokens.select(
+        "doc_id",
+        "lang",
+        F.expr(_DSIR_BUCKET_SPARK).cast("bigint").alias("b"),
+    )
+    stats = bucketed.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_f"),
+        F.count("*").alias("r_f"),
+    )
+    tot = stats.agg(
+        F.sum("t_f").alias("t_tot"), F.sum("r_f").alias("r_tot")
+    )
+    ratio = stats.join(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("t_f") + 1).cast("double") / (F.col("t_tot") + _DSIR_B))
+                / ((F.col("r_f") + 1).cast("double") / (F.col("r_tot") + _DSIR_B))
+            ),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("l"),
+    )
+    doc_feats = bucketed.groupBy("doc_id", "b").agg(
+        F.first("lang").alias("lang"), F.count("*").alias("c")
+    )
+    weights = (
+        doc_feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.sum(F.col("c").cast("decimal(10,0)") * F.col("l")).alias("w"),
+        )
+    )
+    return (
+        weights.orderBy(F.col("w").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", "lang", F.round(F.col("w").cast("double"), 4).alias("weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_winsorize — robust per-group scaling for curation signals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+        WITH stats AS (
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   quantile_cont(n_chars, 0.05) AS p05,
+                   quantile_cont(n_chars, 0.95) AS p95
+            FROM documents
+            GROUP BY source
+        )
+        SELECT d.source, ANY_VALUE(s.n_docs) AS n_docs,
+               ROUND(ANY_VALUE(s.p05), 4) AS p05,
+               ROUND(ANY_VALUE(s.p95), 4) AS p95,
+               CAST(SUM(CASE WHEN d.n_chars < s.p05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN d.n_chars > s.p95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high,
+               ROUND(CAST(SUM(CAST(ROUND(
+                        CASE WHEN d.n_chars < s.p05 THEN s.p05
+                             WHEN d.n_chars > s.p95 THEN s.p95
+                             ELSE CAST(d.n_chars AS DOUBLE) END, 4)
+                      AS DECIMAL(18,4))) AS DOUBLE)
+                     / ANY_VALUE(s.n_docs), 4) AS win_mean
+        FROM documents d JOIN stats s USING (source)
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+    tags=("llm", "curation", "agg"),
+)
+def q_winsorize(spark, sf_dir):
+    """Winsorized per-source length statistics: clamp each document's
+    n_chars into its source's [p05, p95] band and report the clamped
+    mean plus how many docs hit each bound — the robust-scaling step a
+    curation pipeline applies before thresholding quality signals
+    (outlier docs would otherwise drag per-source means arbitrarily).
+
+    Two-pass shape (the q_anomaly_zscore pattern): exact interpolated
+    percentiles per source (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the q_agg_percentile-established equivalence),
+    BROADCAST back over the fact, clamp per-row, aggregate. The
+    clamped value is an IEEE-identical double in both engines (an
+    integer or the interpolated bound), quantized to DECIMAL(18,4)
+    before summing so the group mean is order-independent-exact.
+    100 TB: two scans, two hash aggs, one broadcast — no window over
+    the fact, no sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    clamped = F.round(
+        F.when(F.col("n_chars") < F.col("p05"), F.col("p05"))
+        .when(F.col("n_chars") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("n_chars").cast("double")),
+        4,
+    ).cast("decimal(18,4)")
+    return (
+        docs.join(F.broadcast(stats), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.round(F.first("p05"), 4).alias("p05"),
+            F.round(F.first("p95"), 4).alias("p95"),
+            F.sum(F.when(F.col("n_chars") < F.col("p05"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("n_chars") > F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+            F.round(
+                F.sum(clamped).cast("double") / F.first("n_docs"), 4
+            ).alias("win_mean"),
+        )
+        .orderBy("source")
+    )

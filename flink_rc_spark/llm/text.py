@@ -17,7 +17,7 @@ surface mandated by BASELINE.json for training-data pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_rc_spark.registry import register
@@ -672,3 +672,122 @@ def q_bm25(spark, sf_dir):
         .limit(20)
         .select("doc_id", F.round("_raw", 4).alias("bm25"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cooccur_pmi — pointwise mutual information of token co-occurrence
+# ---------------------------------------------------------------------------
+
+_PMI_VOCAB = 40  # top tokens by document frequency
+_PMI_MIN_CO = 5  # minimum co-document count for a reported pair
+
+
+@register(
+    "q_cooccur_pmi",
+    oracle=f"""
+        WITH inc AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id,
+                         unnest(list_distinct(string_split(lower(text), ' ')))
+                             AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ),
+        df AS (SELECT tok, COUNT(*) AS df FROM inc GROUP BY tok),
+        vocab AS (
+            SELECT tok, df
+            FROM (SELECT tok, df,
+                         ROW_NUMBER() OVER (ORDER BY df DESC, tok ASC) AS rk
+                  FROM df)
+            WHERE rk <= {_PMI_VOCAB}
+        ),
+        vinc AS (SELECT i.doc_id, i.tok, v.df
+                 FROM inc i JOIN vocab v USING (tok)),
+        co AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   ANY_VALUE(a.df) AS df_a, ANY_VALUE(b.df) AS df_b,
+                   COUNT(*) AS n_co
+            FROM vinc a JOIN vinc b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY a.tok, b.tok
+        )
+        SELECT tok_a, tok_b, n_co,
+               ROUND(ln(CAST(n_co AS DOUBLE)
+                        * (SELECT COUNT(*) FROM documents)
+                        / (df_a * df_b)), 4) AS pmi
+        FROM co
+        WHERE n_co >= {_PMI_MIN_CO}
+        ORDER BY tok_a, tok_b
+    """,
+    tags=("llm", "text", "join", "agg"),
+)
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over token co-occurrence: for the
+    top-40 vocabulary (by document frequency, ties
+    lexicographic), every token pair co-occurring in ≥ 5
+    documents gets PMI = ln(N·n_co / (df_a·df_b)) — the collocation /
+    topic-affinity statistic under word embeddings (PMI matrix
+    factorization) and phrase-mining pipelines.
+
+    Scale shape: incidence is restricted to the broadcast vocabulary
+    BEFORE the pair join, so the self-join on doc_id generates at most
+    C(40,2) pairs per document — bounded fan-out, an
+    equi-shuffle on doc_id, never a cartesian (the scale guard
+    plan-asserts this). All counts are exact integers; ln runs once on
+    an exact rational and is rounded, the established tfidf/bm25
+    policy. 100 TB: vocabulary selection is a hash agg + tiny top-k;
+    the pair aggregate's key space is ≤ C(40,2) — map-side combine
+    crushes it.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    inc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df = inc.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = (
+        df.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), F.col("tok").asc())
+            ),
+        )
+        .filter(F.col("rk") <= _PMI_VOCAB)
+        .drop("rk")
+    )
+    vinc = inc.join(F.broadcast(vocab), "tok")
+    a = vinc.select(
+        F.col("doc_id"), F.col("tok").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    b = vinc.select(
+        F.col("doc_id"), F.col("tok").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.first("df_a").alias("df_a"),
+            F.first("df_b").alias("df_b"),
+            F.count("*").alias("n_co"),
+        )
+        .filter(F.col("n_co") >= _PMI_MIN_CO)
+    )
+    return co.select(
+        "tok_a",
+        "tok_b",
+        "n_co",
+        F.round(
+            F.log(
+                F.col("n_co").cast("double")
+                * F.lit(n_docs)
+                / (F.col("df_a") * F.col("df_b"))
+            ),
+            4,
+        ).alias("pmi"),
+    ).orderBy("tok_a", "tok_b")

@@ -462,3 +462,113 @@ def q_stream_esn(spark, sf_dir):
         timeoutConf="NoTimeout",
     )
     return run_to_memory(out, output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_topk — bounded top-k leaderboard as streaming state
+# ---------------------------------------------------------------------------
+
+TOPK_K = 5
+
+TOPK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+TOPK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("cents", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _topk_kernel(key, pdf_iter, state):
+    """Per-type top-k state transition: merge the micro-batch's events
+    into the K-row leaderboard held in state, emit the updated board
+    tagged with a batch sequence number. State is O(K) per key — the
+    leaderboard IS the state, the classic bounded-state streaming
+    aggregate (contrast with the unbounded raw stream it summarizes).
+    Values accumulate as integer cents (events.value is 2-decimal), so
+    ranking ties and emitted doubles are exact; ties break on
+    event_id, making the board independent of micro-batch slicing."""
+    import numpy as np
+
+    seq, cents, ids = state.get if state.exists else (0, [], [])
+    pairs = list(zip(cents, ids))
+    for pdf in pdf_iter:
+        v = np.round(pdf["value"].to_numpy() * 100).astype(np.int64)
+        for c, e in zip(v, pdf["event_id"].to_numpy()):
+            pairs.append((int(c), int(e)))
+    pairs.sort(key=lambda t: (-t[0], t[1]))
+    pairs = pairs[:TOPK_K]
+    seq += 1
+    out = pd.DataFrame(
+        {
+            "event_type": key[0],
+            "seq": seq,
+            "rank": np.arange(1, len(pairs) + 1, dtype="int64"),
+            "event_id": [e for _, e in pairs],
+            "value": [c / 100.0 for c, _ in pairs],
+        }
+    )
+    state.update((seq, [c for c, _ in pairs], [e for _, e in pairs]))
+    yield out
+
+
+def stream_topk(s):
+    return s.groupBy("event_type").applyInPandasWithState(
+        _topk_kernel,
+        outputStructType=TOPK_OUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "q_stream_topk",
+    oracle=f"""
+        SELECT event_type, rank, event_id, value
+        FROM (
+            SELECT event_type,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id)
+                       AS BIGINT) AS rank,
+                   event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+            FROM events
+        )
+        WHERE rank <= {TOPK_K}
+        ORDER BY event_type, rank
+    """,
+)
+def q_stream_topk(spark, sf_dir):
+    """Streaming top-K leaderboard per event type: the K highest-value
+    events seen so far, maintained incrementally in the state store
+    across micro-batches (real-time "biggest transactions" dashboards).
+    Each batch emits the refreshed board tagged with a state sequence
+    number; the final board (max seq per key) is the result and equals
+    the batch window top-K exactly — the oracle. The state is O(K) per
+    key no matter how many events stream through: the aggregation is
+    the pruning. Uses the applyInPandasWithState path (see the module
+    docstring for the transformWithStateInPandas adapter note)."""
+    from pyspark.sql import Window
+
+    ensure_package_shipped(spark)
+    s = events_stream(spark, sf_dir)
+    out = run_to_memory(stream_topk(s), output_mode="append")
+    w = F.max("seq").over(Window.partitionBy("event_type"))
+    return (
+        out.withColumn("max_seq", w)
+        .filter(F.col("seq") == F.col("max_seq"))
+        .select("event_type", "rank", "event_id", "value")
+        .orderBy("event_type", "rank")
+    )

@@ -55,6 +55,9 @@ NESTED_LOOP_ALLOWED = {
     #                   the codebook / ride broadcast onto the codes —
     #                   both sides bounded by construction
     "q_dq_checks",  # combining seven single-row audit counters
+    "q_dsir_weights",  # ONE broadcast row (corpus token totals) riding
+    #                    onto the 64-row bucket stats — same shape as
+    #                    q_bm25's corpus-stats join
 }
 
 

@@ -267,3 +267,39 @@ def test_stream_esn_matches_batch_reservoir_bit_exact(spark, sf_dir):
             assert x0 == states[i, 0] and nrm == norms[i], (uid, eid)
             n_checked += 1
     assert n_checked == len(got) and n_checked > 0
+
+
+def test_stream_topk_state_survives_batches(spark, sf_dir):
+    """The streaming top-K leaderboard must be identical whether the
+    events arrive as one batch or four: the final board (max seq per
+    type) after a 4-micro-batch replay equals the single-replay
+    declared result row-for-row. Only possible if the K-row state
+    survives between batches — a reset would leave later boards
+    missing early high-value events. Also asserts the replay really
+    was incremental and that intermediate boards were emitted (seq
+    advances with batches)."""
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.streaming.replay import events_stream, run_to_memory
+    from flink_rc_spark.streaming.stateful import stream_topk
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    one = REGISTRY["q_stream_topk"].builder(spark, sf_dir)
+
+    s = events_stream(spark, sf_dir, n_splits=4)
+    stats: dict = {}
+    raw = run_to_memory(stream_topk(s), output_mode="append", stats=stats)
+    assert stats["num_batches"] >= 3, f"replay was not incremental: {stats}"
+    assert raw.agg(F.max("seq")).first()[0] >= 3, "boards did not advance"
+
+    from pyspark.sql import Window
+
+    final = (
+        raw.withColumn("mx", F.max("seq").over(Window.partitionBy("event_type")))
+        .filter(F.col("seq") == F.col("mx"))
+        .select("event_type", "rank", "event_id", "value")
+    )
+    a = one.orderBy("event_type", "rank").toPandas()
+    b = final.orderBy("event_type", "rank").toPandas()
+    assert a.equals(b)
