@@ -59,6 +59,11 @@ PROBE_KEYS = [
     "q_graph_pagerank",
     "q_bpe_encode",
     "q_sample_weighted",
+    # r7 wave
+    "q_graph_bfs",
+    "q_cooccur_pmi",
+    "q_dsir_weights",
+    "q_winsorize",
 ]
 
 

@@ -33,6 +33,13 @@ PROBE_KEYS = [
     "q_stream_dedup",
     "q_stream_stateful_counter",
     "q_stream_stream_join",
+    # r7 wave: the stateful top-k board, plus the three batch
+    # event-analytics keys (they read only events.parquet, so the same
+    # 10x synthesis exercises them)
+    "q_stream_topk",
+    "q_markov_transitions",
+    "q_ab_ztest",
+    "q_changepoint_cusum",
 ]
 
 
