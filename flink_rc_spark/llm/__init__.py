@@ -10,6 +10,7 @@ registry (flink_rc_spark.registry).
 from flink_rc_spark.llm import (  # noqa: F401
     audio,
     bpe,
+    cluster,
     curation,
     dedup,
     multimodal,

@@ -190,3 +190,86 @@ def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, c.chunk_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_udaf_surface — GROUPED_AGG pandas_udf, in agg AND as a window fn
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(T.LongType())
+def _cents_sum(v: pd.Series) -> int:
+    """Exact event-value total in integer cents (the stateful-counter
+    kernel's quantization): np.round on 2-decimal doubles lands on the
+    same integer as the oracle's DECIMAL(18,2) route regardless of the
+    half-rounding mode, so the Python aggregate is hash-exact."""
+    import numpy as np
+
+    return int(np.round(v.to_numpy() * 100).astype("int64").sum())
+
+
+# Spark refuses to mix GROUPED_AGG pandas UDFs with JVM aggregates in
+# one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the companion
+# aggregates are pandas too — one shuffle, one AggregateInPandas node.
+@pandas_udf(T.LongType())
+def _count_rows(v: pd.Series) -> int:
+    return int(len(v))
+
+
+@pandas_udf(T.LongType())
+def _max_long(v: pd.Series) -> int:
+    return int(v.max())
+
+
+@register(
+    "q_udaf_surface",
+    oracle="""
+        WITH uc AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS user_cents
+            FROM events GROUP BY user_id
+        )
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               MAX(uc.user_cents) AS max_user_cents
+        FROM events e JOIN uc USING (user_id)
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("llm", "udf", "udaf"),
+)
+def q_udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf surface — the remaining Python extension
+    shape after q_udf_surface (scalar / applyInPandas / mapInPandas)
+    and q_udtf_surface: the SAME Python aggregate runs (a) inside
+    ``groupBy().agg`` (``ArrowAggregatePython`` plan node) and (b) as an
+    unbounded window function (``ArrowWindowPython``) — per event type,
+    the exact cents total, plus the largest whole-user cents total
+    among users seen in that type (the window attaches each user's
+    total to every row, the agg maxes it).
+
+    Both nodes are Arrow-batched (the global BatchEvalPython ban
+    sweeps this key too). Exactness: integer cents inside Python ≡
+    DECIMAL(18,2)·100 in the oracle. 100 TB: the window and the agg
+    shuffle by their keys exactly like their JVM twins — a grouped-agg
+    pandas UDF costs one Arrow hop but changes no partitioning; the
+    JVM spelling stays the fast path (this key exists to verify the
+    extension surface, like the rest of the udf family).
+    """
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id")
+    with_user = ev.withColumn("user_cents", _cents_sum("value").over(wu))
+    return (
+        with_user.groupBy("event_type")
+        .agg(
+            _count_rows("value").alias("n"),
+            _cents_sum("value").alias("total_cents"),
+            _max_long("user_cents").alias("max_user_cents"),
+        )
+        .orderBy("event_type")
+    )

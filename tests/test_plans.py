@@ -230,3 +230,16 @@ def test_pq_codebook_broadcasts(spark, sf_dir):
     a shuffle join over the codebook would shuffle the corpus 16x."""
     plan = formatted_plan(_q("q_embedding_pq", spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_udaf_surface_arrow_nodes(spark, sf_dir):
+    """q_udaf_surface must exercise BOTH grouped-agg pandas shapes on
+    the Arrow path: ArrowAggregatePython (groupBy().agg) and
+    ArrowWindowPython (the unbounded per-user window — Spark 4's node
+    names for AggregateInPandas/WindowInPandas). The global
+    BatchEvalPython ban already excludes the pickled row path; this
+    pins the two specific nodes so a refactor can't silently collapse
+    the window into a JVM aggregate and stop testing the surface."""
+    plan = formatted_plan(_q("q_udaf_surface", spark, sf_dir))
+    assert "ArrowAggregatePython" in plan, plan
+    assert "ArrowWindowPython" in plan, plan

@@ -58,6 +58,10 @@ NESTED_LOOP_ALLOWED = {
     "q_dsir_weights",  # ONE broadcast row (corpus token totals) riding
     #                    onto the 64-row bucket stats — same shape as
     #                    q_bm25's corpus-stats join
+    "q_kmeans",  # the k-row centroid model BROADCAST against every
+    #              vector each Lloyd round — the intended assignment
+    #              plan (q_knn_label's probe shape); vectors never
+    #              shuffle for assignment
 }
 
 

@@ -64,6 +64,7 @@ PROBE_KEYS = [
     "q_cooccur_pmi",
     "q_dsir_weights",
     "q_winsorize",
+    "q_kmeans",
 ]
 
 
