@@ -238,3 +238,87 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+_SSSP_MAX_HOPS = 3
+
+
+@register(
+    "q_graph_sssp",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    wedges AS (
+        SELECT doc_a AS a, doc_b AS b,
+               CAST(10000 - ROUND(est_jaccard * 10000) AS BIGINT) AS w
+        FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a,
+               CAST(10000 - ROUND(est_jaccard * 10000) AS BIGINT)
+        FROM pairs
+    ),
+    reach(v, d, h) AS (
+        SELECT doc_id, CAST(0 AS BIGINT), 0
+        FROM documents WHERE doc_id % 97 = 0
+        UNION
+        SELECT e.b, reach.d + e.w, reach.h + 1
+        FROM wedges e JOIN reach ON reach.v = e.a
+        WHERE reach.h < {_SSSP_MAX_HOPS}
+    )
+    SELECT v AS doc_id, MIN(d) AS dist
+    FROM reach
+    GROUP BY v
+    ORDER BY doc_id
+    """,
+    tags=("graph", "join", "iterative"),
+)
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded single-source-set WEIGHTED shortest paths (Bellman-Ford,
+    3 relaxation rounds) from the same seed documents as q_graph_bfs,
+    over the MinHash candidate graph with integer dissimilarity
+    weights w = 10000 − round(est_jaccard·10⁴): "how semantically far
+    is every document from the seed set" — BFS's weighted twin, the
+    shape behind influence radii and weighted contamination scoring.
+
+    Each Bellman-Ford round relaxes EVERY labeled vertex through the
+    edge list (one equi-join + one min-aggregate keyed by vertex) —
+    after round k the label is exactly min-cost over ≤ k edges, which
+    is what the oracle's hop-bounded recursive CTE enumerates, so the
+    hash proves the relaxation ≡ path enumeration. Weights are exact
+    integers (est_jaccard is k/8 — a dyadic rational, so its rounding
+    and the ·10⁴ rescale are bit-identical in both engines). Unlike
+    BFS's frontier-only join, relaxation must rejoin all labels each
+    round (costs can improve late) — the textbook reason weighted
+    traversal is more expensive than reachability, visible right in
+    the plan. 100 TB: 3 rounds × (shuffle-by-vertex join + combine-
+    crushed min agg); lineage cut per round.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    w = (F.lit(10000) - F.round(F.col("est_jaccard") * 10000)).cast("bigint")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), w.alias("w"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"), w.alias("w")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("v"), F.lit(0).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_SSSP_MAX_HOPS):
+        msgs = edges.join(dist, edges.src == dist.v).select(
+            F.col("dst").alias("v"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = (
+            dist.unionByName(msgs)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("v").alias("doc_id"), F.col("d").alias("dist")).orderBy(
+        "doc_id"
+    )

@@ -65,6 +65,7 @@ PROBE_KEYS = [
     "q_dsir_weights",
     "q_winsorize",
     "q_kmeans",
+    "q_graph_sssp",
 ]
 
 
