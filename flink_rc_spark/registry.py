@@ -62,6 +62,7 @@ def load_all() -> None:
     import flink_rc_spark.streaming  # noqa: F401
     import flink_rc_spark.rc  # noqa: F401
     import flink_rc_spark.llm  # noqa: F401
+    import flink_rc_spark.sources.pyds  # noqa: F401
 
 
 def get_queries() -> dict[str, Builder]:

@@ -182,3 +182,37 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
         for r in back.select("n_nationkey", "n_name", "n_regionkey").collect()
     }
     assert a == b
+
+
+def test_pyds_mackeyglass_matches_fixture_bit_exact(spark):
+    """The custom Python DataSource's sid=0 series must equal
+    rc/fixtures.mackey_glass BIT-FOR-BIT (same Euler recurrence, same
+    x0) — the datasource is a parallel connector over the RC fixture
+    spec, not a reimplementation drift risk. Also pins the partition
+    layout: one input partition per series (the parallelism claim)."""
+    import numpy as np
+
+    from flink_rc_spark.rc.fixtures import mackey_glass
+    from flink_rc_spark.sources.pyds import register_mackeyglass
+
+    register_mackeyglass(spark)
+    df = (
+        spark.read.format("mackeyglass")
+        .option("n_series", 3)
+        .option("n", 256)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    got = np.array(
+        [
+            r.value
+            for r in df.filter("series_id = 0").orderBy("seq").collect()
+        ]
+    )
+    want = mackey_glass(n=256)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)  # bit-exact, no tolerance
+
+    # distinct initial conditions => distinct series per sid
+    s1 = df.filter("series_id = 1 and seq = 0").first().value
+    assert s1 != want[0]
