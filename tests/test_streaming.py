@@ -303,3 +303,148 @@ def test_stream_topk_state_survives_batches(spark, sf_dir):
     a = one.orderBy("event_type", "rank").toPandas()
     b = final.orderBy("event_type", "rank").toPandas()
     assert a.equals(b)
+
+
+def test_stateful_state_survives_query_RESTART(spark, sf_dir, tmp_path):
+    """Exactly-once recovery across a QUERY RESTART — the production
+    streaming property the in-process tests can't see: run 1 consumes
+    the first two replay files into a checkpointed parquet sink and
+    terminates (availableNow); files 3-4 arrive; run 2 restarts from
+    the SAME checkpoint. The file source must skip the already-
+    committed files (no duplicates), and the per-user (n, cents)
+    counter state must be RESTORED from the state-store checkpoint —
+    if state reset, rows in the later files would restart their
+    running counts and the batch-window oracle comparison would fail.
+    """
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.streaming.replay import (
+        _events_ts_is_nanos,
+        _stream_dir,
+        events_raw_schema,
+    )
+    from flink_rc_spark.streaming.stateful import stateful_counter_stream
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    parts = sorted(glob.glob(_stream_dir(sf_dir, 4) + "/part-*.parquet"))
+    assert len(parts) == 4
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def arrive(path, seq):
+        dst = src / os.path.basename(path)
+        shutil.copyfile(path, dst)
+        os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+    def run_once():
+        ts_is_nanos = _events_ts_is_nanos(sf_dir)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        reader = (
+            spark.readStream.schema(events_raw_schema(ts_is_nanos))
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        if ts_is_nanos:
+            s = reader.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        else:
+            s = reader.withColumn("ts", F.col("ts").cast("timestamp"))
+        prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stateful_counter_stream(s)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if prev is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    arrive(parts[0], 0)
+    arrive(parts[1], 1)
+    run_once()
+    n_after_first = spark.read.parquet(out).count()
+    arrive(parts[2], 2)
+    arrive(parts[3], 3)
+    run_once()
+
+    got = (
+        spark.read.parquet(out)
+        .orderBy("user_id", "event_id")
+        .toPandas()
+    )
+    # run 2 added only the new files' rows — no reprocessing
+    from flink_rc_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    assert n_after_first < len(got) == ev.count()
+    assert got["event_id"].is_unique
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count("*").over(w).alias("running_n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_sum"),
+        )
+        .orderBy("user_id", "event_id")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_stateful_counter_on_rocksdb_state_store(spark, sf_dir):
+    """The same stateful counter on the PRODUCTION state backend:
+    RocksDBStateStoreProvider (what a real deployment runs so state
+    size is bounded by disk, not executor heap). Identical results to
+    the default HDFS-backed store prove the operator is
+    backend-agnostic — the 100 TB state story is a config line, not a
+    code change."""
+    from flink_rc_spark.registry import REGISTRY
+
+    base = (
+        REGISTRY["q_stream_stateful_counter"]
+        .builder(spark, sf_dir)
+        .orderBy("user_id", "event_id")
+        .toPandas()
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = (
+            REGISTRY["q_stream_stateful_counter"]
+            .builder(spark, sf_dir)
+            .orderBy("user_id", "event_id")
+            .toPandas()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+    assert base.equals(rocks)
