@@ -273,3 +273,69 @@ def q_udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_arrow_surface — mapInArrow: RecordBatch-level Python, zero pandas
+# ---------------------------------------------------------------------------
+
+
+def _arrow_doc_stats(batches):
+    """RecordBatch -> RecordBatch transform entirely in pyarrow.compute
+    (no pandas materialization): doc_id, utf8 length, ascii-only flag.
+    Arrow kernels are vectorized C++ — this is the lowest-overhead
+    Python extension point Spark offers, the right shape for
+    columnar codecs and tokenizer front-ends."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column(batch.schema.get_field_index("text"))
+        out = pa.RecordBatch.from_arrays(
+            [
+                batch.column(batch.schema.get_field_index("doc_id")),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+                pc.cast(
+                    pc.equal(pc.utf8_length(text), pc.binary_length(text)),
+                    pa.bool_(),
+                ),
+            ],
+            names=["doc_id", "n_codepoints", "is_ascii"],
+        )
+        yield out
+
+
+@register(
+    "q_arrow_surface",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_codepoints,
+               length(text) = strlen(text) AS is_ascii
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("llm", "udf", "arrow"),
+)
+def q_arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` surface — the RecordBatch-grain Python extension
+    shape below the pandas family (no pandas conversion at all): per
+    document, the Unicode codepoint count and an ASCII-only flag
+    computed by pyarrow.compute kernels. With q_udf_surface /
+    q_udaf_surface / q_udtf_surface this completes every Python
+    extension point Spark 4 exposes (scalar pandas, grouped-map,
+    map-batches, grouped-agg, window-agg, table function, and raw
+    Arrow batches).
+
+    Exactness: utf8_length ≡ SQL length() on VARCHAR (codepoints);
+    binary_length ≡ DuckDB strlen (bytes). Plan: a single pipelined
+    PythonMapInArrow node over a 2-column pruned scan — no shuffle, no
+    pandas serialization overhead. 100 TB: this is the template the
+    multimodal codecs would use if their per-row work were
+    Arrow-kernel-expressible; cost scales with bytes scanned, and the
+    Arrow path keeps Python overhead to batch handoff only.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = docs.mapInArrow(
+        _arrow_doc_stats, "doc_id long, n_codepoints long, is_ascii boolean"
+    )
+    return out.orderBy("doc_id")

@@ -675,3 +675,25 @@ def test_pq_adc_recall_beats_chance(spark, sf_dir):
         adc10 = {r.vec_id for r in rows if r.qid == q}
         recalls.append(len(true10 & adc10) / 10)
     assert sum(recalls) / len(recalls) >= 0.15, recalls
+
+
+def test_arrow_surface_kernel_distinguishes_multibyte(spark):
+    """The testdata is all-ASCII, so q_arrow_surface's is_ascii flag
+    never fires there — this pins the actual kernel semantics on
+    constructed multibyte text: utf8_length counts CODEPOINTS,
+    binary_length counts BYTES, and the flag separates them."""
+    from flink_rc_spark.llm.udfs import _arrow_doc_stats
+
+    df = spark.createDataFrame(
+        [(1, "plain ascii"), (2, "naïve café"), (3, "中文文本")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.mapInArrow(
+            _arrow_doc_stats, "doc_id long, n_codepoints long, is_ascii boolean"
+        ).collect()
+    }
+    assert rows[1].n_codepoints == 11 and rows[1].is_ascii
+    assert rows[2].n_codepoints == 10 and not rows[2].is_ascii  # ï, é
+    assert rows[3].n_codepoints == 4 and not rows[3].is_ascii
