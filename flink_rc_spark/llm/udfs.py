@@ -41,6 +41,7 @@ from pyspark.sql.functions import pandas_udf
 
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
+from flink_rc_spark.util import ensure_package_shipped
 
 
 @pandas_udf(T.LongType())
@@ -118,6 +119,7 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scalar pandas_udf -> applyInPandas -> mapInPandas in one plan,
     oracle-checked exactly (all Python math is integer arithmetic).
     """
+    ensure_package_shipped(spark)
     docs = load(spark, sf_dir, "documents")
     with_tok = docs.select(
         "source", "n_chars", py_token_count(F.col("text")).alias("n_tok")
@@ -167,6 +169,7 @@ def q_udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_chunk_split documents. The JVM-only q_chunk_split IS the hot-
     path spelling; this key exists to prove the extension surface.
     """
+    ensure_package_shipped(spark)
     from pyspark.sql.functions import lit, udtf
 
     spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
@@ -259,6 +262,7 @@ def q_udaf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM spelling stays the fast path (this key exists to verify the
     extension surface, like the rest of the udf family).
     """
+    ensure_package_shipped(spark)
     ev = load(spark, sf_dir, "events")
     from pyspark.sql import Window
 
@@ -334,6 +338,7 @@ def q_arrow_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-kernel-expressible; cost scales with bytes scanned, and the
     Arrow path keeps Python overhead to batch handoff only.
     """
+    ensure_package_shipped(spark)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     out = docs.mapInArrow(
         _arrow_doc_stats, "doc_id long, n_codepoints long, is_ascii boolean"

@@ -103,6 +103,9 @@ def _register_query() -> None:
         spelling); the quantitative check is the sid=0 bit-equality
         against the RC fixture generator plus the partition-count
         assertion — see tests."""
+        from flink_rc_spark.util import ensure_package_shipped
+
+        ensure_package_shipped(spark)  # workers unpickle the DataSource class
         register_mackeyglass(spark)
         df = (
             spark.read.format("mackeyglass")

@@ -237,3 +237,100 @@ def q_stream_stream_join(spark, sf_dir):
         ),
     ).select("user_id", "view_id", "click_id")
     return run_to_memory(joined, output_mode="append")
+
+
+@register(
+    "q_stream_join_outer",
+    oracle="""
+        WITH mx AS (
+            -- the global watermark is the MIN of the per-side
+            -- watermarks, each computed on its FILTERED stream
+            SELECT LEAST(
+                (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+                (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+            ) AS m
+        ),
+        views AS (
+            SELECT user_id, event_id AS view_id, ts AS vts
+            FROM events WHERE event_type = 'view'
+        ),
+        clicks AS (
+            SELECT user_id AS c_user_id, event_id AS click_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ),
+        matched AS (
+            SELECT v.user_id, v.view_id, c.click_id
+            FROM views v JOIN clicks c
+              ON c.c_user_id = v.user_id
+             AND c.cts >= v.vts
+             AND c.cts <= v.vts + INTERVAL 1 HOUR
+        ),
+        unmatched AS (
+            SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS click_id
+            FROM views v, mx
+            WHERE NOT EXISTS (
+                SELECT 1 FROM clicks c
+                WHERE c.c_user_id = v.user_id
+                  AND c.cts >= v.vts
+                  AND c.cts <= v.vts + INTERVAL 1 HOUR
+            )
+            AND v.vts + INTERVAL 1 HOUR < mx.m - INTERVAL 2 HOUR
+        )
+        SELECT user_id, view_id, click_id FROM matched
+        UNION ALL
+        SELECT user_id, view_id, click_id FROM unmatched
+    """,
+)
+def q_stream_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with watermark-gated null
+    emission — the attribution query that also reports views that
+    NEVER converted. The semantics the oracle must model (and the
+    reason outer stream joins are subtle): an unmatched view is
+    emitted null-padded only when the watermark proves no future
+    click can match — i.e. the GLOBAL watermark (the MIN of the two
+    sides' watermarks, each max-event-time-of-that-filtered-side −
+    2h, advanced by the trailing no-data micro-batch) has passed the
+    view's match horizon vts + 1h. Parity found the subtlety the
+    first spelling missed: the watermark is per-side-then-min, not
+    max-over-all-events — a view stalls behind the SLOWER side's
+    clock (here the click stream ends hours before the view stream),
+    exactly the multi-stream skew behavior operators fight in
+    production. Views younger than that remain in
+    state at shutdown and are NOT emitted — so the bounded replay's
+    result is the batch left join RESTRICTED to decidable rows, which
+    is exactly what the oracle spells (strict <, Spark's state-
+    eviction comparison). The hash match proves the eviction boundary
+    to the row.
+
+    100 TB: same state bound as the inner join (watermark horizon ×
+    per-user rate); the no-data batch discipline is what drains outer
+    results on a real cluster too — a stream that stops receiving
+    data still flushes its decidable unmatched rows.
+    """
+    s = events_stream(spark, sf_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", "2 hours")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND cts >= vts AND cts <= vts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    ).select("user_id", "view_id", "click_id")
+    return run_to_memory(joined, output_mode="append")
