@@ -338,3 +338,137 @@ def test_ivm_matches_full_recompute_in_spark(spark, sf_dir):
         .collect()
     }
     assert inc == full
+
+
+# ---------------------------------------------------------------------------
+# r7 wave invariants
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_and_sssp_traversal_invariants(spark, sf_dir):
+    """Structural invariants the oracles can't see in one dataset:
+    (a) BFS distances are within the hop bound and every seed is at 0;
+    (b) SSSP ≤ BFS in REACH (same graph, SSSP's 3-hop bound vs BFS's
+    4) but wherever both label a vertex, sssp_dist = 0 iff bfs_dist = 0
+    (seeds) and sssp is triangle-consistent: no edge (u,v,w) has
+    dist(v) > dist(u) + w when both endpoints are labeled and v was
+    reachable within the hop budget through u — checked on a sampled
+    edge set."""
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.llm.dedup import minhash_candidate_pairs
+    from flink_rc_spark.registry import REGISTRY, load_all
+    from flink_rc_spark.sources.tables import load
+
+    load_all()
+
+    bfs = {r.doc_id: r.dist for r in REGISTRY["q_graph_bfs"].builder(spark, sf_dir).collect()}
+    sssp = {r.doc_id: r.dist for r in REGISTRY["q_graph_sssp"].builder(spark, sf_dir).collect()}
+    assert bfs and sssp
+    assert max(bfs.values()) <= 4
+    seeds = {d for d, dist in bfs.items() if dist == 0}
+    # every seed is at weighted distance 0; non-seeds may ALSO sit at 0
+    # via zero-weight edges (identical minhash signatures => w = 0) —
+    # verify any such vertex really has a zero-cost connection story:
+    # it must be BFS-reachable (the unweighted graph contains it)
+    zero = {d for d, dist in sssp.items() if dist == 0}
+    assert seeds <= zero
+    assert all(d in bfs for d in zero)
+    for d in sssp:
+        assert d in bfs, "sssp reached a vertex bfs (higher hop bound) missed"
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs).collect()
+    violations = []
+    for p in pairs:
+        w = int(10000 - round(p.est_jaccard * 10000))
+        for u, v in [(p.doc_a, p.doc_b), (p.doc_b, p.doc_a)]:
+            if u in sssp and v in sssp:
+                # relaxation guarantee holds whenever v's best path via u
+                # fits the hop budget; final-round labels always satisfy
+                # dist(v) <= dist(u) + w unless u was labeled only in the
+                # last round (its relaxation never ran) — skip those
+                if sssp[v] > sssp[u] + w and bfs.get(u, 9) < 3:
+                    violations.append((u, v, sssp[u], sssp[v], w))
+    assert not violations, violations[:5]
+
+
+def test_hierarchy_rollup_recursive_reference(spark, sf_dir):
+    """The pointer-doubling closure must equal a plain sequential
+    recursion computed driver-side from the same edge relation: depth
+    by parent-chasing, subtree sizes by accumulation — an independent
+    O(n·depth) reference implementation (fine at test scale)."""
+    from flink_rc_spark.registry import REGISTRY, load_all
+    from flink_rc_spark.sources.tables import load
+
+    load_all()
+
+    got = {
+        r.c_custkey: (r.depth, r.subtree_size)
+        for r in REGISTRY["q_hierarchy_rollup"].builder(spark, sf_dir).collect()
+    }
+    keys = [r.c_custkey for r in load(spark, sf_dir, "customer").select("c_custkey").collect()]
+    kset = set(keys)
+    depth = {}
+    for k in keys:
+        d, v = 0, k
+        while v >= 1:
+            p = (v - 1) // 2
+            if p not in kset:
+                break
+            v = p
+            d += 1
+        depth[k] = d
+    size = {k: 1 for k in keys}
+    for k in sorted(keys, reverse=True):
+        p = (k - 1) // 2
+        if k >= 1 and p in kset:
+            size[p] += size[k]
+    for k in keys:
+        assert got[k][0] == depth[k], (k, got[k], depth[k])
+        assert got[k][1] == size[k], (k, got[k], size[k])
+
+
+def test_kmeans_partition_and_objective_invariants(spark, sf_dir):
+    """k-means invariants beyond the oracle: the clusters PARTITION the
+    vector set (sizes sum to n, every cluster non-empty under
+    lowest-id seeding on this data), and re-running the declared
+    builder is idempotent (deterministic integer fixed-point — no RNG,
+    no float drift)."""
+    from flink_rc_spark.registry import REGISTRY, load_all
+    from flink_rc_spark.sources.tables import load
+
+    load_all()
+
+    a = REGISTRY["q_kmeans"].builder(spark, sf_dir).collect()
+    n_vec = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in a) == n_vec
+    assert all(r.n_members > 0 for r in a)
+    assert all(r.total_dist >= 0 for r in a)
+    b = REGISTRY["q_kmeans"].builder(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dsir_weights_direction(spark, sf_dir):
+    """DSIR sanity: the top-20 importance-weighted documents should be
+    overwhelmingly the TARGET language (English) — the whole point of
+    the log-likelihood-ratio scoring. Hash parity proves the numbers;
+    this proves they mean something."""
+    from flink_rc_spark.registry import REGISTRY, load_all
+
+    load_all()
+
+    rows = REGISTRY["q_dsir_weights"].builder(spark, sf_dir).collect()
+    assert len(rows) == 20
+    en = sum(1 for r in rows if r.lang == "en")
+    # the fixture languages share an IDENTICAL token vocabulary (lang
+    # differs only in frequency mix), so demand clear ENRICHMENT over
+    # the corpus base rate rather than near-purity: top-20 English
+    # share must beat the corpus share by >= 1.3x
+    from flink_rc_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter("lang = 'en'").count() / docs.count()
+    assert en / 20 >= 1.3 * base, f"{en}/20 en vs base rate {base:.2f}"
+    ws = [r.weight for r in rows]
+    assert ws == sorted(ws, reverse=True)
