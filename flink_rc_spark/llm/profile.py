@@ -170,9 +170,9 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(t) - 6),
-                      i -> md5(array_to_string(t[i:i+7], ' ')))) AS s
-           FROM toks WHERE len(t) >= 8),
+                  list_distinct(list_transform(range(1, len(t) - 3),
+                      i -> md5(array_to_string(t[i:i+4], ' ')))) AS s
+           FROM toks WHERE len(t) >= 5),
     flat AS (SELECT doc_id, unnest(s) AS g FROM sh),
     bench AS (SELECT DISTINCT g FROM flat WHERE doc_id % 97 = 0)
     SELECT f.doc_id, COUNT(DISTINCT f.g) AS n_shared
@@ -184,9 +184,13 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: count 8-token shingles each training
+    """Benchmark decontamination: count 5-token shingles each training
     doc shares with the benchmark set (stand-in: doc_id % 97 == 0 —
-    in production the benchmark table is its own small input).
+    in production the benchmark table is its own small input, and the
+    shingle width is typically 8-13; width 5 here is tuned so the
+    FIXTURE corpus exercises the match path at every test SF — at
+    width 8 the sf0.01 result is empty and the driver's hash check
+    would pass vacuously).
 
     Plan shape (the one that survives 100 TB): shingles are md5-hashed
     per doc (JVM map), the benchmark's distinct shingle set is tiny ->
@@ -196,14 +200,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= 8
+        F.size("t") >= 5
     )
     flat = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                "array_distinct(transform(sequence(1, size(t) - 7),"
-                " i -> md5(concat_ws(' ', slice(t, i, 8)))))"
+                "array_distinct(transform(sequence(1, size(t) - 4),"
+                " i -> md5(concat_ws(' ', slice(t, i, 5)))))"
             )
         ).alias("g"),
     )

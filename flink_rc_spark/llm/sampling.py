@@ -254,3 +254,78 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_quota — per-group CAP (quota) sampling
+# ---------------------------------------------------------------------------
+
+_QUOTA_PER_SOURCE = 15  # documents kept per source
+
+
+@register(
+    "q_sample_quota",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(concat('q', CAST(doc_id AS VARCHAR))),
+                                doc_id) AS rk
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               MIN(doc_id) AS min_kept_doc,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id)) AS kept_set_md5
+        FROM ranked
+        WHERE rk <= {_QUOTA_PER_SOURCE}
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUOTA sampling: keep at most 15 documents per
+    source, chosen by md5 order — the per-domain CAP every
+    pretraining mixture applies to stop one crawl from dominating
+    (complementing q_sample_stratified's per-stratum RATES: a rate
+    scales with the stratum, a cap bounds it). md5 order makes the
+    kept set deterministic and partitioning-independent — rerun the
+    job on any cluster layout, keep the same documents; the kept-set
+    md5 in the output hash-proves set identity, not just counts.
+
+    100 TB: one window per source partition (the same shuffle a
+    groupBy needs). When a single source is itself too hot for one
+    partition, the two-phase refinement is per-partition bottom-k
+    then global merge — exactly the q_sample_bottomk shape with
+    k = quota, composing with the salting playbook.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("q"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    kept = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= _QUOTA_PER_SOURCE)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.min("doc_id").alias("min_kept_doc"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.sort_array(F.collect_list("doc_id")),
+                        lambda d: d.cast("string"),
+                    ),
+                )
+            ).alias("kept_set_md5"),
+        )
+        .orderBy("source")
+    )
