@@ -452,3 +452,73 @@ def q_posexplode(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     ).orderBy("doc_id", "pos")
+
+
+# ---------------------------------------------------------------------------
+# q_variant_funcs — Spark 4 VARIANT (semi-structured) surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_variant_funcs",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+               CAST(COUNT(*) AS BIGINT) AS n_missing,
+               'OBJECT<k: BIGINT, t: STRING>' AS sch
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def q_variant_funcs(spark, sf_dir):
+    """Spark 4 VARIANT surface — the open-format semi-structured type
+    (binary-encoded, path-indexed) that replaces string-JSON
+    re-parsing in hot paths: each event's props JSON plus its
+    event_type are folded into ONE variant via parse_json, then read
+    back with typed paths — variant_get (hard cast), try_variant_get
+    (NULL on missing path — counted, proving NULL semantics), and
+    schema_of_variant (the derived OBJECT<...> shape, asserted
+    row-uniform via min ≡ group constant).
+
+    The oracle reads the same numbers straight from the source JSON
+    (DuckDB's ->> path operator): the hash therefore proves the
+    string→variant→typed-path round trip is lossless. 100 TB: VARIANT
+    is columnar-shredded in Parquet (Spark 4 variant shredding), so
+    `$.k` reads don't re-parse the document — the scan stays
+    pushdown-friendly exactly like the rest of the relational
+    surface; the aggregate is an ordinary 5-group hash agg.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr(
+            "parse_json(concat('{\"k\": ', get_json_object(props, '$.k'),"
+            " ', \"t\": \"', event_type, '\"}'))"
+        ).alias("v"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(v, '$.t', 'string')").alias("t"),
+        F.expr("try_variant_get(v, '$.absent', 'bigint')").alias("missing"),
+        F.expr("schema_of_variant(v)").alias("sch"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_big"),
+            F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing"),
+            F.min("sch").alias("sch"),
+        )
+        .orderBy("event_type")
+    )

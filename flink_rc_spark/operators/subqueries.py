@@ -131,3 +131,47 @@ def q_cte(spark, sf_dir):
         FROM customer JOIN cust_big ON c_custkey = o_custkey
         """
     )
+
+
+@register(
+    "q_subq_lateral",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                   AS o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c.c_custkey, o.o_orderkey
+    """,
+    tags=("subquery", "join", "sql"),
+)
+def q_subq_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery (Spark 4 LATERAL join): each
+    customer's top-2 orders by price, written the way an analyst
+    writes it in SQL — the per-row subquery form of q_topk_per_group
+    (whose window spelling is the classic rewrite). Ties break on
+    o_orderkey so LIMIT is total-ordered; both engines support the
+    identical LATERAL syntax, and Catalyst DECORRELATES the subquery
+    into a partitioned window/join plan rather than executing it
+    per-row — which is why the shape survives 100 TB: the executed
+    plan is one orders shuffle keyed by customer, the same as the
+    window twin, never |customers| subquery executions.
+    """
+    from flink_rc_spark.sources.tables import load
+
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                   AS o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        ORDER BY c.c_custkey, o.o_orderkey
+        """
+    )
