@@ -522,3 +522,66 @@ def q_variant_funcs(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sql_udf — Spark 4 SQL-defined functions (CREATE FUNCTION ... RETURN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS total_charge
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("scalar", "sql", "udf"),
+)
+def q_sql_udf(spark, sf_dir):
+    """SQL-defined scalar function (Spark 4 ``CREATE FUNCTION ...
+    RETURNS ... RETURN expr``) — the DECLARATIVE UDF: the charge
+    formula is named once in SQL and inlined by Catalyst into the
+    calling plan, so unlike every Python UDF shape it stays inside
+    whole-stage codegen with zero serialization boundary (the reason
+    a warehouse migrates hot Python UDFs to SQL UDFs first). The body
+    is the decimal-exact TPC-H charge product, so the aggregate
+    hash-matches the oracle's inlined spelling — proving the function
+    call is an abstraction, not a computation change. (The TABLE
+    variant, ``RETURNS TABLE``, is exercised in
+    tests/test_correctness.py::test_sql_table_udf_inlines.)
+
+    100 TB: nothing new to say — and that is the point: the plan is
+    exactly q_tpch_q1's partial+final hash agg; naming the expression
+    cost nothing.
+    """
+    from flink_rc_spark.sources.tables import load
+
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge(
+            price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+        RETURN CAST(CAST(price AS DECIMAL(12,2))
+                    * (1 - CAST(disc AS DECIMAL(12,2)))
+                    * (1 + CAST(tax AS DECIMAL(12,2))) AS DOUBLE)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(charge(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS total_charge
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

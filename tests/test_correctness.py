@@ -102,3 +102,19 @@ def test_entry_smoke(spark):
 def test_every_query_key_unique_and_documented():
     for k, s in REGISTRY.items():
         assert s.doc.strip(), f"{k} lacks a docstring/doc"
+
+
+def test_sql_table_udf_inlines(spark, sf_dir):
+    """Spark 4 SQL TABLE function (CREATE FUNCTION ... RETURNS TABLE):
+    the declarative UDTF companion to q_sql_udf's scalar — define a
+    table-valued sequence generator in SQL and assert it inlines to
+    the same rows as the built-in it wraps (no Python, no Arrow: pure
+    Catalyst inlining)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION seqn(n INT) RETURNS TABLE(i INT) "
+        "RETURN SELECT explode(sequence(1, n))"
+    )
+    got = [r.i for r in spark.sql("SELECT i FROM seqn(5) ORDER BY i").collect()]
+    assert got == [1, 2, 3, 4, 5]
+    plan = spark.sql("SELECT i FROM seqn(5)")._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
