@@ -585,3 +585,144 @@ def q_sql_udf(spark, sf_dir):
         ORDER BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q_try_arith — ANSI-mode safe arithmetic (try_* family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_try_arith",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_div0,
+               CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) <> 0
+                   THEN (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         * 1000) // CAST(props->>'$.k' AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS sum_ratio_milli,
+               CAST(SUM(CASE WHEN TRY_CAST(event_type AS INTEGER) IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("scalar", "ansi"),
+)
+def q_try_arith(spark, sf_dir):
+    """ANSI-mode safe arithmetic: Spark 4 runs with ansi=true, where
+    division by zero / overflow / bad casts are runtime ERRORS — the
+    ``try_`` family is the per-expression opt-out that turns them
+    into NULLs a pipeline can count and quarantine. Per event type:
+    rows whose JSON k is 0 (a divide-by-zero each — try_divide yields
+    NULL, counted), the integer-fixed-point sum of the valid value/k
+    ratios (milli-units via exact integer division; operands are
+    non-negative here, where Spark's truncating DIV and DuckDB's
+    flooring // agree — per-row double ROUND diverged between engines
+    in the 4th decimal on ties, the bug class the registry float
+    policy exists for), and try_cast failures (every event_type string — counted
+    as NULLs, proving the cast fails SOFT under ANSI).
+
+    The q_ab_ztest lesson institutionalized: an unguarded division
+    that CAN hit zero is a crash at scale; this key is the idiomatic
+    guard. The oracle spells the same semantics with explicit CASE
+    (DuckDB divides permissively, so its guard is the condition
+    itself). 100 TB: pure row-local codegen expressions into a
+    5-group agg — the try_ forms cost nothing over the raw ops.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+    ratio = F.expr(
+        "try_divide(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE),"
+        " CAST(get_json_object(props, '$.k') AS BIGINT))"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(ratio.isNull() & (k == 0), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_div0"),
+            F.sum(
+                F.when(
+                    k != 0,
+                    F.expr(
+                        "(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                        " * 1000) DIV CAST(get_json_object(props, '$.k')"
+                        " AS BIGINT)"
+                    ),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sum_ratio_milli"),
+            F.sum(
+                F.when(F.expr("try_cast(event_type AS INT)").isNull(), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_uncastable"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_collation — collation-aware comparison and grouping (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_collation",
+    oracle="""
+        WITH mixed AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                        ELSE event_type END AS et
+            FROM events
+        )
+        SELECT lower(et) AS event_type_ci,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT et) AS BIGINT) AS n_case_variants
+        FROM mixed
+        GROUP BY lower(et)
+        ORDER BY event_type_ci
+    """,
+    tags=("scalar", "string", "collation"),
+)
+def q_collation(spark, sf_dir):
+    """Collation-aware grouping (Spark 4 COLLATE): event types are
+    case-mangled per row (upper for even event_ids), then grouped
+    under UTF8_LCASE collation — the engine-level case-insensitive
+    semantics that replace scattering lower() through every
+    expression (and that SQL migrations from case-insensitive
+    warehouses depend on). The case-variant count proves the groups
+    really merged distinct binary strings. DuckDB has no per-column
+    collations in this shape, so the oracle is the lower() rewrite —
+    the hash proves collation ≡ normalize-then-group.
+
+    100 TB: collation is metadata on the comparison, not a
+    projection — grouping keys hash under the collation JVM-side; no
+    extra pass, same partial+final agg.
+    """
+    ev = load(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et")
+    )
+    ci = F.expr("et COLLATE UTF8_LCASE")
+    return (
+        mixed.groupBy(ci.alias("et_ci"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count_distinct(F.expr("et COLLATE UTF8_BINARY"))
+            .cast("bigint")
+            .alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("et_ci")).alias("event_type_ci"), "n", "n_case_variants"
+        )
+        .orderBy("event_type_ci")
+    )
