@@ -1394,3 +1394,91 @@ def q_ab_ztest(spark, sf_dir):
         F.round(rb, 4).alias("rate_b"),
         z,
     )
+
+
+# ---------------------------------------------------------------------------
+# q_regr_fit — least-squares fit from exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_regr_fit",
+    oracle="""
+        WITH pts AS (
+            SELECT event_type,
+                   CAST(props->>'$.k' AS BIGINT) AS x,
+                   CAST(value AS DECIMAL(12,2)) AS y
+            FROM events
+        ),
+        m AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(x) AS sx,
+                   SUM(x * x) AS sxx,
+                   SUM(y) AS sy,
+                   SUM(CAST(x AS DECIMAL(10,0)) * y) AS sxy,
+                   SUM(y * y) AS syy
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+               ROUND((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept,
+               ROUND(POW(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        FROM m
+        ORDER BY event_type
+    """,
+    tags=("analytics", "agg", "ml"),
+)
+def q_regr_fit(spark, sf_dir):
+    """Least-squares linear fit (slope / intercept / R²) of value
+    against the JSON k field, per event type — the regr_slope /
+    regr_intercept / regr_r2 SQL aggregate family, but computed from
+    EXACT decimal sufficient statistics (n, Σx, Σx², Σy, Σxy, Σy²)
+    the way q_corr_matrix established: the five moments are
+    order-independent decimals, every division/square runs on
+    bit-identical doubles in both engines, and the result is rounded
+    once. The built-in regr_* aggregates fold doubles in partial
+    aggregation order and cannot hash-match across engines — the
+    moment route is how a warehouse gets regression that is both
+    distributed AND reproducible.
+
+    100 TB: ONE scan into a 6-accumulator hash agg (map-side
+    combined); the fit arithmetic runs on |types| rows. The same
+    sufficient-statistics shape extends to multiple regressors as the
+    normal-equations fit in rc/readout.py — this is its 1-D scalar
+    twin on the relational surface.
+    """
+    from flink_rc_spark.functions.exact import dec
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("x"),
+        dec("value", 12, 2).alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    intercept_num = (
+        F.col("sy").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sxy").cast("double")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("slope"),
+        F.round(intercept_num / den, 6).alias("intercept"),
+        F.round(F.pow(num, 2) / (den * deny), 6).alias("r2"),
+    ).orderBy("event_type")

@@ -416,3 +416,70 @@ def q_win_distribution(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     ).orderBy("o_orderpriority", "o_orderkey")
+
+
+@register(
+    "q_win_median",
+    oracle="""
+        WITH c AS (
+            SELECT event_id, event_type, ts,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events
+        ),
+        w AS (
+            SELECT event_id, event_type,
+                   list_sort(list(cents) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS s
+            FROM c
+        )
+        SELECT event_id, event_type,
+               CAST(len(s) AS BIGINT) AS n_win,
+               (s[(len(s) + 1) // 2] + s[len(s) // 2 + 1]) / 200.0
+                   AS moving_median
+        FROM w
+        ORDER BY event_id
+    """,
+    tags=("window",),
+)
+def q_win_median(spark, sf_dir):
+    """EXACT moving median (7-row centered window per event type) —
+    the robust smoother dashboards want where q_win_moving's mean is
+    outlier-fragile. Spark has no built-in sliding median, so this is
+    the composition the engine makes natural: collect the frame,
+    sort, index the middle — O(w log w) per row with w = 7, all
+    codegen'd array HOFs.
+
+    Exactness protocol: values quantize to integer CENTS before the
+    window, the two middle elements are summed as integers (odd
+    frames: the middle twice), and ONE double division by 200.0
+    yields the median — no float rounding anywhere, so the hash
+    matches even where an interpolated double median would sit on a
+    rounding boundary. 100 TB: one window exchange per type, frame
+    memory O(w); a wide-window variant swaps to the two-heap or
+    t-digest streaming median, documented here as the scale path.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    s = F.sort_array(F.collect_list("cents").over(w))
+    n = F.size(s)
+    a = F.element_at(s, ((n + 1) / 2).cast("int"))
+    b = F.element_at(s, (n / 2).cast("int") + 1)
+    return c.select(
+        "event_id",
+        "event_type",
+        n.cast("bigint").alias("n_win"),
+        ((a + b) / F.lit(200.0)).alias("moving_median"),
+    ).orderBy("event_id")
