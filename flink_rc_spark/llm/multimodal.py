@@ -338,3 +338,103 @@ def q_multimodal_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = media.repartition(spark.sparkContext.defaultParallelism)
     return media.mapInPandas(_array_batches, _ARRAY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_resize — the resize step of the media pipeline
+# ---------------------------------------------------------------------------
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("r", T.LongType()),
+        T.StructField("g", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize kernel: decode the container, AREA-average
+    the full 2x2 frame down to 1x1 per channel with integer
+    round-half-up ((Σ4 + 2) // 4) — a box filter is integer-exact
+    when the scale factor divides the geometry, which is what makes a
+    resize hash-verifiable at all (bilinear floats would not be)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rs, gs, bs = [], [], []
+        for payload in pdf["payload"]:
+            arr = decode_image(bytes(payload)).astype(np.int64)
+            px = arr.reshape(-1, 3)  # 4 pixels x RGB
+            s = px.sum(axis=0)
+            rs.append(int((s[0] + 2) // 4))
+            gs.append(int((s[1] + 2) // 4))
+            bs.append(int((s[2] + 2) // 4))
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "out_w": np.int32(1),
+                "out_h": np.int32(1),
+                "r": pd.Series(rs, dtype="int64"),
+                "g": pd.Series(gs, dtype="int64"),
+                "b": pd.Series(bs, dtype="int64"),
+            }
+        )
+        out["checksum"] = out.r + out.g + out.b
+        yield out
+
+
+# md5 byte i (1-based) as an integer, DuckDB spelling
+_MD5_BYTE = (
+    "((strpos('0123456789abcdef', substr(md5(text), 2*{i}-1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(text), 2*{i}, 1)) - 1)"
+)
+
+
+def _chan_sum(byte_idxs) -> str:
+    return " + ".join(_MD5_BYTE.format(i=i) for i in byte_idxs)
+
+
+@register(
+    "q_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(1 AS INT) AS out_w,
+           CAST(1 AS INT) AS out_h,
+           CAST(({_chan_sum([3, 6, 9, 12])} + 2) // 4 AS BIGINT) AS r,
+           CAST(({_chan_sum([2, 5, 8, 11])} + 2) // 4 AS BIGINT) AS g,
+           CAST(({_chan_sum([1, 4, 7, 10])} + 2) // 4 AS BIGINT) AS b,
+           CAST(({_chan_sum([3, 6, 9, 12])} + 2) // 4
+                + ({_chan_sum([2, 5, 8, 11])} + 2) // 4
+                + ({_chan_sum([1, 4, 7, 10])} + 2) // 4 AS BIGINT) AS checksum
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE as a declared operator — the remaining step of the
+    brief's decode / feature-extract / resize / frame-sample media
+    quartet: every document's BMP payload is decoded and
+    area-downsampled 2x2 → 1x1 per channel inside the Arrow-batched
+    mapInPandas kernel (the same stream-through-Arrow shape as
+    q_multimodal_decode — payload bytes never materialize beyond the
+    batch).
+
+    The oracle recomputes each channel directly from the md5 hex that
+    generated the pixels: BMP stores bottom-row-first BGR, the codec
+    returns RGB, so the R channel is md5 bytes {{3,6,9,12}}, G
+    {{2,5,8,11}}, B {{1,4,7,10}}, and the box filter is the exact
+    integer (Σ + 2) // 4 — the hash proves container parsing, channel
+    order, row order, AND the filter arithmetic in one number. 100 TB:
+    identical scan/decode economics to q_multimodal_decode; real
+    pipelines fuse decode+resize in one kernel pass exactly like
+    this so full-resolution tensors never hit memory twice.
+    """
+    docs = load(spark, sf_dir, "documents")
+    media = with_media_columns(docs).select("doc_id", "payload")
+    return media.mapInPandas(_resize_batches, _RESIZE_SCHEMA).orderBy("doc_id")
