@@ -203,3 +203,87 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across cores (see q_multimodal_formats' note — same economics)
     flat = flat.repartition(spark.sparkContext.defaultParallelism)
     return flat.mapInPandas(_audio_batches, _AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# q_audio_resample — sample-rate halving (the audio resize)
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate_out", T.IntegerType()),
+        T.StructField("n_samples_out", T.IntegerType()),
+        T.StructField("amp_sum_ds", T.LongType()),
+        T.StructField("amp_max_ds", T.IntegerType()),
+    ]
+)
+
+
+def _resample_batches(batches):
+    """mapInPandas kernel: REAL WAV parse, then 2:1 downsample by
+    pair-averaging with integer round-half-up ((a + b + 1) // 2 —
+    samples are non-negative here, where floor ≡ the oracle's //).
+    The integer box filter is the audio twin of q_multimodal_resize's
+    pixel filter: exact, so the downsampled features hash-match."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        sums, maxs, ns, srs = [], [], [], []
+        for payload in pdf["payload"]:
+            samples, sr = decode_wav(bytes(payload))
+            mono = samples[:, 0].astype(np.int64)
+            ds = (mono[0::2] + mono[1::2] + 1) // 2
+            sums.append(int(ds.sum()))
+            maxs.append(int(ds.max()))
+            ns.append(len(ds))
+            srs.append(sr // 2)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate_out": pd.Series(srs, dtype="int32"),
+                "n_samples_out": pd.Series(ns, dtype="int32"),
+                "amp_sum_ds": pd.Series(sums, dtype="int64"),
+                "amp_max_ds": pd.Series(maxs, dtype="int32"),
+            }
+        )
+
+
+@register(
+    "q_audio_resample",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               list_transform(range(0, {_N_SAMPLES // 2}), j ->
+                   ((doc_id * 7 + (2*j) * 13) % 256
+                    + (doc_id * 7 + (2*j + 1) * 13) % 256 + 1) // 2) AS ds
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST({_SR // 2} AS INT) AS sample_rate_out,
+           CAST({_N_SAMPLES // 2} AS INT) AS n_samples_out,
+           CAST(list_sum(ds) AS BIGINT) AS amp_sum_ds,
+           CAST(list_max(ds) AS INT) AS amp_max_ds
+    FROM s
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLING (8 kHz → 4 kHz by exact 2:1 pair-averaging)
+    fused with the WAV parse in one mapInPandas pass — the audio
+    member of the media-prep quartet beside q_multimodal_resize: a
+    speech pipeline downsamples before feature extraction exactly
+    like this. The oracle recomputes the downsampled stream from the
+    generating recurrence ((doc_id·7 + i·13) mod 256), so the hash
+    proves container walk + channel deinterleave + the integer
+    decimation filter end-to-end. Same Arrow streaming economics as
+    every media kernel here.
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    flat = with_audio_columns(docs).select("doc_id", "payload")
+    flat = flat.repartition(spark.sparkContext.defaultParallelism)
+    return flat.mapInPandas(_resample_batches, _RESAMPLE_SCHEMA).orderBy("doc_id")
