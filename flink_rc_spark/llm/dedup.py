@@ -337,49 +337,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS s
-           FROM toks WHERE len(t) >= 3),
-    sig AS (SELECT doc_id,
-                   list_transform(range(0, {_N_HASHES}),
-                     j -> list_min(list_transform(s,
-                       x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS g
-            FROM sh),
-    bands AS (SELECT doc_id, md5(g[2*j+1] || g[2*j+2]) AS band_key, j AS band_id
-              FROM sig, range({_N_BANDS}) r(j)),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
-               ON a.band_id = b.band_id AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-           ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
-               AS jaccard
-    FROM cand
-    JOIN sh sa ON sa.doc_id = doc_a
-    JOIN sh sb ON sb.doc_id = doc_b
-    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.4
-    ORDER BY doc_a, doc_b
-    """,
-    tags=("llm", "dedup"),
-)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard >= 0.4, verified on the MinHash
-    band candidates — the complete two-stage near-dup pipeline
-    (candidate generation -> exact verify) in one declared query.
-
-    This is the shape that survives 100 TB: the exact set intersection
-    (array_intersect on the shingle arrays) runs ONLY on pairs some
-    LSH band proposed, never on an id-block or the full cross product.
-    (An earlier id-block-scoped version found zero pairs at sf0.1 —
-    near-dup partners scatter uniformly over the id space, so blocking
-    by id is the wrong scope; candidates are the right one.)
-    """
-    docs = load(spark, sf_dir, "documents")
+def shingle_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-band candidate pairs WITH their exact shingle arrays:
+    (doc_a, doc_b, sa, sb), one documents scan. Shared by the exact
+    Jaccard verify and the containment verify — see
+    q_dedup_ngram_jaccard's docstring for the plan rationale."""
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 3
     )
@@ -438,6 +400,52 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.pa.s").alias("sa"),
         F.col("p.pb.s").alias("sb"),
     )
+    return pairs
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS s
+           FROM toks WHERE len(t) >= 3),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, {_N_HASHES}),
+                     j -> list_min(list_transform(s,
+                       x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS g
+            FROM sh),
+    bands AS (SELECT doc_id, md5(g[2*j+1] || g[2*j+2]) AS band_key, j AS band_id
+              FROM sig, range({_N_BANDS}) r(j)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 4)
+               AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.4
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard >= 0.4, verified on the MinHash
+    band candidates — the complete two-stage near-dup pipeline
+    (candidate generation -> exact verify) in one declared query.
+
+    This is the shape that survives 100 TB: the exact set intersection
+    (array_intersect on the shingle arrays) runs ONLY on pairs some
+    LSH band proposed, never on an id-block or the full cross product.
+    (An earlier id-block-scoped version found zero pairs at sf0.1 —
+    near-dup partners scatter uniformly over the id space, so blocking
+    by id is the wrong scope; candidates are the right one.)
+    """
+    pairs = shingle_candidate_pairs(load(spark, sf_dir, "documents"))
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
     return (
@@ -907,3 +915,67 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("pr_scaled"),
         F.rank().over(Window.orderBy(F.desc("r"))).cast("bigint").alias("pr_rank"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS s
+           FROM toks WHERE len(t) >= 3),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, {_N_HASHES}),
+                     j -> list_min(list_transform(s,
+                       x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS g
+            FROM sh),
+    bands AS (SELECT doc_id, md5(g[2*j+1] || g[2*j+2]) AS band_key, j AS band_id
+              FROM sig, range({_N_BANDS}) r(j)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_shared,
+           ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / len(sa.s), 4) AS contain_a,
+           ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / len(sb.s), 4) AS contain_b
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sa.s) >= 0.5
+       OR CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(sb.s) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle containment on the MinHash candidates:
+    |A∩B|/|A| and |A∩B|/|B| per pair, kept when either direction
+    ≥ 0.5 — the EXCERPT/QUOTE detector symmetric Jaccard misses (a
+    short doc fully contained in a long one has high containment but
+    low Jaccard, because the union is dominated by the long side).
+    Training-data pipelines run exactly this to catch boilerplate
+    inclusion and quote-heavy near-copies.
+
+    Shares the single-scan candidate-pairs-with-shingles subtree with
+    q_dedup_ngram_jaccard (``shingle_candidate_pairs``) — same 100 TB
+    shape: exact set work only on LSH-proposed pairs. Each containment
+    is one double division of two exact integers, rounded once.
+    """
+    pairs = shingle_candidate_pairs(load(spark, sf_dir, "documents"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    ca = inter.cast("double") / F.size("sa")
+    cb = inter.cast("double") / F.size("sb")
+    return (
+        pairs.filter((ca >= 0.5) | (cb >= 0.5))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_shared"),
+            F.round(ca, 4).alias("contain_a"),
+            F.round(cb, 4).alias("contain_b"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
