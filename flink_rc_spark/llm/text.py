@@ -791,3 +791,91 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pmi"),
     ).orderBy("tok_a", "tok_b")
+
+
+# ---------------------------------------------------------------------------
+# q_langid_eval — classifier evaluation: confusion matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_langid_eval",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_marker_count_sql(_MARKERS["en"])} AS s_en,
+               {_marker_count_sql(_MARKERS["es"])} AS s_es,
+               {_marker_count_sql(_MARKERS["de"])} AS s_de,
+               {_marker_count_sql(_MARKERS["fr"])} AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE
+                 WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                 WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                 WHEN s_de >= s_fr THEN 'de'
+                 ELSE 'fr'
+               END AS pred_lang
+        FROM scored
+    ),
+    cells AS (
+        SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY lang, pred_lang
+    )
+    SELECT lang, pred_lang, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang), 4)
+               AS row_share
+    FROM cells
+    ORDER BY lang, pred_lang
+    """,
+    tags=("llm", "text", "ml"),
+)
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION: the confusion matrix of the marker-word
+    language identifier against the labeled lang column — cell counts
+    plus row-normalized shares (the diagonal is per-class recall).
+    Every model in the repo that predicts something labeled should
+    ship with this query; it is the eval every curation-pipeline
+    classifier reports.
+
+    Composes q_lang_id's scoring expressions (same single scan, zero
+    shuffle until the tiny |langs|² aggregate); shares are one double
+    division of exact integers (the q_markov_transitions normalize
+    pattern). Note the labeled zh docs have no marker list — they
+    land in whichever Latin-language row wins ties, which the matrix
+    makes VISIBLE rather than hiding in an accuracy scalar (exactly
+    why evals report matrices).
+    """
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        *[
+            F.expr(_marker_count_expr(_MARKERS[k])).alias(f"s_{k}")
+            for k in ("en", "es", "de", "fr")
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    cells = (
+        scored.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 4).alias(
+            "row_share"
+        ),
+    ).orderBy("lang", "pred_lang")
