@@ -474,3 +474,147 @@ def q_bloom_prune_join(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sketch_kmv_setops — KMV sketch ALGEBRA: union / intersection estimates
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_POW40 = 1099511627776  # 2^40; hv = first 10 md5 hex chars as bigint
+
+# est(S) from a KMV sketch: exact when the set is smaller than k,
+# else (k-1) / frac(h_k) — one double division of exactly-agreed ints
+_EST_DUCK = (
+    "CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE)"
+    " ELSE ({k} - 1.0) * {p40} / {arr}[{k}] END"
+)
+_EST_SPARK = (
+    "CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE)"
+    " ELSE ({k} - 1.0) * {p40} / element_at({arr}, {k}) END"
+)
+
+
+@register(
+    "q_sketch_kmv_setops",
+    oracle=f"""
+    WITH hv AS (
+        SELECT doc_id, lang, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT AS h
+        FROM documents
+    ),
+    a AS (SELECT h FROM hv WHERE lang = 'en'),
+    b AS (SELECT h FROM hv WHERE source LIKE 'src1%'),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM a) AS n_a,
+               (SELECT COUNT(*) FROM b) AS n_b,
+               (SELECT COUNT(*) FROM (SELECT h FROM a UNION SELECT h FROM b))
+                   AS n_union_exact,
+               (SELECT COUNT(*) FROM (SELECT h FROM a INTERSECT SELECT h FROM b))
+                   AS n_inter_exact,
+               (SELECT list_sort(list(h ORDER BY h))[1:{_KMV_K}] FROM a) AS ka,
+               (SELECT list_sort(list(h ORDER BY h))[1:{_KMV_K}] FROM b) AS kb
+    ),
+    m AS (
+        SELECT *, list_sort(list_distinct(ka || kb))[1:{_KMV_K}] AS ku FROM s
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_union_exact AS BIGINT) AS n_union_exact,
+           CAST(n_inter_exact AS BIGINT) AS n_inter_exact,
+           ROUND({_EST_DUCK.format(n="n_a", k=_KMV_K, p40=_POW40, arr="ka")}, 4)
+               AS est_a,
+           ROUND({_EST_DUCK.format(n="n_b", k=_KMV_K, p40=_POW40, arr="kb")}, 4)
+               AS est_b,
+           ROUND({_EST_DUCK.format(n="n_union_exact", k=_KMV_K, p40=_POW40, arr="ku")}, 4)
+               AS est_union,
+           ROUND(CAST(len(list_filter(ku, x -> list_contains(ka, x)
+                                             AND list_contains(kb, x))) AS DOUBLE)
+                 / len(ku)
+                 * {_EST_DUCK.format(n="n_union_exact", k=_KMV_K, p40=_POW40, arr="ku")},
+                 4) AS est_inter
+    FROM m
+    """,
+    tags=("sketch", "agg"),
+)
+def q_sketch_kmv_setops(spark, sf_dir):
+    """KMV (bottom-k) sketch ALGEBRA — the property that makes
+    sketches a 100 TB tool at all: two independently-built k-minimum-
+    values sketches (set A = English docs, set B = the src1* sources)
+    MERGE into the union's sketch by just taking the bottom-k of
+    their value union, and the intersection estimate falls out of the
+    merged sketch (ρ·est_union, ρ = the fraction of union-sketch
+    values present in both input sketches) — no second pass over the
+    data. Output carries the exact cardinalities beside every
+    estimate so the error is visible in the hashed result itself.
+
+    Exactness: the md5-derived 40-bit hash values are integers both
+    engines agree on bit-for-bit; each estimate is ONE double
+    division ((k−1)·2⁴⁰ / h_k) of exactly-agreed integers, rounded
+    once — deterministic, hence a hashable oracle for an
+    "approximate" algorithm (the q_sketch_hll playbook applied to
+    sketch MERGE semantics). 100 TB: each sketch is a per-partition
+    bottom-k (TakeOrdered — k values per partition shuffle, not
+    rows); merges are associative, so sketches roll up region →
+    datacenter → global exactly like the partial aggregation tree.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hv = docs.select(
+        "lang",
+        "source",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 10), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+    )
+    a = hv.filter(F.col("lang") == "en").select("h")
+    b = hv.filter(F.col("source").like("src1%")).select("h")
+
+    def sketch(df, name):
+        return (
+            df.orderBy("h")
+            .limit(_KMV_K)
+            .agg(F.sort_array(F.collect_list("h")).alias(name))
+        )
+
+    counts = (
+        a.agg(F.count("*").alias("n_a"))
+        .crossJoin(b.agg(F.count("*").alias("n_b")))
+        .crossJoin(
+            a.unionByName(b).distinct().agg(F.count("*").alias("n_union_exact"))
+        )
+        .crossJoin(
+            a.intersect(b).agg(F.count("*").alias("n_inter_exact"))
+        )
+    )
+    row = (
+        counts.crossJoin(sketch(a, "ka"))
+        .crossJoin(sketch(b, "kb"))
+        .withColumn(
+            "ku",
+            F.slice(
+                F.array_sort(F.array_distinct(F.concat("ka", "kb"))), 1, _KMV_K
+            ),
+        )
+    )
+    est_a = F.expr(_EST_SPARK.format(n="n_a", k=_KMV_K, p40=_POW40, arr="ka"))
+    est_b = F.expr(_EST_SPARK.format(n="n_b", k=_KMV_K, p40=_POW40, arr="kb"))
+    est_u = F.expr(
+        _EST_SPARK.format(n="n_union_exact", k=_KMV_K, p40=_POW40, arr="ku")
+    )
+    rho = F.expr(
+        "CAST(size(filter(ku, x -> array_contains(ka, x)"
+        " AND array_contains(kb, x))) AS DOUBLE) / size(ku)"
+    )
+    return row.select(
+        F.lit(_KMV_K).cast("bigint").alias("k"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_union_exact").cast("bigint").alias("n_union_exact"),
+        F.col("n_inter_exact").cast("bigint").alias("n_inter_exact"),
+        F.round(est_a, 4).alias("est_a"),
+        F.round(est_b, 4).alias("est_b"),
+        F.round(est_u, 4).alias("est_union"),
+        F.round(rho * est_u, 4).alias("est_inter"),
+    )

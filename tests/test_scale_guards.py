@@ -62,6 +62,9 @@ NESTED_LOOP_ALLOWED = {
     #              vector each Lloyd round — the intended assignment
     #              plan (q_knn_label's probe shape); vectors never
     #              shuffle for assignment
+    "q_sketch_kmv_setops",  # combining single-row sketch/census
+    #                         aggregates (the q_graph_triangles /
+    #                         q_dq_checks single-row-join class)
 }
 
 
