@@ -163,6 +163,21 @@ def main() -> None:
         }
     )
     print(line)
+    # The driver keeps only the LAST ~2000 chars of stdout; the full
+    # line above exceeds that once per-key timings are included, so
+    # the headline-first layout got sliced off (BENCH_r2/r3 parsed as
+    # null). Emit a compact final line carrying just the headline so
+    # the tail capture always contains one parseable JSON object.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": headline_total,
+                "unit": "sec",
+                "sf": sf,
+            }
+        )
+    )
     # Also persist next to the script: a truncated/corrupted stdout
     # capture (r2's BENCH artifact parsed as null) then still leaves a
     # recoverable record of the run.

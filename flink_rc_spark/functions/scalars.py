@@ -496,8 +496,13 @@ def q_variant_funcs(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     v = ev.select(
         "event_type",
+        # try_parse_json, not parse_json: get_json_object strips the
+        # quotes off a JSON-string k, so a non-numeric k would make
+        # the concat'd document malformed — try_ degrades that row to
+        # a NULL variant instead of failing the whole query. (The
+        # fixture's k is always numeric, so the hash is unchanged.)
         F.expr(
-            "parse_json(concat('{\"k\": ', get_json_object(props, '$.k'),"
+            "try_parse_json(concat('{\"k\": ', get_json_object(props, '$.k'),"
             " ', \"t\": \"', event_type, '\"}'))"
         ).alias("v"),
     ).select(

@@ -232,7 +232,13 @@ def _resample_batches(batches):
         sums, maxs, ns, srs = [], [], [], []
         for payload in pdf["payload"]:
             samples, sr = decode_wav(bytes(payload))
+            # Channel 0 only (fixture WAVs are mono; a multi-channel
+            # input downsamples its first channel, documented rather
+            # than silent), truncated to an even sample count so the
+            # pair-average below never hits a numpy broadcast error
+            # on an odd-length clip.
             mono = samples[:, 0].astype(np.int64)
+            mono = mono[: len(mono) // 2 * 2]
             ds = (mono[0::2] + mono[1::2] + 1) // 2
             sums.append(int(ds.sum()))
             maxs.append(int(ds.max()))

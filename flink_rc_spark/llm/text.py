@@ -34,6 +34,26 @@ _MARKERS = {
 
 _STOPWORDS = ("the", "a", "of", "and", "is", "in", "to", "it")
 
+# zh has no marker-WORD list — Chinese isn't space-tokenized — so its
+# score is the count of CJK Unified Ideograph codepoints (U+4E00 to
+# U+9FFF, written as literal chars so the class parses identically in
+# Java regex and RE2). On real data a zh document's ideograph count
+# dwarfs any Latin stopword count; the synthetic fixture's zh-labeled
+# docs are Latin-script tech text (verified: zero non-ASCII bytes in
+# the whole documents table), so their s_zh is 0 there and the
+# confusion matrix keeps the blind spot VISIBLE — the classifier is
+# right, the fixture's labels are adversarial. tests/test_llm.py
+# proves nonzero zh classification on actual CJK strings.
+_CJK_CLASS = "[一-鿿]"
+
+
+def _cjk_count_expr() -> str:
+    return f"regexp_count(text, '{_CJK_CLASS}')"
+
+
+def _cjk_count_sql() -> str:
+    return f"len(regexp_extract_all(text, '{_CJK_CLASS}'))"
+
 # BPE-ish tokenizer regex: runs of letters, runs of digits, or a single
 # non-alphanumeric non-space symbol — a coarse stand-in for byte-pair
 # pretokenization. Kept to constructs with identical semantics in Java

@@ -1315,9 +1315,12 @@ _AB_KEY_SPARK = "concat('e', CAST(event_id AS STRING))"
                CAST(n_b AS BIGINT) AS n_b,
                CAST(conv_a AS BIGINT) AS conv_a,
                CAST(conv_b AS BIGINT) AS conv_b,
-               ROUND(CAST(conv_a AS DOUBLE) / n_a, 4) AS rate_a,
-               ROUND(CAST(conv_b AS DOUBLE) / n_b, 4) AS rate_b,
-               CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+               CASE WHEN n_a > 0
+                    THEN ROUND(CAST(conv_a AS DOUBLE) / n_a, 4) END AS rate_a,
+               CASE WHEN n_b > 0
+                    THEN ROUND(CAST(conv_b AS DOUBLE) / n_b, 4) END AS rate_b,
+               CASE WHEN n_a > 0 AND n_b > 0
+                         AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
                     THEN ROUND((CAST(conv_a AS DOUBLE) / n_a
                                 - CAST(conv_b AS DOUBLE) / n_b)
                                / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
@@ -1368,13 +1371,17 @@ def q_ab_ztest(spark, sf_dir):
         .cast("bigint")
         .alias("conv_b"),
     )
+    # Every division involving an arm count is gated on that count
+    # being > 0: an empty arm (possible only on degenerate inputs,
+    # but unguarded) is a hard divide-by-zero ERROR under ANSI mode,
+    # not a NULL — the same lesson the z guard below already encodes.
     ra = F.col("conv_a").cast("double") / F.col("n_a")
     rb = F.col("conv_b").cast("double") / F.col("n_b")
     conv_t = F.col("conv_a") + F.col("conv_b")
     n_t = F.col("n_a") + F.col("n_b")
     pp = conv_t.cast("double") / n_t
     z = F.when(
-        (conv_t > 0) & (conv_t < n_t),
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (conv_t > 0) & (conv_t < n_t),
         F.round(
             (ra - rb)
             / F.sqrt(
@@ -1390,8 +1397,8 @@ def q_ab_ztest(spark, sf_dir):
         "n_b",
         "conv_a",
         "conv_b",
-        F.round(ra, 4).alias("rate_a"),
-        F.round(rb, 4).alias("rate_b"),
+        F.when(F.col("n_a") > 0, F.round(ra, 4)).alias("rate_a"),
+        F.when(F.col("n_b") > 0, F.round(rb, 4)).alias("rate_b"),
         z,
     )
 
@@ -1421,13 +1428,20 @@ def q_ab_ztest(spark, sf_dir):
             FROM pts GROUP BY event_type
         )
         SELECT event_type, CAST(n AS BIGINT) AS n,
-               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-               ROUND((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
-                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept,
-               ROUND(POW(CAST(n * sxy - sx * sy AS DOUBLE), 2)
-                     / (CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+               ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS intercept,
+               ROUND(POW(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
         FROM m
         ORDER BY event_type
     """,
@@ -1468,13 +1482,21 @@ def q_regr_fit(spark, sf_dir):
         F.sum(F.col("x").cast("decimal(10,0)") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    intercept_num = (
-        F.col("sy").cast("double") * F.col("sxx")
-        - F.col("sx").cast("double") * F.col("sxy").cast("double")
-    )
+    # Moments go to DOUBLE *before* the n*moment products: bigint n ×
+    # wide-decimal sxy would widen past decimal(38) at large row
+    # counts and ANSI mode turns that into a runtime overflow error.
+    # The exact decimal moments convert to double identically in both
+    # engines, so the subsequent IEEE op sequence still hash-matches.
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    syy_d = F.col("syy").cast("double")
+    num = n_d * sxy_d - sx_d * sy_d
+    den = n_d * sxx_d - sx_d * sx_d
+    deny = n_d * syy_d - sy_d * sy_d
+    intercept_num = sy_d * sxx_d - sx_d * sxy_d
     return m.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
