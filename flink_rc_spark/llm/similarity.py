@@ -348,7 +348,18 @@ def _band_buckets_udf(planes_per_band: int, n_bands: int):
     @pandas_udf("array<bigint>")
     def band_codes(e: pd.Series) -> pd.Series:
         mat = np.vstack(e.to_numpy())  # (n, 64)
-        bits = ((mat @ w.T) >= 0).astype(np.int64)  # (n, P)
+        # Sequential left fold over the dimension index, NOT a matmul:
+        # acc_{g} = ((0 + w_g1*e_1) + w_g2*e_2) + ... reproduces DuckDB's
+        # list_reduce fold bit-exactly (IEEE addition is deterministic
+        # given order; BLAS matmul order is unspecified and a near-zero
+        # dot could sign-flip vs the SQL fold). This is what makes
+        # q_dedup_embedding_full exact-oracle-able. Cost: 64 vectorized
+        # (rows x planes) fused adds per Arrow batch — still no Python
+        # per-row loop.
+        acc = np.zeros((mat.shape[0], total))
+        for i in range(_DIM):
+            acc += mat[:, i, None] * w[None, :, i]
+        bits = (acc >= 0).astype(np.int64)  # (n, P)
         codes = np.stack(
             [
                 bits[:, b * planes_per_band : (b + 1) * planes_per_band] @ powers
@@ -498,22 +509,76 @@ def bucket_occupancy(
     }
 
 
-@register("q_dedup_embedding_full", oracle=None, tags=("llm", "dedup"))
+_BANDED_PPB = 4   # planes per band (AND)
+_BANDED_NB = 16   # bands (OR)
+
+# DuckDB twin of _band_buckets_udf's 4x16 banded LSH: the 64 global
+# hyperplanes are md5-derived exactly as _plane_weight, materialized
+# ONCE as 64-element weight lists (4096 md5 calls total, not per row),
+# and each per-(row, plane) dot is a sequential list_reduce left fold —
+# bit-identical to the UDF's sequential accumulation, so the sign bits,
+# band buckets, candidate set, and the >= 0.35 verify all agree exactly.
+_BANDED_ORACLE = f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e, {_NORM_DUCK} AS nrm FROM v),
+    w AS (
+        SELECT g,
+               list(strpos('0123456789abcdef',
+                     substr(md5(CAST(g AS VARCHAR) || '_' || CAST(i AS VARCHAR)),
+                            1, 1)) - 8.5 ORDER BY i) AS wv
+        FROM range(0, {_BANDED_PPB * _BANDED_NB}) t1(g),
+             range(1, {_DIM + 1}) t2(i)
+        GROUP BY g
+    ),
+    bits AS (
+        SELECT n.vec_id, w.g,
+               CASE WHEN list_reduce(
+                        list_transform(range(1, {_DIM + 1}),
+                                       i -> w.wv[i] * n.e[i]),
+                        (acc, x) -> acc + x) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM n, w
+    ),
+    slim AS (
+        SELECT vec_id,
+               CAST(g // {_BANDED_PPB} AS INT) AS band,
+               CAST(SUM(bit * CAST(power(2, g % {_BANDED_PPB}) AS BIGINT))
+                    AS BIGINT) AS bkt
+        FROM bits GROUP BY vec_id, g // {_BANDED_PPB}
+    ),
+    cand AS (
+        SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+        FROM slim sa JOIN slim sb
+          ON sa.band = sb.band AND sa.bkt = sb.bkt AND sa.vec_id < sb.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, ROUND({_DOT_DUCK} / (a.nrm * b.nrm), 4) AS cosine
+    FROM cand c
+    JOIN n a ON a.vec_id = c.vec_a
+    JOIN n b ON b.vec_id = c.vec_b
+    WHERE {_DOT_DUCK} / (a.nrm * b.nrm) >= 0.35
+    ORDER BY vec_a, vec_b
+    """
+
+
+@register("q_dedup_embedding_full", oracle=_BANDED_ORACLE, tags=("llm", "dedup"))
 def q_dedup_embedding_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-TABLE embedding near-dup pairs (cosine >= 0.35): banded-LSH
     candidate generation + exact cosine verify — the at-scale
     composition that q_dedup_embedding's block-scoped exact query is
     the verify-stage baseline for.
 
-    Rows-only by nature: hyperplane LSH candidate recall is
-    probabilistic, so no SQL oracle can reproduce the exact pair set
-    deterministically across engines (the bucket codes come from a
-    numpy matmul whose summation order is unspecified — a near-zero
-    dot product may sign-flip vs a sequential SQL fold). What IS
-    asserted (tests/test_llm.py): every emitted pair truly has
-    cosine >= 0.35 (the verify stage is exact), and measured recall vs
-    the brute-force threshold set is >= 0.8 (4x16 banding at the
-    0.35-threshold per-plane agreement ~0.62 predicts ~0.92).
+    Exact-oracled since round 5: the band-bucket codes are
+    md5-deterministic (_plane_weight) and the per-plane dot is a
+    sequential left fold on BOTH sides (the pandas UDF accumulates
+    dimension-by-dimension instead of a matmul; the oracle uses
+    list_reduce over once-materialized weight lists), so candidate
+    generation — not just the verify stage — is engine-independent and
+    the full pair set hash-matches DuckDB. Recall vs the brute-force
+    threshold set is still measured (>= 0.8 asserted in
+    tests/test_llm.py; 4x16 banding at the 0.35-threshold per-plane
+    agreement ~0.62 predicts ~0.92).
 
     Scale: candidates from one slim (band, bucket) equi-join; vectors
     re-attached only to survivors; verify is a per-pair JVM fold. No

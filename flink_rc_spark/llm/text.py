@@ -37,13 +37,15 @@ _STOPWORDS = ("the", "a", "of", "and", "is", "in", "to", "it")
 # zh has no marker-WORD list — Chinese isn't space-tokenized — so its
 # score is the count of CJK Unified Ideograph codepoints (U+4E00 to
 # U+9FFF, written as literal chars so the class parses identically in
-# Java regex and RE2). On real data a zh document's ideograph count
-# dwarfs any Latin stopword count; the synthetic fixture's zh-labeled
-# docs are Latin-script tech text (verified: zero non-ASCII bytes in
-# the whole documents table), so their s_zh is 0 there and the
-# confusion matrix keeps the blind spot VISIBLE — the classifier is
-# right, the fixture's labels are adversarial. tests/test_llm.py
-# proves nonzero zh classification on actual CJK strings.
+# Java regex and RE2). Wired into q_lang_id/q_langid_eval as s_zh with
+# zh LAST in the argmax tiebreak priority: on real data a zh document's
+# ideograph count dwarfs any Latin stopword count, while the synthetic
+# fixture's zh-labeled docs are Latin-script tech text (verified: zero
+# non-ASCII bytes in the whole documents table), so their s_zh is 0 and
+# the confusion matrix keeps the label/script mismatch VISIBLE — the
+# classifier is right, the fixture's labels are adversarial.
+# test_lang_id_cjk in tests/test_llm.py proves nonzero zh
+# classification on actual CJK strings.
 _CJK_CLASS = "[一-鿿]"
 
 
@@ -53,6 +55,49 @@ def _cjk_count_expr() -> str:
 
 def _cjk_count_sql() -> str:
     return f"len(regexp_extract_all(text, '{_CJK_CLASS}'))"
+
+
+# Shared lang-ID scoring + argmax, used by q_lang_id AND q_langid_eval
+# (and unit-testable on literal CJK strings). Priority order for ties:
+# en > es > de > fr > zh — zh last so all-zero rows (no markers, no
+# ideographs) fall to 'en' exactly as before zh existed.
+_LANG_PRIORITY = ("en", "es", "de", "fr", "zh")
+
+
+def _langid_scored_sql() -> str:
+    cols = [
+        f"{_marker_count_sql(_MARKERS[k])} AS s_{k}" for k in ("en", "es", "de", "fr")
+    ] + [f"{_cjk_count_sql()} AS s_zh"]
+    return ",\n               ".join(cols)
+
+
+def _langid_scored_cols() -> list:
+    return [
+        F.expr(_marker_count_expr(_MARKERS[k])).alias(f"s_{k}")
+        for k in ("en", "es", "de", "fr")
+    ] + [F.expr(_cjk_count_expr()).alias("s_zh")]
+
+
+def _langid_case_sql() -> str:
+    branches = []
+    for pos, k in enumerate(_LANG_PRIORITY[:-1]):
+        conds = " AND ".join(
+            f"s_{k} >= s_{o}" for o in _LANG_PRIORITY[pos + 1 :]
+        )
+        branches.append(f"WHEN {conds} THEN '{k}'")
+    joined = "\n             ".join(branches)
+    return f"CASE\n             {joined}\n             ELSE '{_LANG_PRIORITY[-1]}'\n           END"
+
+
+def _langid_pred_col() -> F.Column:
+    expr = None
+    for pos, k in enumerate(_LANG_PRIORITY[:-1]):
+        cond = None
+        for o in _LANG_PRIORITY[pos + 1 :]:
+            c = F.col(f"s_{k}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+    return expr.otherwise(_LANG_PRIORITY[-1])
 
 # BPE-ish tokenizer regex: runs of letters, runs of digits, or a single
 # non-alphanumeric non-space symbol — a coarse stand-in for byte-pair
@@ -150,56 +195,40 @@ def _marker_count_sql(words: tuple[str, ...]) -> str:
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, lang,
-               {_marker_count_sql(_MARKERS["en"])} AS s_en,
-               {_marker_count_sql(_MARKERS["es"])} AS s_es,
-               {_marker_count_sql(_MARKERS["de"])} AS s_de,
-               {_marker_count_sql(_MARKERS["fr"])} AS s_fr
+               {_langid_scored_sql()}
         FROM documents
     )
     SELECT doc_id, lang,
-           CASE
-             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-             WHEN s_de >= s_fr THEN 'de'
-             ELSE 'fr'
-           END AS pred_lang,
-           s_en, s_es, s_de, s_fr
+           {_langid_case_sql()} AS pred_lang,
+           s_en, s_es, s_de, s_fr, s_zh
     FROM scored
     ORDER BY doc_id
     """,
     tags=("llm", "text"),
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID: score each doc against per-language
-    stopword lists, argmax with a fixed priority tiebreak.
+    """Marker-word + script language ID: score each doc against
+    per-language stopword lists (en/es/de/fr) plus a CJK-ideograph
+    codepoint count for zh (Chinese isn't space-tokenized, so a script
+    detector replaces the marker list), argmax with the fixed
+    en>es>de>fr>zh priority tiebreak.
 
     A production system would use char n-gram profiles (same shape:
-    per-doc map + argmax); marker words keep the oracle exactly
-    SQL-expressible. Pure JVM lambda functions; zero shuffle (the
-    ORDER BY is for deterministic presentation only).
+    per-doc map + argmax); marker words + script counts keep the
+    oracle exactly SQL-expressible. Pure JVM lambda/regex functions;
+    zero shuffle (the ORDER BY is for deterministic presentation only).
     """
     docs = load(spark, sf_dir, "documents")
-    scored = docs.select(
+    scored = docs.select("doc_id", "lang", *_langid_scored_cols())
+    return scored.select(
         "doc_id",
         "lang",
-        *[
-            F.expr(_marker_count_expr(_MARKERS[k])).alias(f"s_{k}")
-            for k in ("en", "es", "de", "fr")
-        ],
-    )
-    pred = (
-        F.when(
-            (F.col("s_en") >= F.col("s_es"))
-            & (F.col("s_en") >= F.col("s_de"))
-            & (F.col("s_en") >= F.col("s_fr")),
-            "en",
-        )
-        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
-        .when(F.col("s_de") >= F.col("s_fr"), "de")
-        .otherwise("fr")
-    )
-    return scored.select(
-        "doc_id", "lang", pred.alias("pred_lang"), "s_en", "s_es", "s_de", "s_fr"
+        _langid_pred_col().alias("pred_lang"),
+        "s_en",
+        "s_es",
+        "s_de",
+        "s_fr",
+        "s_zh",
     ).orderBy("doc_id")
 
 
@@ -823,20 +852,12 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, lang,
-               {_marker_count_sql(_MARKERS["en"])} AS s_en,
-               {_marker_count_sql(_MARKERS["es"])} AS s_es,
-               {_marker_count_sql(_MARKERS["de"])} AS s_de,
-               {_marker_count_sql(_MARKERS["fr"])} AS s_fr
+               {_langid_scored_sql()}
         FROM documents
     ),
     pred AS (
         SELECT lang,
-               CASE
-                 WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-                 WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-                 WHEN s_de >= s_fr THEN 'de'
-                 ELSE 'fr'
-               END AS pred_lang
+               {_langid_case_sql()} AS pred_lang
         FROM scored
     ),
     cells AS (
@@ -861,32 +882,17 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes q_lang_id's scoring expressions (same single scan, zero
     shuffle until the tiny |langs|² aggregate); shares are one double
     division of exact integers (the q_markov_transitions normalize
-    pattern). Note the labeled zh docs have no marker list — they
-    land in whichever Latin-language row wins ties, which the matrix
-    makes VISIBLE rather than hiding in an accuracy scalar (exactly
-    why evals report matrices).
+    pattern). Note the fixture's zh-labeled docs are Latin-script
+    text with zero CJK codepoints, so s_zh = 0 and they land in
+    whichever Latin-language row wins ties — the matrix makes the
+    label/script mismatch VISIBLE rather than hiding it in an
+    accuracy scalar (exactly why evals report matrices). On actual
+    CJK strings the zh diagonal is nonzero: test_lang_id_cjk.
     """
     docs = load(spark, sf_dir, "documents")
-    scored = docs.select(
-        "lang",
-        *[
-            F.expr(_marker_count_expr(_MARKERS[k])).alias(f"s_{k}")
-            for k in ("en", "es", "de", "fr")
-        ],
-    )
-    pred = (
-        F.when(
-            (F.col("s_en") >= F.col("s_es"))
-            & (F.col("s_en") >= F.col("s_de"))
-            & (F.col("s_en") >= F.col("s_fr")),
-            "en",
-        )
-        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
-        .when(F.col("s_de") >= F.col("s_fr"), "de")
-        .otherwise("fr")
-    )
+    scored = docs.select("lang", *_langid_scored_cols())
     cells = (
-        scored.select("lang", pred.alias("pred_lang"))
+        scored.select("lang", _langid_pred_col().alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )

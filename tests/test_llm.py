@@ -23,8 +23,68 @@ def test_lang_id_scores_nonnegative(spark, sf_dir):
     rows = _run(spark, sf_dir, "q_lang_id").collect()
     assert len(rows) > 0
     for r in rows:
-        assert r.pred_lang in ("en", "es", "de", "fr")
-        assert min(r.s_en, r.s_es, r.s_de, r.s_fr) >= 0
+        assert r.pred_lang in ("en", "es", "de", "fr", "zh")
+        assert min(r.s_en, r.s_es, r.s_de, r.s_fr, r.s_zh) >= 0
+        # the synthetic corpus is pure Latin script (zero CJK bytes),
+        # so on fixture data the zh path must never fire
+        assert r.s_zh == 0
+        assert r.pred_lang != "zh"
+
+
+def test_lang_id_cjk(spark):
+    """The zh path on actual CJK strings: ideograph counting and the
+    en>es>de>fr>zh argmax priority, on literal rows (the parquet
+    fixture is Latin-only by design, so this is the test that proves
+    the classifier CAN emit zh — cited by llm/text.py's _CJK_CLASS
+    comment)."""
+    from flink_rc_spark.llm.text import _langid_pred_col, _langid_scored_cols
+
+    rows = [
+        # pure Chinese: 6 ideographs, zero Latin markers -> zh
+        (0, "这是一个中文句子"),
+        # mixed, CJK dominates the single 'the' marker -> zh
+        (1, "the 机器学习模型训练完成"),
+        # tie s_en == s_zh (1 marker vs 1 ideograph): en wins (priority)
+        (2, "the 中"),
+        # Latin-only control -> en
+        (3, "the cat sat of the mat and is happy"),
+        # no markers, no ideographs: all-zero tie falls to en
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    scored = df.select("doc_id", *_langid_scored_cols())
+    got = {
+        r.doc_id: (r.pred_lang, r.s_zh)
+        for r in scored.select(
+            "doc_id", _langid_pred_col().alias("pred_lang"), "s_zh"
+        ).collect()
+    }
+    assert got[0] == ("zh", 8)  # all 8 chars are ideographs
+    assert got[1] == ("zh", 10)
+    assert got[2] == ("en", 1)
+    assert got[3] == ("en", 0)
+    assert got[4] == ("en", 0)
+
+
+def test_lang_id_cjk_duckdb_twin(spark):
+    """The DuckDB spelling of the CJK count agrees with the Spark
+    spelling on the same literal strings (engine-parity of the regex
+    class itself, independent of the parquet fixture)."""
+    import duckdb
+
+    from flink_rc_spark.llm.text import _cjk_count_expr, _cjk_count_sql
+
+    texts = ["这是一个中文句子", "the 机器学习模型训练完成", "the 中", "plain ascii", ""]
+    sdf = spark.createDataFrame([(t,) for t in texts], ["text"])
+    spark_counts = [
+        r.c for r in sdf.select(F.expr(_cjk_count_expr()).alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    duck_counts = [
+        con.execute(f"SELECT {_cjk_count_sql()} FROM (SELECT ? AS text)", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert spark_counts == duck_counts == [8, 10, 1, 0, 0]
 
 
 def test_quality_score_gate_consistent(spark, sf_dir):
