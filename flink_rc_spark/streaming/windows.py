@@ -10,8 +10,10 @@ Watermark/output-mode notes (learned behavior, encoded here):
   replay: append mode only emits windows the watermark has passed,
   and a bounded replay's watermark never passes the final window;
 - q_stream_watermark_late intentionally uses append+watermark to
-  exercise late-row dropping — its output is the watermark-passed
-  subset, timing-dependent → rows-only (driver contract allows it);
+  exercise watermark-gated emission — its output is the
+  watermark-passed window subset, which the bounded replay makes
+  deterministic (exact oracle models the ms-clock inclusive
+  window_end <= watermark emission rule);
 - value sums accumulate in DECIMAL so stream results hash-match the
   batch oracle exactly.
 
@@ -132,13 +134,44 @@ def q_stream_session(spark, sf_dir):
     return run_to_memory(agg, output_mode="complete")
 
 
-@register("q_stream_watermark_late", oracle=None)
+@register(
+    "q_stream_watermark_late",
+    oracle="""
+        WITH mx AS (
+            -- Spark's watermark clock is MILLISECONDS: EventTimeStats
+            -- accumulates max event time with µs truncated to ms, so
+            -- the final watermark is floor_ms(max ts) - 10 min.
+            SELECT make_timestamp(epoch_ms(MAX(ts)) * 1000)
+                   - INTERVAL 10 MINUTE AS wm
+            FROM events
+        )
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n
+        FROM events, mx
+        GROUP BY 1, 2, mx.wm
+        -- append mode emits a window once the watermark has PASSED its
+        -- end; the boundary is INCLUSIVE (window_end == watermark
+        -- emits — proven by the synthetic boundary-collision test in
+        -- tests/test_streaming.py::test_watermark_boundary_inclusive)
+        HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= ANY_VALUE(wm)
+    """,
+)
 def q_stream_watermark_late(spark, sf_dir):
     """Tumbling windows under a 10-minute watermark in APPEND mode:
     only windows the watermark has passed are emitted, so the bounded
-    replay's final windows are withheld — timing-dependent by design →
-    rows-only check (tests assert the emitted set is a strict subset
-    of the batch result)."""
+    replay's final windows are withheld in state at shutdown.
+
+    Exact-oracled since round 5 (previously rows-only): the bounded
+    single-file replay makes the final watermark deterministic — one
+    data batch aggregates every row (the initial watermark is 0, so
+    nothing is dropped as late), then the trailing no-data micro-batch
+    advances the watermark to floor_ms(max event time) - 10 min and
+    flushes exactly the windows whose end <= that watermark
+    (inclusive boundary, ms clock — both pinned by dedicated tests).
+    The oracle spells that emission rule over the batch table, the
+    same global-watermark modeling q_stream_join_outer proved out.
+    """
     s = events_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "10 minutes")

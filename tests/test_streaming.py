@@ -13,12 +13,14 @@ load_all()
 
 
 def test_watermark_late_emits_exactly_the_passed_windows(spark, sf_dir):
-    """Quantitative bound for the rows-only key q_stream_watermark_late:
-    the emitted set must equal EXACTLY the batch result restricted to
+    """Spark-side twin of q_stream_watermark_late's exact oracle: the
+    emitted set must equal EXACTLY the batch result restricted to
     windows the final watermark passed (window_end <= max(ts) - 10 min)
     — value-identical rows, not just a subset. The bounded replay makes
     this deterministic: after the last data batch, the no-data commit
-    finalizes every window behind the watermark."""
+    finalizes every window behind the watermark. (The DuckDB spelling
+    of the same rule is the key's oracle; parity runs in
+    test_correctness.py.)"""
     streamed = REGISTRY["q_stream_watermark_late"].builder(spark, sf_dir)
     events = load(spark, sf_dir, "events")
     batch = (
@@ -45,6 +47,58 @@ def test_watermark_late_emits_exactly_the_passed_windows(spark, sf_dir):
         f"(streamed {len(a)} rows, expected {len(b)})"
     )
     assert len(a) < batch.count(), "watermark withheld nothing"
+
+
+def test_watermark_boundary_inclusive(spark, tmp_path):
+    """Pins the eviction comparison q_stream_watermark_late's oracle
+    encodes: a window whose end equals the final watermark EXACTLY is
+    emitted (inclusive boundary). Synthetic collision: events in
+    [00:00, 01:00) plus a max event at precisely 01:10:00.000000 make
+    the watermark land exactly on the window end 01:00:00."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    ts = [
+        dt.datetime(2024, 1, 1, 0, 0, 0),
+        dt.datetime(2024, 1, 1, 0, 30, 0),
+        dt.datetime(2024, 1, 1, 1, 10, 0),
+    ]
+    pq.write_table(
+        pa.table({"ts": pa.array(ts, pa.timestamp("us")), "k": ["a", "a", "b"]}),
+        str(tmp_path / "e.parquet"),
+    )
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampNTZType()), T.StructField("k", T.StringType())]
+    )
+    s = (
+        spark.readStream.schema(schema)
+        .parquet(str(tmp_path))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "k", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_boundary_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM wm_boundary_test").collect()
+    emitted = sorted((str(r.ws), r.k, r.n) for r in out)
+    # [00:00,01:00) emits (end == watermark, inclusive); [01:00,02:00) held
+    assert emitted == [("2024-01-01 00:00:00", "a", 2)], emitted
 
 
 def test_stateful_counter_state_survives_batches(spark, sf_dir):
@@ -150,6 +204,171 @@ def test_watermark_drops_late_row_across_batches(spark, tmp_path):
     # not appear — neither merged (n=3) nor as a resurrected window
     assert (10, 2) in emitted, emitted
     assert sum(1 for h, _ in emitted if h == 10) == 1, emitted
+
+
+def _chaos_chunks(sf_dir, n_chunks=6):
+    """events.parquet sorted by (ts, event_id), sliced into n ts-ordered
+    pyarrow tables with ts normalized to µs (no legacy-nanos path)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir.rstrip('/')}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("ts"),
+        "ts",
+        tbl.column("ts").cast(pa.timestamp("us")),
+    )
+    tbl = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+    step = (tbl.num_rows + n_chunks - 1) // n_chunks
+    return [tbl.slice(i * step, step) for i in range(n_chunks)]
+
+
+def _chaos_replay(spark, tmp_path, name, chunks):
+    """Write `chunks` as one file per micro-batch (mtime = arrival
+    order) and run the q_stream_join_outer pipeline over them."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from flink_rc_spark.streaming.replay import run_to_memory
+
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        path = f"{d}/part-{i:04d}.parquet"
+        pq.write_table(chunk, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts"))
+        .withWatermark("vts", "2 hours")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr("user_id = c_user_id AND cts >= vts AND cts <= vts + INTERVAL 1 HOUR"),
+        "leftOuter",
+    ).select("user_id", "view_id", "click_id")
+    stats: dict = {}
+    out = run_to_memory(joined, output_mode="append", stats=stats)
+    return out, stats
+
+
+def _chaos_expected(spark, chunks):
+    """The q_stream_join_outer oracle rule (matched ∪ decidable
+    unmatched under the min-of-filtered-sides watermark) computed in
+    batch over exactly the rows the replay actually delivered."""
+    import pyarrow as pa
+
+    rows = spark.createDataFrame(
+        pa.concat_tables(chunks).to_pandas()
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    views = rows.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    clicks = rows.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    vmax = views.agg(F.max("vts")).first()[0]
+    cmax = clicks.agg(F.max("cts")).first()[0]
+    wm = min(vmax, cmax)  # global watermark = min of per-side clocks
+    cond = F.expr(
+        "user_id = c_user_id AND cts >= vts AND cts <= vts + INTERVAL 1 HOUR"
+    )
+    matched = views.join(clicks, cond).select("user_id", "view_id", "click_id")
+    unmatched = (
+        views.join(clicks, cond, "left_anti")
+        .filter(
+            F.col("vts") + F.expr("INTERVAL 1 HOUR")
+            < F.lit(wm) - F.expr("INTERVAL 2 HOURS")
+        )
+        .select("user_id", "view_id", F.lit(None).cast("long").alias("click_id"))
+    )
+    return matched.unionByName(unmatched)
+
+
+def _rowset(df):
+    return {(r.user_id, r.view_id, r.click_id) for r in df.collect()}
+
+
+def test_stream_join_outer_chaos_dropped_batch(spark, sf_dir, tmp_path):
+    """CHAOS: a micro-batch vanishes mid-replay (file 4 of 6 — the
+    batch just before the final watermark advance). Eviction must be
+    driven by the data actually seen in the order seen: the stream's
+    output must equal the oracle rule recomputed over the surviving
+    rows — not the full table's — proving the watermark bookkeeping is
+    replay-robust, not an artifact of one canonical slicing."""
+    chunks = _chaos_chunks(sf_dir)
+    survived = chunks[:4] + chunks[5:]
+    out, stats = _chaos_replay(spark, tmp_path, "dropped", survived)
+    assert stats["num_batches"] >= len(survived), stats
+    got = _rowset(out)
+    want = _rowset(_chaos_expected(spark, survived))
+    assert len(got) > 0
+    assert got == want, (
+        f"dropped-batch replay diverged: {len(got)} vs {len(want)} rows, "
+        f"missing={list(want - got)[:5]}, extra={list(got - want)[:5]}"
+    )
+    # the drop must actually change the answer vs the full replay
+    # (otherwise this test proves nothing about robustness)
+    full = _rowset(_chaos_expected(spark, chunks))
+    assert got != full, "dropped batch did not perturb the result"
+
+
+def test_stream_join_outer_chaos_duplicated_batch(spark, sf_dir, tmp_path):
+    """CHAOS: a micro-batch is delivered twice (at-least-once source).
+    Duplicate state rows may re-emit already-known pairs, but the
+    DISTINCT result must equal the baseline's, and no view may be both
+    matched and null-padded — i.e. eviction decisions are stable under
+    redelivery (late copies fall to the watermark filter; surviving
+    copies re-match against live state rather than fabricating
+    unmatched rows)."""
+    chunks = _chaos_chunks(sf_dir)
+    doubled = chunks[:5] + [chunks[4]] + chunks[5:]
+    out, stats = _chaos_replay(spark, tmp_path, "duplicated", doubled)
+    assert stats["num_batches"] >= len(doubled), stats
+    got = _rowset(out)
+    want = _rowset(_chaos_expected(spark, chunks))
+    assert len(got) > 0
+    assert got == want, (
+        f"duplicated-batch replay diverged: {len(got)} vs {len(want)} rows, "
+        f"missing={list(want - got)[:5]}, extra={list(got - want)[:5]}"
+    )
+    matched_views = {(u, v) for (u, v, c) in got if c is not None}
+    null_views = {(u, v) for (u, v, c) in got if c is None}
+    assert not (matched_views & null_views), (
+        "redelivery made a view both matched and null-padded: "
+        f"{list(matched_views & null_views)[:5]}"
+    )
 
 
 def test_stateful_api_adapter_paths(spark, sf_dir):
