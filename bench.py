@@ -168,16 +168,19 @@ def main() -> None:
     # the headline-first layout got sliced off (BENCH_r2/r3 parsed as
     # null). Emit a compact final line carrying just the headline so
     # the tail capture always contains one parseable JSON object.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": headline_total,
-                "unit": "sec",
-                "sf": sf,
-            }
-        )
+    compact_line = json.dumps(
+        {
+            "metric": "headline_queries_wall_clock",
+            "value": headline_total,
+            "unit": "sec",
+            "sf": sf,
+            # distinguishes this tail line from the verbose one above,
+            # so a consumer parsing the FIRST matching metric doesn't
+            # silently get the verbose record (and vice versa)
+            "compact": True,
+        }
     )
+    print(compact_line)
     # Also persist next to the script: a truncated/corrupted stdout
     # capture (r2's BENCH artifact parsed as null) then still leaves a
     # recoverable record of the run.
@@ -185,6 +188,7 @@ def main() -> None:
         out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
         with open(out_path, "w") as f:
             f.write(line + "\n")
+            f.write(compact_line + "\n")
     except OSError:
         pass
     spark.stop()

@@ -241,7 +241,11 @@ def _resample_batches(batches):
             mono = mono[: len(mono) // 2 * 2]
             ds = (mono[0::2] + mono[1::2] + 1) // 2
             sums.append(int(ds.sum()))
-            maxs.append(int(ds.max()))
+            # a clip decoding to < 2 samples yields an empty ds —
+            # emit amplitude 0 rather than tripping ds.max() on an
+            # empty array (fixture clips are longer; the guard keeps
+            # the kernel total on arbitrary WAV inputs)
+            maxs.append(int(ds.max()) if len(ds) else 0)
             ns.append(len(ds))
             srs.append(sr // 2)
         yield pd.DataFrame(

@@ -503,10 +503,16 @@ def _topk_kernel(key, pdf_iter, state):
     seq, cents, ids = state.get if state.exists else (0, [], [])
     pairs = list(zip(cents, ids))
     for pdf in pdf_iter:
-        # floor(v*100 + 0.5) = round-half-UP, matching the oracle's
-        # CAST(.. AS DECIMAL(18,2)) — np.round is banker's rounding
-        # and diverges on exact .xx5 inputs.
-        v = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        # Round-half-AWAY-FROM-ZERO, matching the oracle's
+        # CAST(.. AS DECIMAL(18,2)) on BOTH signs — np.round is
+        # banker's rounding and diverges on exact .xx5 inputs, and
+        # plain floor(v*100+0.5) is half-up toward +inf, which would
+        # diverge from DECIMAL on negative exact halves (fixture
+        # values are positive, but the kernel shouldn't rely on it).
+        raw = pdf["value"].to_numpy() * 100
+        v = np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)).astype(
+            np.int64
+        )
         for c, e in zip(v, pdf["event_id"].to_numpy()):
             pairs.append((int(c), int(e)))
     pairs.sort(key=lambda t: (-t[0], t[1]))

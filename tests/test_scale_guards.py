@@ -65,6 +65,10 @@ NESTED_LOOP_ALLOWED = {
     "q_sketch_kmv_setops",  # combining single-row sketch/census
     #                         aggregates (the q_graph_triangles /
     #                         q_dq_checks single-row-join class)
+    "q_ivf_pq_search",  # the 8-row coarse-centroid table BROADCAST
+    #                     against every vector for home/probe
+    #                     assignment (q_kmeans' assignment shape) —
+    #                     build side bounded at K_IVF by construction
 }
 
 
