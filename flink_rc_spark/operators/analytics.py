@@ -907,6 +907,89 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+@register(
+    "q_cdc_apply",
+    oracle="""
+        WITH log AS (
+            SELECT o_custkey AS k, o_orderkey AS seq,
+                   CASE WHEN o_orderkey % 11 = 5 THEN 'D' ELSE 'U' END AS op,
+                   o_totalprice AS price
+            FROM orders
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+                                         ORDER BY seq DESC) AS rn
+            FROM log
+        ),
+        stats AS (
+            SELECT k,
+                   CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_upserts,
+                   CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_deletes
+            FROM log GROUP BY k
+        )
+        SELECT r.k, r.seq AS last_seq, r.price AS final_price,
+               s.n_upserts, s.n_deletes
+        FROM ranked r JOIN stats s ON s.k = r.k
+        WHERE r.rn = 1 AND r.op = 'U'
+        ORDER BY r.k
+    """,
+    tags=("analytics", "cdc"),
+)
+def q_cdc_apply(spark, sf_dir):
+    """Ordered-changelog APPLY (the Flink upsert-stream / Paimon-LSM
+    compaction read): replay a keyed changelog of upserts and deletes
+    in sequence order and materialize the final table state —
+    last-writer-wins per key, a key whose final op is a DELETE is
+    absent from the snapshot. The sibling of q_snapshot_diff (which
+    PRODUCES a changelog) and q_merge_classify (which applies one
+    batch of staged changes): this one applies an arbitrarily long
+    history. The changelog is derived deterministically from orders
+    INSIDE the query on both engines (key = o_custkey, seq =
+    o_orderkey — unique, so last-writer is well-defined — op = DELETE
+    on seq % 11 = 5), so the verified operator is the apply itself.
+    Output carries per-key op counts (the compaction statistics) plus
+    the surviving last_seq/price.
+
+    Plan: ONE shuffle — a single hash agg on the key computing
+    max(struct(seq, op, price)) (struct max orders by seq first, the
+    argmax-by-sequence idiom) alongside the op counters; the oracle
+    spells the same semantics as a window + join for dialect safety.
+    100 TB: this is exactly how log-structured tables compact —
+    changelog partitions shuffle once by primary key, each key folds
+    to its newest row; with the log bucketed by key the shuffle
+    disappears entirely (bucket-local compaction).
+    """
+    orders = load(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 5, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    agg = log.groupBy("k").agg(
+        F.max(F.struct("seq", "op", "price")).alias("last"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_upserts"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_deletes"),
+    )
+    return (
+        agg.filter(F.col("last.op") == "U")
+        .select(
+            "k",
+            F.col("last.seq").alias("last_seq"),
+            F.col("last.price").alias("final_price"),
+            "n_upserts",
+            "n_deletes",
+        )
+        .orderBy("k")
+    )
+
+
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 

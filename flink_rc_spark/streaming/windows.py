@@ -367,3 +367,115 @@ def q_stream_join_outer(spark, sf_dir):
         "leftOuter",
     ).select("user_id", "view_id", "click_id")
     return run_to_memory(joined, output_mode="append")
+
+
+@register(
+    "q_stream_full_outer",
+    oracle="""
+        WITH mx AS (
+            SELECT LEAST(
+                (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+                (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+            ) AS m
+        ),
+        views AS (
+            SELECT user_id, event_id AS view_id, ts AS vts
+            FROM events WHERE event_type = 'view'
+        ),
+        clicks AS (
+            SELECT user_id AS c_user_id, event_id AS click_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ),
+        matched AS (
+            SELECT v.user_id, v.view_id, c.click_id
+            FROM views v JOIN clicks c
+              ON c.c_user_id = v.user_id
+             AND c.cts >= v.vts
+             AND c.cts <= v.vts + INTERVAL 1 HOUR
+        ),
+        unmatched_views AS (
+            SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS click_id
+            FROM views v, mx
+            WHERE NOT EXISTS (
+                SELECT 1 FROM clicks c
+                WHERE c.c_user_id = v.user_id
+                  AND c.cts >= v.vts
+                  AND c.cts <= v.vts + INTERVAL 1 HOUR
+            )
+            AND v.vts + INTERVAL 1 HOUR < mx.m - INTERVAL 2 HOUR
+        ),
+        unmatched_clicks AS (
+            -- a click's match horizon is its OWN timestamp (it joins
+            -- views with vts in [cts - 1h, cts]), so it is decidably
+            -- unmatched as soon as the global watermark passes cts
+            SELECT c.c_user_id AS user_id,
+                   CAST(NULL AS BIGINT) AS view_id, c.click_id
+            FROM clicks c, mx
+            WHERE NOT EXISTS (
+                SELECT 1 FROM views v
+                WHERE v.user_id = c.c_user_id
+                  AND c.cts >= v.vts
+                  AND c.cts <= v.vts + INTERVAL 1 HOUR
+            )
+            AND c.cts < mx.m - INTERVAL 2 HOUR
+        )
+        SELECT user_id, view_id, click_id FROM matched
+        UNION ALL
+        SELECT user_id, view_id, click_id FROM unmatched_views
+        UNION ALL
+        SELECT user_id, view_id, click_id FROM unmatched_clicks
+    """,
+)
+def q_stream_full_outer(spark, sf_dir):
+    """Stream-stream FULL OUTER join with watermark-gated null emission
+    on BOTH sides — completing the outer-join family beside
+    q_stream_join_outer: views that never converted AND clicks that
+    attach to no view (orphan conversions — bot traffic, lost
+    impressions) each surface exactly once when the watermark proves
+    no future partner can arrive.
+
+    The per-side horizons are asymmetric, which is the instructive
+    part: a view stays undecided until the global watermark passes
+    vts + 1h (a future click could still land inside its hour), but a
+    click's horizon is its own timestamp — any matching view has
+    vts <= cts, so the click is decided as soon as the watermark
+    passes cts. The oracle spells both rules (strict <, the proven
+    state-eviction comparison) under the same min-of-filtered-sides
+    global watermark q_stream_join_outer pinned down. On this fixture
+    the click stream ends hours early, so the slow click clock gates
+    BOTH sides' null emission — the multi-stream skew case.
+
+    100 TB: state identical to the inner join (watermark horizon x
+    per-user rate per side); both sides shuffle on user_id once.
+    """
+    s = events_stream(spark, sf_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", "2 hours")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND cts >= vts AND cts <= vts + INTERVAL 1 HOUR"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+        "view_id",
+        "click_id",
+    )
+    return run_to_memory(joined, output_mode="append")
