@@ -25,6 +25,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _events_parquet_files(sf_dir: str) -> list[str]:
+    """``events.parquet`` may be a single file (the shipped testdata)
+    or a Spark-written DIRECTORY of part files (e.g. the sf1 set from
+    tools/make_sf1.py) — return the concrete file list either way."""
+    import os
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    if os.path.isdir(path):
+        return sorted(
+            f"{path}/{f}" for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    return [path]
+
+
 def _events_ts_is_nanos(sf_dir: str) -> bool:
     """Probe the parquet footer (driver-side metadata only) for the
     physical type of ``events.ts``. The test data has shipped as either
@@ -33,7 +47,7 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     import pyarrow.parquet as pq
     import pyarrow as pa
 
-    t = pq.read_schema(f"{sf_dir.rstrip('/')}/events.parquet").field("ts").type
+    t = pq.read_schema(_events_parquet_files(sf_dir)[0]).field("ts").type
     return pa.types.is_timestamp(t) and t.unit == "ns"
 
 
@@ -77,12 +91,16 @@ def _stream_dir(sf_dir: str, n_splits: int = 1) -> str:
     key = (sf_dir, n_splits)
     if key not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="flink_rc_spark_events_")
+        files = _events_parquet_files(sf_dir)
         if n_splits <= 1:
-            os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+            # single-file AND directory-shaped events tables both
+            # become one symlink per concrete part file (zero copy)
+            for i, f in enumerate(files):
+                os.symlink(f, f"{d}/events-{i:04d}.parquet")
         else:
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(f"{sf_dir}/events.parquet")
+            tbl = pq.read_table(files if len(files) > 1 else files[0])
             tbl = tbl.sort_by([("ts", "ascending"), ("event_id", "ascending")])
             n = tbl.num_rows
             step = (n + n_splits - 1) // n_splits

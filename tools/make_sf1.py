@@ -103,7 +103,14 @@ def main() -> None:
         ),
     ).repartition(8).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
 
-    ev = load(spark, SRC, "events")
+    # ts must land as parquet TIMESTAMP(MICROS, adjustedToUTC=false) —
+    # the shipped testdata's µs generation — NOT Spark's default INT96,
+    # which the streaming replay's footer probe cannot classify. The
+    # loader normalized ts to session-TZ TimestampType; writing the NTZ
+    # cast of UTC wall time reproduces the canonical physical layout.
+    ev = load(spark, SRC, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
     _replicas(
         ev,
         lambda df, r: df.withColumn(
