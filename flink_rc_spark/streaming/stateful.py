@@ -581,3 +581,133 @@ def q_stream_topk(spark, sf_dir):
         .select("event_type", "rank", "event_id", "value")
         .orderBy("event_type", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_upsert — changelog materialization (Flink dynamic-table upserts)
+# ---------------------------------------------------------------------------
+
+UPSERT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("n_ops", T.LongType()),
+    ]
+)
+
+UPSERT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("eid", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("n_ops", T.LongType()),
+    ]
+)
+
+
+def _upsert_kernel(key, pdf_iter, state):
+    """Last-writer-wins by EVENT TIME (ts, then event_id): the state
+    carries only the newest entry's coordinates plus the applied-op
+    counter, so redelivered or re-sliced batches fold to the same
+    answer — event-time ordering, not arrival ordering, decides."""
+    import numpy as np
+
+    seq, bts, beid, bop, bcents, nops = (
+        state.get if state.exists else (0, -1, -1, "", 0, 0)
+    )
+    for pdf in pdf_iter:
+        raw = pdf["value"].to_numpy() * 100
+        cents = np.where(
+            raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+        ).astype(np.int64)
+        ts_us = pdf["ts_us"].to_numpy()
+        eids = pdf["event_id"].to_numpy()
+        ops = pdf["event_type"].to_numpy()
+        nops += len(pdf)
+        for i in range(len(pdf)):
+            if (int(ts_us[i]), int(eids[i])) > (bts, beid):
+                bts, beid = int(ts_us[i]), int(eids[i])
+                bop = "D" if ops[i] == "click" else "U"
+                bcents = int(cents[i])
+    seq += 1
+    state.update((seq, bts, beid, bop, bcents, nops))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "seq": [seq],
+            "last_event_id": [beid],
+            "op": [bop],
+            "last_value": [bcents / 100.0],
+            "n_ops": [nops],
+        }
+    )
+
+
+def stream_upsert(s):
+    slim = s.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        _upsert_kernel,
+        outputStructType=UPSERT_OUT_SCHEMA,
+        stateStructType=UPSERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "q_stream_upsert",
+    oracle="""
+        SELECT user_id, last_event_id, last_value, n_ops FROM (
+            SELECT user_id,
+                   event_id AS last_event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+                   CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1 AND op = 'U'
+        ORDER BY user_id
+    """,
+)
+def q_stream_upsert(spark, sf_dir):
+    """Streaming CHANGELOG MATERIALIZATION — Flink's dynamic-table
+    upsert stream (and the streaming twin of the batch q_cdc_apply):
+    every event is an upsert keyed by user_id, a 'click' is a DELETE
+    tombstone, and the state store maintains the newest entry per key
+    by EVENT time (ts, event_id — not arrival order, so redelivery and
+    re-slicing converge to the same table). Each micro-batch emits the
+    refreshed row per touched key tagged with a state sequence number
+    — the emitted stream IS the downstream changelog — and the final
+    materialized table (max seq per key, tombstoned keys dropped)
+    equals the batch last-writer-wins oracle exactly, value through
+    the integer-cents state like the other stateful kernels.
+
+    100 TB: state is one slim row per key in RocksDB; the emitted
+    changelog is what a sink (Paimon/Hudi/JDBC upsert) consumes —
+    this operator is how a streaming pipeline keeps a serving table
+    fresh without batch recomputes.
+    """
+    from pyspark.sql import Window
+
+    ensure_package_shipped(spark)
+    s = events_stream(spark, sf_dir)
+    out = run_to_memory(stream_upsert(s), output_mode="append")
+    w = F.max("seq").over(Window.partitionBy("user_id"))
+    return (
+        out.withColumn("mx", w)
+        .filter((F.col("seq") == F.col("mx")) & (F.col("op") == "U"))
+        .select("user_id", "last_event_id", "last_value", "n_ops")
+        .orderBy("user_id")
+    )

@@ -667,3 +667,51 @@ def test_stateful_counter_on_rocksdb_state_store(spark, sf_dir):
         else:
             spark.conf.unset(key)
     assert base.equals(rocks)
+
+
+def test_stream_upsert_slicing_invariant_and_tombstones(spark, sf_dir):
+    """q_stream_upsert's materialized table must be identical whether
+    the changelog arrives as ONE batch or as 6 event-time-ordered
+    micro-batches (state carries the last-writer across batches), and
+    keys whose newest event is a 'click' tombstone must be absent."""
+    from flink_rc_spark.registry import REGISTRY
+    from flink_rc_spark.sources.tables import load
+    from flink_rc_spark.streaming.replay import events_stream, run_to_memory
+    from flink_rc_spark.streaming.stateful import stream_upsert
+
+    single = REGISTRY["q_stream_upsert"].builder(spark, sf_dir)
+    a = single.toPandas()
+
+    from pyspark.sql import Window as W
+
+    s6 = events_stream(spark, sf_dir, n_splits=6)
+    out = run_to_memory(stream_upsert(s6), output_mode="append")
+    w = F.max("seq").over(W.partitionBy("user_id"))
+    b = (
+        out.withColumn("mx", w)
+        .filter((F.col("seq") == F.col("mx")) & (F.col("op") == "U"))
+        .select("user_id", "last_event_id", "last_value", "n_ops")
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert len(a) > 0 and a.equals(b), (len(a), len(b))
+
+    # tombstone check against the raw table: newest-op-is-click keys
+    # are exactly the missing ones
+    ev = load(spark, sf_dir, "events")
+    newest = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+        .collect()
+    )
+    dead = {r.user_id for r in newest if r.event_type == "click"}
+    alive = {r.user_id for r in newest if r.event_type != "click"}
+    got = set(a["user_id"])
+    assert got == alive and not (got & dead)
+    assert dead, "fixture produced no tombstoned keys — test vacuous"
