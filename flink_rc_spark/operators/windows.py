@@ -188,6 +188,17 @@ def q_win_ranking(spark, sf_dir):
     (deterministic across engines); rank/dense_rank order by a
     low-cardinality column so tie semantics are actually exercised
     (rank depends only on value equality → still deterministic).
+
+    Scale note (measured, BASELINE.md sf1 table: 2.46x @ 10x — the
+    round's worst headline ratio): PARTITION BY o_orderpriority has 5
+    distinct values, so parallelism caps at 5 regardless of cluster
+    width and per-partition sort work grows linearly — the inherent
+    cost of global ranking within huge partitions. At 100 TB you
+    don't run this plan: use the two-phase range-bucketed prefix
+    ranking q_win_salted demonstrates (bucket-local rank + tiny
+    offset join), or a top-k cut (q_topk_per_group) when only the
+    head matters. Kept as-is here because the key's contract is the
+    rank-function family semantics, not the skew workaround.
     """
     o = load(spark, sf_dir, "orders")
     w_unique = W.partitionBy("o_orderpriority").orderBy(

@@ -243,3 +243,47 @@ def test_udaf_surface_arrow_nodes(spark, sf_dir):
     plan = formatted_plan(_q("q_udaf_surface", spark, sf_dir))
     assert "ArrowAggregatePython" in plan, plan
     assert "ArrowWindowPython" in plan, plan
+
+
+def test_cdc_apply_single_shuffle(spark, sf_dir):
+    """q_cdc_apply promises ONE data shuffle (the agg's hash exchange
+    on the key; the trailing range exchange is the presentation
+    ORDER BY only), with map-side partial aggregation before it
+    (struct-max folds to SortAggregate — partial + final — since a
+    struct buffer isn't hash-aggregable), and only the 3 needed source
+    columns reach the scan."""
+    import re
+
+    df = _q("q_cdc_apply", spark, sf_dir)
+    plan = formatted_plan(df)
+    hash_ex = re.findall(r"Arguments: hashpartitioning", plan)
+    assert len(hash_ex) == 1, plan
+    # partial-then-final aggregation: two aggregate nodes straddling
+    # the hash exchange
+    aggs = set(re.findall(r"\((\d+)\) (?:Sort|Hash|ObjectHash)Aggregate", plan))
+    assert len(aggs) == 2, plan
+    assert_pruned_columns(
+        df, {"o_custkey", "o_orderkey", "o_totalprice"}, table_hint="orders"
+    )
+
+
+def test_dedup_substring_prunes_and_hash_joins(spark, sf_dir):
+    """q_dedup_substring: the documents scan prunes to (doc_id, text),
+    the shared-gram mark rides a hash equi-join on the md5 key (no
+    nested loop), and the span merge is a window — no pairwise doc
+    comparison anywhere."""
+    df = _q("q_dedup_substring", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert_pruned_columns(df, {"doc_id", "text"}, table_hint="doc")
+
+
+def test_ivf_pq_broadcasts_models(spark, sf_dir):
+    """q_ivf_pq_search: the coarse-centroid table and PQ codebook are
+    model-sized — every join against the vector table must be a
+    broadcast, never a shuffled join of the full vectors against an
+    8/128-row side."""
+    df = _q("q_ivf_pq_search", spark, sf_dir)
+    assert_broadcast_join(df)
