@@ -670,7 +670,17 @@ def q_bm25(spark, sf_dir):
     hit q_inverted_index's postings instead of scanning — that is the
     storage-side half; this is the scoring math, exact.)
     """
-    docs = load(spark, sf_dir, "documents")
+    scored = _bm25_scored(load(spark, sf_dir, "documents"))
+    return (
+        scored.orderBy(F.desc("_raw"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round("_raw", 4).alias("bm25"))
+    )
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, _raw) BM25 scores for the fixed query over docs with
+    at least one matching term — shared by q_bm25 and q_rank_fusion."""
     feat = docs.select(
         "doc_id",
         F.size(_toks()).alias("dl"),
@@ -717,9 +727,157 @@ def q_bm25(spark, sf_dir):
         feat.join(F.broadcast(stats))
         .filter(any_tf > 0)
         .select("doc_id", score.alias("_raw"))
-        .orderBy(F.desc("_raw"), "doc_id")
-        .limit(20)
-        .select("doc_id", F.round("_raw", 4).alias("bm25"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rank_fusion — reciprocal-rank fusion of lexical + semantic retrieval
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60       # the canonical RRF damping constant (Cormack et al.)
+_RRF_DEPTH = 50   # candidates taken from each ranker
+_RRF_TOPK = 20
+
+
+def _rrf_qdot_duck() -> str:
+    # md5-derived deterministic query vector (the hyperplane idiom:
+    # q[i] = hexval(md5('rrf_<i>')) - 7.5), sequential fold
+    return (
+        "list_reduce(list_transform(range(1, 65), i ->"
+        " (strpos('0123456789abcdef',"
+        " substr(md5('rrf_' || CAST(i AS VARCHAR)), 1, 1)) - 8.5)"
+        " * e[i]), (acc, x) -> acc + x)"
+    )
+
+
+def _rrf_qdot_spark() -> str:
+    import hashlib
+
+    terms = []
+    for i in range(1, 65):
+        w = int(hashlib.md5(f"rrf_{i}".encode()).hexdigest()[0], 16) - 7.5
+        terms.append(f"({w}) * element_at(e, {i})")
+    return " + ".join(terms)
+
+
+@register(
+    "q_rank_fusion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, len(t) AS dl,
+               {", ".join(f"len(list_filter(t, x -> x = '{w}')) AS tf_{w}"
+                          for w in _BM25_TERMS)}
+        FROM toks
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {", ".join(f"SUM(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) AS df_{w}"
+                          for w in _BM25_TERMS)}
+        FROM feat
+    ),
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY {" + ".join(_bm25_term_duck(w) for w in _BM25_TERMS)}
+                            DESC, doc_id) AS rl
+        FROM feat, stats
+        WHERE {" + ".join(f"tf_{w}" for w in _BM25_TERMS)} > 0
+        QUALIFY rl <= {_RRF_DEPTH}
+    ),
+    v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    sem AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_rrf_qdot_duck()}
+                            / sqrt(list_reduce(list_transform(e, x -> x*x),
+                                               (acc, x) -> acc + x))
+                            DESC, vec_id) AS rs
+        FROM v
+        QUALIFY rs <= {_RRF_DEPTH}
+    )
+    SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
+           CAST(l.rl AS BIGINT) AS rank_lex,
+           CAST(s.rs AS BIGINT) AS rank_sem,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + l.rl), 0)
+                 + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + s.rs), 0), 6)
+               AS rrf_score
+    FROM lex l FULL OUTER JOIN sem s ON s.vec_id = l.doc_id
+    ORDER BY COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + l.rl), 0)
+             + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + s.rs), 0) DESC,
+             COALESCE(l.doc_id, s.vec_id)
+    LIMIT {_RRF_TOPK}
+    """,
+    tags=("llm", "text", "retrieval"),
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al. 2009 — the standard
+    hybrid-retrieval combiner): the BM25 lexical ranking and an
+    embedding-cosine semantic ranking each contribute
+    1/(k + rank) for their top-{_RRF_DEPTH} candidates, summed per doc
+    (k = {_RRF_K}, the canonical damping), final top-{_RRF_TOPK} by
+    fused score. This is how production search fuses keyword and
+    vector retrieval without score calibration — ranks are
+    scale-free, so the two incomparable score spaces never meet.
+
+    Determinism: the semantic query vector is md5-derived (the
+    hyperplane idiom) and its dot folds sequentially; BM25 reuses
+    q_bm25's fixed-order expression; both rankings tiebreak on the id;
+    the fused score is a fixed two-term double expression (never an
+    aggregate over variable rows). Exact oracle end-to-end.
+
+    100 TB: each ranker's top-{_RRF_DEPTH} is a TakeOrdered (partial
+    per-partition top-k, no global sort of the corpus); the fusion
+    joins two {_RRF_DEPTH}-row lists — driver-trivial. The ranking
+    windows here are bounded by the candidate depth, not the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    wl = Window.orderBy(F.desc("_raw"), "doc_id")
+    lex = (
+        _bm25_scored(docs)
+        .withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= _RRF_DEPTH)
+        .select("doc_id", "rl")
+    )
+    from flink_rc_spark.sources.tables import load as _load
+
+    v = _load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    qcos = F.expr(_rrf_qdot_spark()) / F.expr(
+        "sqrt(aggregate(transform(e, x -> x*x), 0d, (acc, x) -> acc + x))"
+    )
+    ws = Window.orderBy(F.desc("_qc"), "vec_id")
+    sem = (
+        v.select("vec_id", qcos.alias("_qc"))
+        .withColumn("rs", F.row_number().over(ws))
+        .filter(F.col("rs") <= _RRF_DEPTH)
+        .select("vec_id", "rs")
+    )
+    fused = lex.join(sem, lex.doc_id == sem.vec_id, "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rl")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rs")), F.lit(0.0))
+    return (
+        fused.select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            F.col("rl").cast("bigint").alias("rank_lex"),
+            F.col("rs").cast("bigint").alias("rank_sem"),
+            rrf.alias("_rrf"),
+        )
+        .orderBy(F.desc("_rrf"), "doc_id")
+        .limit(_RRF_TOPK)
+        .select(
+            "doc_id", "rank_lex", "rank_sem", F.round("_rrf", 6).alias("rrf_score")
+        )
     )
 
 

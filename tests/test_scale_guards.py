@@ -49,6 +49,8 @@ NESTED_LOOP_ALLOWED = {
     #                  division
     "q_bm25",  # same shape as q_tfidf_topk: ONE broadcast corpus-stats
     #            row (n_docs/avgdl/df) riding onto every doc's features
+    "q_rank_fusion",  # reuses q_bm25's single-row corpus-stats
+    #                   broadcast for its lexical ranking
     "q_graph_triangles",  # combining the three single-row census
     #                       aggregates (edges/wedges/triangles)
     "q_sim_pq_topk",  # 10-query distance tables (10x128 cells) cross
