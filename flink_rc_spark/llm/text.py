@@ -839,11 +839,16 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows here are bounded by the candidate depth, not the corpus.
     """
     docs = load(spark, sf_dir, "documents")
+    # limit-first, THEN rank: orderBy().limit(k) plans as
+    # TakeOrderedAndProject (per-partition partial top-k, no global
+    # sort/single-partition window over the corpus); the row_number
+    # window then runs over only the k surviving rows
     wl = Window.orderBy(F.desc("_raw"), "doc_id")
     lex = (
         _bm25_scored(docs)
+        .orderBy(F.desc("_raw"), "doc_id")
+        .limit(_RRF_DEPTH)
         .withColumn("rl", F.row_number().over(wl))
-        .filter(F.col("rl") <= _RRF_DEPTH)
         .select("doc_id", "rl")
     )
     from flink_rc_spark.sources.tables import load as _load
@@ -858,8 +863,9 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = Window.orderBy(F.desc("_qc"), "vec_id")
     sem = (
         v.select("vec_id", qcos.alias("_qc"))
+        .orderBy(F.desc("_qc"), "vec_id")
+        .limit(_RRF_DEPTH)
         .withColumn("rs", F.row_number().over(ws))
-        .filter(F.col("rs") <= _RRF_DEPTH)
         .select("vec_id", "rs")
     )
     fused = lex.join(sem, lex.doc_id == sem.vec_id, "full_outer")
