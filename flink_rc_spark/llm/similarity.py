@@ -945,12 +945,15 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
     )
-    w_sample = Window.orderBy(
-        F.md5(F.concat(F.lit("ivf#"), F.col("vec_id").cast("string"))), "vec_id"
-    )
+    # limit-first: TakeOrdered pulls the _IVF_K md5-ranked sample rows
+    # (per-partition partial top-k); the cell-id ranking window then
+    # runs over only those K rows, never the full table
+    smp = F.md5(F.concat(F.lit("ivf#"), F.col("vec_id").cast("string")))
+    w_sample = Window.orderBy(smp, "vec_id")
     coarse = (
-        v.withColumn("rnk", F.row_number().over(w_sample))
-        .filter(F.col("rnk") <= _IVF_K)
+        v.orderBy(smp, "vec_id")
+        .limit(_IVF_K)
+        .withColumn("rnk", F.row_number().over(w_sample))
         .select((F.col("rnk") - 1).cast("int").alias("cell"), F.col("e").alias("ce"))
     )
     dist_to_cell = v.join(F.broadcast(coarse)).withColumn(

@@ -963,16 +963,10 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df = inc.groupBy("tok").agg(F.count("*").alias("df"))
-    vocab = (
-        df.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("df").desc(), F.col("tok").asc())
-            ),
-        )
-        .filter(F.col("rk") <= _PMI_VOCAB)
-        .drop("rk")
-    )
+    # limit-first: TakeOrdered extracts the top-|vocab| tokens with
+    # per-partition partial top-k — no single-partition global ranking
+    # window over the whole token-frequency table
+    vocab = df.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(_PMI_VOCAB)
     vinc = inc.join(F.broadcast(vocab), "tok")
     a = vinc.select(
         F.col("doc_id"), F.col("tok").alias("tok_a"), F.col("df").alias("df_a")
