@@ -553,3 +553,82 @@ def test_dedup_substring_span_union_on_constructed_docs(spark):
     assert (rows[2].n_tok, rows[2].dup_tokens, rows[2].n_spans) == (22, 18, 1)
     assert (rows[3].dup_tokens, rows[3].n_spans) == (0, 0)
     assert abs(rows[1].dup_fraction - round(18 / 21, 4)) < 1e-9
+
+
+@settings(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000))
+def test_dedup_substring_matches_bruteforce_property(spark, seed):
+    """Property: q_dedup_substring's distributed pipeline (gram
+    group-by + semi-join + gaps-and-islands union) equals a trivial
+    O(docs² · positions) Python reference on random corpora with
+    planted shared runs — doc counts, span counts, and dup-token
+    totals all exact. Exercises overlap merging, adjacency, docs
+    shorter than the gram width, and multi-doc sharing patterns the
+    hand-built case can't."""
+    import random
+
+    from unittest import mock
+
+    import flink_rc_spark.llm.dedup as D
+    from flink_rc_spark.llm.dedup import _SUB_N
+    from flink_rc_spark.registry import REGISTRY, load_all
+
+    load_all()
+    rng = random.Random(seed)
+    shared_runs = [
+        [f"s{r}_{i}" for i in range(rng.randint(_SUB_N, _SUB_N + 6))]
+        for r in range(3)
+    ]
+    docs = []
+    for d in range(6):
+        toks = []
+        n_segments = rng.randint(1, 4)
+        for _ in range(n_segments):
+            if rng.random() < 0.6:
+                toks += rng.choice(shared_runs)
+            toks += [f"u{d}_{rng.randint(0, 10**9)}" for _ in range(rng.randint(0, 6))]
+        if not toks:
+            toks = [f"u{d}_only"]
+        docs.append((d, " ".join(toks)))
+
+    # brute-force reference
+    def grams(toks):
+        return [
+            (p, tuple(toks[p : p + _SUB_N]))
+            for p in range(len(toks) - _SUB_N + 1)
+        ]
+
+    tok_lists = {d: t.split(" ") for d, t in docs}
+    owners: dict = {}
+    for d, toks in tok_lists.items():
+        for _, g in grams(toks):
+            owners.setdefault(g, set()).add(d)
+    expected = {}
+    for d, toks in tok_lists.items():
+        covered = set()
+        spans = []
+        for p, g in grams(toks):
+            if len(owners[g]) >= 2:
+                iv = (p + 1, p + _SUB_N)  # 1-based inclusive
+                covered.update(range(iv[0], iv[1] + 1))
+                spans.append(iv)
+        # count maximal islands over covered token positions
+        n_spans = 0
+        prev = None
+        for pos in sorted(covered):
+            if prev is None or pos > prev + 1:
+                n_spans += 1
+            prev = pos
+        expected[d] = (len(toks), len(covered), n_spans)
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    with mock.patch.object(D, "load", lambda s, dd, t: sdf):
+        got = {
+            r.doc_id: (r.n_tok, r.dup_tokens, r.n_spans)
+            for r in REGISTRY["q_dedup_substring"].builder(spark, "x").collect()
+        }
+    assert got == expected, (seed, got, expected)
