@@ -297,3 +297,99 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = with_audio_columns(docs).select("doc_id", "payload")
     flat = flat.repartition(spark.sparkContext.defaultParallelism)
     return flat.mapInPandas(_resample_batches, _RESAMPLE_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_source_binaryfile — file-per-object ingestion via the binaryFile source
+# ---------------------------------------------------------------------------
+
+_BINFILE_DOCS = 32  # doc_id < 32 => bounded, present at every SF
+
+_BINFILE_DIRS: dict[str, str] = {}
+
+
+def _binaryfile_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize one REAL .wav file per doc (doc_id < _BINFILE_DOCS)
+    into a cached temp dir — the on-disk stand-in for an object-store
+    bucket of media files. The bytes are the SAME deterministic
+    payloads with_audio_columns builds JVM-side, written by the
+    tested encoder, so the columnar path and the file path must agree
+    byte-for-byte."""
+    import os
+    import tempfile
+
+    key = sf_dir.rstrip("/")
+    if key not in _BINFILE_DIRS:
+        d = tempfile.mkdtemp(prefix="flink_rc_spark_binfiles_")
+        ids = [
+            r.doc_id
+            for r in load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _BINFILE_DOCS)
+            .select("doc_id")
+            .collect()  # bounded planning-time collect (<= 32 rows)
+        ]
+        for doc_id in ids:
+            samples = np.array(
+                [(doc_id * 7 + i * 13) % 256 for i in range(_N_SAMPLES)],
+                dtype=np.int16,
+            )
+            with open(os.path.join(d, f"audio_{doc_id:08d}.wav"), "wb") as f:
+                f.write(encode_wav(samples, _SR))
+        # a decoy non-wav file the glob filter must skip
+        with open(os.path.join(d, "README.txt"), "wb") as f:
+            f.write(b"not audio")
+        _BINFILE_DIRS[key] = d
+    return _BINFILE_DIRS[key]
+
+
+@register(
+    "q_source_binaryfile",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_WAV_SIZE} AS INT) AS n_bytes,
+           CAST({_SR} AS INT) AS sample_rate,
+           CAST({_N_SAMPLES} AS INT) AS n_samples,
+           CAST(list_sum({_SAMPLES_DUCK}) AS BIGINT) AS amp_sum,
+           CAST(list_max({_SAMPLES_DUCK}) AS INT) AS amp_max
+    FROM documents
+    WHERE doc_id < {_BINFILE_DOCS}
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "source"),
+)
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-PER-OBJECT multimodal ingestion — Spark's ``binaryFile``
+    source, the idiomatic way to read a bucket of media files at
+    scale: each row is (path, modificationTime, length, content), the
+    key is parsed from the path, a pathGlobFilter prunes non-media
+    files at LISTING time (a decoy README.txt is planted and must
+    never reach the kernel), and the content column feeds the same
+    RIFF decode kernel as the columnar path (q_audio_decode). The
+    oracle is the generating recurrence, so the hash proves
+    listing -> glob filter -> bytes -> path-key parse -> decode
+    end-to-end, and that file-shaped and column-shaped ingestion
+    agree exactly.
+
+    100 TB: binaryFile parallelizes over files (one task per file
+    group), pushes the glob into the listing, and never materializes
+    payloads on the driver; the usual pipeline is exactly this — read
+    files, decode/feature-extract per Arrow batch, write a NARROW
+    parquet table, after which everything downstream is columnar.
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    d = _binaryfile_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(d)
+        .select(
+            F.regexp_extract(F.col("path"), r"audio_(\d+)\.wav$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    files = files.repartition(spark.sparkContext.defaultParallelism)
+    return files.mapInPandas(_audio_batches, _AUDIO_SCHEMA).orderBy("doc_id")

@@ -220,3 +220,98 @@ def q_compaction_plan(spark, sf_dir):
         )
         .orderBy("source", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_source_xml — Spark 4 native XML source/sink round trip
+# ---------------------------------------------------------------------------
+
+_XML_DIRS: dict[str, str] = {}
+
+
+def _xml_dir(spark, sf_dir: str) -> str:
+    """Write the deterministic orders subset as XML files once per
+    (process, sf_dir) — the stand-in for an upstream system that
+    delivers XML feeds."""
+    import tempfile
+
+    key = sf_dir.rstrip("/")
+    if key not in _XML_DIRS:
+        d = tempfile.mkdtemp(prefix="flink_rc_spark_xml_")
+        (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 20 == 0)
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                # decimals survive XML's text representation exactly;
+                # raw doubles would round-trip through shortest-repr
+                # text and risk last-bit drift
+                F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+            )
+            .coalesce(4)
+            .write.format("xml")
+            .option("rootTag", "orders")
+            .option("rowTag", "order")
+            .mode("overwrite")
+            .save(f"{d}/orders_xml")
+        )
+        _XML_DIRS[key] = d
+    return _XML_DIRS[key]
+
+
+@register(
+    "q_source_xml",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderkey % 20 = 0
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("source", "xml"),
+)
+def q_source_xml(spark, sf_dir):
+    """XML SOURCE round trip — Spark 4's built-in XML data source
+    (spark-xml merged into core): a deterministic orders subset is
+    written as rowTag-per-record XML files, read back with an explicit
+    schema, and aggregated; the oracle computes the same aggregate
+    from the parquet original, so the hash proves serialize -> parse
+    -> type coercion end-to-end (prices ride DECIMAL(14,2) text, which
+    XML round-trips exactly — raw doubles would risk last-bit drift
+    through shortest-repr text).
+
+    100 TB: XML feeds are the classic enterprise ingestion edge; the
+    source splits by file and streams row tags, so the read costs one
+    pass — the pattern is parse once, land parquet, never re-touch
+    XML. The write here is the test fixture, not the claim.
+    """
+    from pyspark.sql import types as T
+
+    d = _xml_dir(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("price", T.DecimalType(14, 2)),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(schema)
+        .load(f"{d}/orders_xml")
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
