@@ -183,12 +183,13 @@ def main() -> None:
     print(compact_line)
     # Also persist next to the script: a truncated/corrupted stdout
     # capture (r2's BENCH artifact parsed as null) then still leaves a
-    # recoverable record of the run.
+    # recoverable record of the run. ONE JSON object only — the
+    # verbose record is a superset of the compact tail line, and a
+    # consumer doing json.load() on the file must not break.
     try:
         out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
         with open(out_path, "w") as f:
             f.write(line + "\n")
-            f.write(compact_line + "\n")
     except OSError:
         pass
     spark.stop()

@@ -305,22 +305,19 @@ def q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BINFILE_DOCS = 32  # doc_id < 32 => bounded, present at every SF
 
-_BINFILE_DIRS: dict[str, str] = {}
-
-
 def _binaryfile_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize one REAL .wav file per doc (doc_id < _BINFILE_DOCS)
     into a cached temp dir — the on-disk stand-in for an object-store
     bucket of media files. The bytes are the SAME deterministic
     payloads with_audio_columns builds JVM-side, written by the
     tested encoder, so the columnar path and the file path must agree
-    byte-for-byte."""
+    byte-for-byte. Cached per (process, sf_dir) with atexit cleanup
+    via cached_fixture_dir (no temp-dir leak in a long-lived driver)."""
     import os
-    import tempfile
 
-    key = sf_dir.rstrip("/")
-    if key not in _BINFILE_DIRS:
-        d = tempfile.mkdtemp(prefix="flink_rc_spark_binfiles_")
+    from flink_rc_spark.util import cached_fixture_dir
+
+    def build(d: str) -> None:
         ids = [
             r.doc_id
             for r in load(spark, sf_dir, "documents")
@@ -338,8 +335,8 @@ def _binaryfile_dir(spark: SparkSession, sf_dir: str) -> str:
         # a decoy non-wav file the glob filter must skip
         with open(os.path.join(d, "README.txt"), "wb") as f:
             f.write(b"not audio")
-        _BINFILE_DIRS[key] = d
-    return _BINFILE_DIRS[key]
+
+    return cached_fixture_dir("binfiles", sf_dir.rstrip("/"), build)
 
 
 @register(

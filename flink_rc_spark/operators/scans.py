@@ -226,18 +226,14 @@ def q_compaction_plan(spark, sf_dir):
 # q_source_xml — Spark 4 native XML source/sink round trip
 # ---------------------------------------------------------------------------
 
-_XML_DIRS: dict[str, str] = {}
-
-
 def _xml_dir(spark, sf_dir: str) -> str:
     """Write the deterministic orders subset as XML files once per
     (process, sf_dir) — the stand-in for an upstream system that
-    delivers XML feeds."""
-    import tempfile
+    delivers XML feeds. Cached with atexit cleanup via
+    cached_fixture_dir (no temp-dir leak in a long-lived driver)."""
+    from flink_rc_spark.util import cached_fixture_dir
 
-    key = sf_dir.rstrip("/")
-    if key not in _XML_DIRS:
-        d = tempfile.mkdtemp(prefix="flink_rc_spark_xml_")
+    def build(d: str) -> None:
         (
             load(spark, sf_dir, "orders")
             .filter(F.col("o_orderkey") % 20 == 0)
@@ -256,8 +252,8 @@ def _xml_dir(spark, sf_dir: str) -> str:
             .mode("overwrite")
             .save(f"{d}/orders_xml")
         )
-        _XML_DIRS[key] = d
-    return _XML_DIRS[key]
+
+    return cached_fixture_dir("xml", sf_dir.rstrip("/"), build)
 
 
 @register(

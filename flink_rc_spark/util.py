@@ -66,6 +66,48 @@ def scan_sorted_groups(
         out_buf.append(out)
     yield from flush_out()
 
+_FIXTURE_DIRS: dict[str, str] = {}
+_FIXTURE_LOCK = None  # created lazily to keep import cost zero
+_FIXTURE_ATEXIT = False
+
+
+def cached_fixture_dir(namespace: str, key: str, build: Callable[[str], None]) -> str:
+    """Thread-safe, process-lifetime cache of built fixture temp dirs.
+
+    ``build(dir)`` runs at most once per (namespace, key); the dir is
+    removed at interpreter exit (a long-lived driver must not leak one
+    mkdtemp per sf_dir). Builders that raise leave no cache entry, so
+    a retry rebuilds cleanly.
+    """
+    global _FIXTURE_LOCK, _FIXTURE_ATEXIT
+    import threading
+
+    if _FIXTURE_LOCK is None:
+        _FIXTURE_LOCK = threading.Lock()
+    cache_key = f"{namespace}::{key}"
+    with _FIXTURE_LOCK:
+        if cache_key in _FIXTURE_DIRS:
+            return _FIXTURE_DIRS[cache_key]
+        if not _FIXTURE_ATEXIT:
+            import atexit
+
+            def _cleanup():
+                for d in _FIXTURE_DIRS.values():
+                    shutil.rmtree(d, ignore_errors=True)
+                _FIXTURE_DIRS.clear()
+
+            atexit.register(_cleanup)
+            _FIXTURE_ATEXIT = True
+        d = tempfile.mkdtemp(prefix=f"flink_rc_spark_{namespace}_")
+        try:
+            build(d)
+        except BaseException:
+            shutil.rmtree(d, ignore_errors=True)
+            raise
+        _FIXTURE_DIRS[cache_key] = d
+        return d
+
+
 _SHIPPED: set[str] = set()
 
 

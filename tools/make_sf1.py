@@ -10,8 +10,9 @@ against it via SPARK_GRAFT_SF_DIR:
   (l_orderkey/o_orderkey += r * 1e9); o_custkey untouched so join
   hit-rates and per-customer fan-in are preserved; dates untouched so
   predicate selectivity is identical.
-- events: replicas get fresh event_ids and fresh user_ids
-  (+= r * 1e7) — more series, same per-series density, so windowed /
+- events: replicas get fresh event_ids (event_id += r * 1e9) and
+  fresh user_ids (user_id += r * 1e7) — more series, same
+  per-series density, so windowed /
   sessionized work scales with rows, not per-key skew.
 - documents: fresh doc_ids; the TEXT of replica r is rotated through
   a Caesar-shifted alphabet (translate(), length-preserving) so
