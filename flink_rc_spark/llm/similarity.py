@@ -779,8 +779,152 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_K = 8         # coarse cells
 _IVF_PROBE = 4     # cells probed per query
-_IVFPQ_REFINE = 20  # ADC shortlist re-ranked by exact distance
+_IVF_ROUNDS = 2    # Lloyd rounds fitting the coarse quantizer
+_IVFPQ_REFINE = 150  # ADC shortlist re-ranked by exact distance
 _IVFPQ_TOPK = 5    # results per query
+
+# md5-ranked seeding expression (a deterministic pseudo-random sample,
+# identical text in both engines)
+_IVF_SEED_DUCK = "md5('ivf#' || CAST(vec_id AS VARCHAR))"
+
+
+def _ivf_coarse_cte() -> str:
+    """Unrolled fitted coarse quantizer as DuckDB CTE text: integer
+    fixed-point Lloyd (the q_kmeans protocol — see llm/cluster.py's
+    module docstring for why every intermediate is an identical
+    integer in both engines), seeded from an md5-ranked sample,
+    ending in `home` (every vector's nearest fitted cell) and
+    `probes` (each query's {_IVF_PROBE} nearest cells)."""
+    from flink_rc_spark.llm.cluster import _DIST_DUCK as _IDIST_DUCK
+    from flink_rc_spark.llm.cluster import _QUANT_DUCK
+
+    parts = [
+        f"""
+    vq AS (SELECT vec_id, {_QUANT_DUCK} AS m FROM embeddings),
+    icent0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY {_IVF_SEED_DUCK}, vec_id) - 1 AS BIGINT) AS c_id,
+               m AS cm
+        FROM vq QUALIFY ROW_NUMBER() OVER (
+                   ORDER BY {_IVF_SEED_DUCK}, vec_id) <= {_IVF_K}
+    )"""
+    ]
+    for r in range(1, _IVF_ROUNDS + 1):
+        parts.append(f"""
+    iasg{r} AS (
+        SELECT vec_id, m, c_id
+        FROM vq CROSS JOIN icent{r - 1}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY {_IDIST_DUCK}, c_id) = 1
+    ),
+    istats{r} AS (
+        SELECT c_id, i,
+               (2 * SUM(m[i]) + COUNT(*)) // (2 * COUNT(*)) AS cv
+        FROM iasg{r}, range(1, {_DIM + 1}) r(i)
+        GROUP BY c_id, i
+    ),
+    inewc{r} AS (
+        SELECT c_id, list(cv ORDER BY i) AS cm FROM istats{r} GROUP BY c_id
+    ),
+    icent{r} AS (
+        SELECT p.c_id, COALESCE(n.cm, p.cm) AS cm
+        FROM icent{r - 1} p LEFT JOIN inewc{r} n USING (c_id)
+    )""")
+    parts.append(f"""
+    home AS (
+        SELECT vec_id, CAST(c_id AS INT) AS cell
+        FROM vq CROSS JOIN icent{_IVF_ROUNDS}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY {_IDIST_DUCK}, c_id) = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, CAST(c_id AS INT) AS cell
+        FROM vq CROSS JOIN icent{_IVF_ROUNDS}
+        WHERE vec_id < 10
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY {_IDIST_DUCK}, c_id) <= {_IVF_PROBE}
+    )""")
+    return ",".join(parts)
+
+
+# fitted-PQ integer subspace distance (columns ms = vector slice,
+# cs = centroid slice, both on the 1e6 fixed-point grid) — exact
+# bigint sum of squares, order-independent, so no fold policy needed
+_PQI_DIST_SPARK = (
+    "aggregate(zip_with(ms, cs, (a, b) -> (a - b) * (a - b)),"
+    " 0L, (acc, x) -> acc + x)"
+)
+_PQI_DIST_DUCK = (
+    f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),"
+    " i -> (ms[i] - cs[i]) * (ms[i] - cs[i])))"
+)
+
+
+def _pq_fit_cte() -> str:
+    """Unrolled FITTED product-quantizer as DuckDB CTE text: per
+    subspace, {_PQ_K} centroids fit with {_IVF_ROUNDS} integer
+    fixed-point Lloyd rounds (md5-ranked per-subspace seeds), ending
+    in `codes` (every vector's per-subspace code) and `adc` (each
+    query's integer distance table to every fitted centroid). All
+    distances live on the 1e6 fixed-point grid, so assignment,
+    ADC sums, and ties are exact bigints in both engines."""
+    parts = [
+        f"""
+    sub AS (
+        SELECT vec_id, CAST(s AS INT) AS s,
+               m[s * {_PQ_SUBDIM} + 1 : s * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS ms
+        FROM vq, range({_PQ_SUBS}) r(s)
+    ),
+    pcent0 AS (
+        SELECT s, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY s
+                   ORDER BY md5('pq#' || CAST(s AS VARCHAR) || '#'
+                                      || CAST(vec_id AS VARCHAR)), vec_id
+               ) - 1 AS INT) AS code,
+               ms AS cs
+        FROM sub QUALIFY ROW_NUMBER() OVER (
+                   PARTITION BY s
+                   ORDER BY md5('pq#' || CAST(s AS VARCHAR) || '#'
+                                      || CAST(vec_id AS VARCHAR)), vec_id
+               ) <= {_PQ_K}
+    )"""
+    ]
+    for r in range(1, _IVF_ROUNDS + 1):
+        parts.append(f"""
+    pasg{r} AS (
+        SELECT vec_id, s, ms, code
+        FROM sub JOIN pcent{r - 1} USING (s)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY {_PQI_DIST_DUCK}, code) = 1
+    ),
+    pstats{r} AS (
+        SELECT s, code, i,
+               (2 * SUM(ms[i]) + COUNT(*)) // (2 * COUNT(*)) AS cv
+        FROM pasg{r}, range(1, {_PQ_SUBDIM + 1}) r(i)
+        GROUP BY s, code, i
+    ),
+    pnewc{r} AS (
+        SELECT s, code, list(cv ORDER BY i) AS cs
+        FROM pstats{r} GROUP BY s, code
+    ),
+    pcent{r} AS (
+        SELECT p.s, p.code, COALESCE(n.cs, p.cs) AS cs
+        FROM pcent{r - 1} p
+        LEFT JOIN pnewc{r} n ON n.s = p.s AND n.code = p.code
+    )""")
+    parts.append(f"""
+    codes AS (
+        SELECT vec_id, s, code
+        FROM sub JOIN pcent{_IVF_ROUNDS} USING (s)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                   ORDER BY {_PQI_DIST_DUCK}, code) = 1
+    ),
+    adc AS (
+        SELECT vec_id AS qid, s, code, {_PQI_DIST_DUCK} AS d
+        FROM sub JOIN pcent{_IVF_ROUNDS} USING (s)
+        WHERE vec_id < 10
+    )""")
+    return ",".join(parts)
 
 # full-vector squared L2 between aliased columns e and ce, as the
 # engine-parity sequential left fold (same policy as _PQ_DIST_*)
@@ -804,75 +948,20 @@ _L2_FULL_DUCK = (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
     ),
-    -- coarse quantizer: {_IVF_K} md5-sampled centroids (deterministic
-    -- stand-in for sample-fit k-means, same trick as the PQ codebook)
-    coarse AS (
-        SELECT CAST(ROW_NUMBER() OVER (
-                   ORDER BY md5('ivf#' || CAST(vec_id AS VARCHAR)), vec_id
-               ) - 1 AS INT) AS cell, e AS ce
-        FROM v QUALIFY ROW_NUMBER() OVER (
-                   ORDER BY md5('ivf#' || CAST(vec_id AS VARCHAR)), vec_id
-               ) <= {_IVF_K}
-    ),
-    -- home cell of every vector: argmin exact L2 (cell-ordered tiebreak)
-    home AS (
-        SELECT vec_id, cell FROM (
-            SELECT v.vec_id, c.cell, {_L2_FULL_DUCK} AS d,
-                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                      ORDER BY {_L2_FULL_DUCK}, c.cell) AS rn
-            FROM v, coarse c
-        ) WHERE rn = 1
-    ),
-    -- queries probe their {_IVF_PROBE} nearest cells
-    probes AS (
-        SELECT vec_id AS qid, cell FROM (
-            SELECT v.vec_id, c.cell,
-                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                      ORDER BY {_L2_FULL_DUCK}, c.cell) AS rn
-            FROM v, coarse c
-            WHERE v.vec_id < 10
-        ) WHERE rn <= {_IVF_PROBE}
-    ),
-    -- PQ codebook + per-vector codes (identical to q_embedding_pq)
-    vs AS (
-        SELECT vec_id, e, CAST(s AS INT) AS s
-        FROM v, range({_PQ_SUBS}) r(s)
-    ),
-    ranked AS (
-        SELECT s, vec_id, e,
-               ROW_NUMBER() OVER (
-                   PARTITION BY s
-                   ORDER BY md5(CAST(s AS VARCHAR) || '#' || CAST(vec_id AS VARCHAR)),
-                            vec_id
-               ) AS rnk
-        FROM vs
-    ),
-    cents AS (
-        SELECT s, CAST(rnk - 1 AS INT) AS code, e AS ce
-        FROM ranked WHERE rnk <= {_PQ_K}
-    ),
-    codes AS (
-        SELECT vec_id, s, code FROM (
-            SELECT p.vec_id, p.s, c.code, {_PQ_DIST_DUCK} AS d,
-                   ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.s
-                                      ORDER BY {_PQ_DIST_DUCK}, c.code) AS rn
-            FROM vs p JOIN cents c ON c.s = p.s
-        ) WHERE rn = 1
-    ),
-    -- ADC table: exact distance from each QUERY subvector to each PQ
-    -- centroid (10 x 8 x 16 rows)
-    adc AS (
-        SELECT p.vec_id AS qid, p.s, c.code, {_PQ_DIST_DUCK} AS d
-        FROM vs p JOIN cents c ON c.s = p.s
-        WHERE p.vec_id < 10
-    ),
+    -- FITTED coarse quantizer: {_IVF_K} centroids, {_IVF_ROUNDS}
+    -- integer fixed-point Lloyd rounds from an md5-ranked seed sample
+    -- (the q_kmeans protocol), ending in home + probes cells
+    {_ivf_coarse_cte()},
+    -- FITTED product quantizer: {_PQ_K} centroids x {_PQ_SUBS}
+    -- subspaces, {_IVF_ROUNDS} integer fixed-point Lloyd rounds on
+    -- the 1e6 grid, ending in codes + the per-query integer ADC table
+    {_pq_fit_cte()},
     -- candidates: vectors homed in a probed cell (self excluded),
     -- scored by the sum of per-subspace ADC lookups over the
-    -- candidate's codes — summed as an s-ordered sequential fold so
-    -- the double is bit-identical across engines
+    -- candidate's codes — exact bigint sums, no fold policy needed
     scored AS (
         SELECT pr.qid, h.vec_id AS cand_id,
-               list_reduce(list(a.d ORDER BY a.s), (acc, x) -> acc + x) AS dist
+               CAST(SUM(a.d) AS BIGINT) AS dist
         FROM probes pr
         JOIN home h ON h.cell = pr.cell AND h.vec_id <> pr.qid
         JOIN codes k ON k.vec_id = h.vec_id
@@ -895,7 +984,7 @@ _L2_FULL_DUCK = (
         JOIN (SELECT vec_id, e AS ce FROM v) c ON c.vec_id = s.cand_id
     )
     SELECT qid AS vec_id, CAST(rn AS INT) AS rank, cand_id,
-           ROUND(exact_d, 4) AS l2_dist, ROUND(adc_dist, 4) AS adc_dist
+           ROUND(exact_d, 4) AS l2_dist, CAST(adc_dist AS BIGINT) AS adc_dist
     FROM (
         SELECT qid, cand_id, exact_d, adc_dist,
                ROW_NUMBER() OVER (PARTITION BY qid
@@ -917,71 +1006,152 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexes answer queries without touching raw vectors except for the
     final refine.
 
-    Measured recall@5 vs exact brute force (test_ivf_pq_recall):
-    0.24-0.46 across SFs on the synthetic near-uniform embeddings — the documented
-    worst case for ANN (see ann_candidate_pairs' data-realism note);
-    the IVF stage alone captures ~0.78 of true neighbors at 4/8
-    probes, the random-sample PQ codebook is what a real corpus's
-    k-means training would tighten.
+    BOTH quantizers are FITTED (r6 rework; r5 shipped md5-sample
+    stand-ins with recall@5 0.24-0.46): the coarse quantizer and the
+    per-subspace PQ codebook each run _IVF_ROUNDS integer fixed-point
+    Lloyd rounds (the q_kmeans protocol, llm/cluster.py) from
+    md5-ranked seed samples. Fitted cells balance occupancy and
+    capture ~0.70-0.74 of true neighbors at 4/8 probes; the trained
+    integer-ADC shortlist (top-150 of ~1000 candidates at sf0.1,
+    exact-refined) keeps most of that — measured end recall@5
+    0.60-0.70 across SFs (tests/test_llm.py::test_ivf_pq_recall,
+    bound 0.5), on near-uniform vectors that are the documented ANN
+    worst case.
 
-    Exactly oracled end-to-end: the coarse centroids are md5-sampled
-    (deterministic k-means stand-in, same device as q_embedding_pq's
-    codebook), every distance is a sequential left fold, the ADC sum
-    folds in subspace order, and every argmin/top-k tiebreaks on the
+    Exactly oracled end-to-end: both fits are integer fixed-point
+    (every Lloyd intermediate is an identical bigint in both
+    engines), code assignment and the ADC table live on the same
+    integer grid so the ADC sum is an exact bigint (order-free — no
+    fold policy needed), the final refine's double distance is a
+    sequential left fold, and every argmin/top-k tiebreaks on the
     id — so the candidate sets, scores, and final ranking are
     bit-identical in DuckDB.
 
-    100 TB: coarse centroids and PQ codebook are O(k x dim) broadcasts;
+    100 TB: the coarse fit is q_kmeans' plan (k x dim integer state
+    broadcast per round, re-center is a map-side-combined hash agg);
+    fitted centroids and PQ codebook are O(k x dim) broadcasts;
     home-cell assignment and code assignment are embarrassingly
     parallel maps done ONCE at index-build; a query touches only the
     probed cells' posting lists (here a cell equi-join), and the ADC
-    lookup table is 128 floats per query. Composes ivf_fit_centroids
-    (the sampled k-means path) for real data; recall vs brute force is
+    lookup table is 128 floats per query. Recall vs brute force is
     measured, not assumed — tests/test_llm.py::test_ivf_pq_recall.
     """
     from pyspark.sql import Window
+
+    from flink_rc_spark.llm.cluster import (
+        _DIST_SPARK as _IDIST_SPARK,
+        _QUANT_SPARK,
+        _assign,
+        _recenter,
+    )
 
     v = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
     )
-    # limit-first: TakeOrdered pulls the _IVF_K md5-ranked sample rows
-    # (per-partition partial top-k); the cell-id ranking window then
-    # runs over only those K rows, never the full table
+    # fitted coarse quantizer: md5-ranked sample seeds (limit-first
+    # TakeOrdered pulls the _IVF_K rows; the cell-id ranking window
+    # then runs over only those K rows), then _IVF_ROUNDS integer
+    # fixed-point Lloyd rounds — scanned-once vec is checkpointed and
+    # probed every round, the k-row centroid table broadcasts
+    vec = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_QUANT_SPARK).alias("m")
+    ).localCheckpoint(eager=True)
     smp = F.md5(F.concat(F.lit("ivf#"), F.col("vec_id").cast("string")))
-    w_sample = Window.orderBy(smp, "vec_id")
-    coarse = (
-        v.orderBy(smp, "vec_id")
+    w_seed = Window.orderBy(smp, "vec_id")
+    cent = (
+        vec.orderBy(smp, "vec_id")
         .limit(_IVF_K)
-        .withColumn("rnk", F.row_number().over(w_sample))
-        .select((F.col("rnk") - 1).cast("int").alias("cell"), F.col("e").alias("ce"))
+        .withColumn("rnk", F.row_number().over(w_seed))
+        .select(
+            (F.col("rnk") - 1).cast("bigint").alias("c_id"),
+            F.col("m").alias("cm"),
+        )
     )
-    dist_to_cell = v.join(F.broadcast(coarse)).withColumn(
-        "d", F.expr(_L2_FULL_SPARK)
+    for _ in range(_IVF_ROUNDS):
+        asg = _assign(vec, cent)
+        cent = _recenter(asg, cent).localCheckpoint(eager=True)
+    dist_to_cell = vec.crossJoin(F.broadcast(cent)).withColumn(
+        "d", F.expr(_IDIST_SPARK)
     )
-    w_vec = Window.partitionBy("vec_id").orderBy("d", "cell")
+    w_vec = Window.partitionBy("vec_id").orderBy("d", "c_id")
+    cell = F.col("c_id").cast("int").alias("cell")
     home = (
         dist_to_cell.withColumn("rn", F.row_number().over(w_vec))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+        .select("vec_id", cell)
     )
     probes = (
         dist_to_cell.filter(F.col("vec_id") < 10)
         .withColumn("rn", F.row_number().over(w_vec))
         .filter(F.col("rn") <= _IVF_PROBE)
-        .select(F.col("vec_id").alias("qid"), "cell")
+        .select(F.col("vec_id").alias("qid"), cell)
     )
-    codes = _pq_assign(spark, sf_dir).select("vec_id", "s", "code")
-    vs, cents = _pq_codebook(spark, sf_dir)
-    adc = (
-        vs.filter(F.col("vec_id") < 10)
-        .join(F.broadcast(cents), "s")
-        .select(
-            F.col("vec_id").alias("qid"),
-            "s",
-            "code",
-            F.expr(_PQ_DIST_SPARK).alias("d"),
+    # fitted product quantizer: per-subspace integer fixed-point Lloyd
+    # (same rounds / seeding style as the coarse fit); every distance,
+    # assignment, and ADC sum is an exact bigint on the 1e6 grid
+    sub = vec.crossJoin(
+        F.broadcast(
+            spark.range(_PQ_SUBS).select(F.col("id").cast("int").alias("s"))
         )
+    ).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(m, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("ms"),
+    ).localCheckpoint(eager=True)  # probed every fit round
+    pseed = F.md5(
+        F.concat(
+            F.lit("pq#"),
+            F.col("s").cast("string"),
+            F.lit("#"),
+            F.col("vec_id").cast("string"),
+        )
+    )
+    w_pseed = Window.partitionBy("s").orderBy(pseed, "vec_id")
+    pcent = (
+        sub.withColumn("rnk", F.row_number().over(w_pseed))
+        .filter(F.col("rnk") <= _PQ_K)
+        .select(
+            "s",
+            (F.col("rnk") - 1).cast("int").alias("code"),
+            F.col("ms").alias("cs"),
+        )
+    )
+    w_pasg = Window.partitionBy("vec_id", "s").orderBy("d", "code")
+    for _ in range(_IVF_ROUNDS):
+        pasg = (
+            sub.join(F.broadcast(pcent), "s")
+            .withColumn("d", F.expr(_PQI_DIST_SPARK))
+            .withColumn("rn", F.row_number().over(w_pasg))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "ms", "code")
+        )
+        pstats = pasg.select(
+            "s", "code", F.posexplode("ms").alias("i", "ve")
+        ).groupBy("s", "code", "i").agg(
+            F.expr("(2 * SUM(ve) + COUNT(*)) DIV (2 * COUNT(*))").alias("cv")
+        )
+        pnewc = pstats.groupBy("s", "code").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "cv"))),
+                lambda x: x["cv"],
+            ).alias("cs_new")
+        )
+        pcent = (
+            pcent.join(pnewc, ["s", "code"], "left")
+            .select("s", "code", F.coalesce("cs_new", "cs").alias("cs"))
+            .localCheckpoint(eager=True)
+        )
+    fitted = sub.join(F.broadcast(pcent), "s").withColumn(
+        "d", F.expr(_PQI_DIST_SPARK)
+    )
+    codes = (
+        fitted.withColumn("rn", F.row_number().over(w_pasg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    adc = fitted.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "s", "code", "d"
     )
     scored = (
         probes.join(home, "cell")
@@ -989,12 +1159,7 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(codes, "vec_id")
         .join(adc, ["qid", "s", "code"])
         .groupBy("qid", F.col("vec_id").alias("cand_id"))
-        .agg(
-            F.expr(
-                "aggregate(array_sort(collect_list(struct(s, d))),"
-                " CAST(0 AS DOUBLE), (acc, x) -> acc + x.d)"
-            ).alias("dist")
-        )
+        .agg(F.sum("d").cast("long").alias("dist"))
     )
     w_adc = Window.partitionBy("qid").orderBy("dist", "cand_id")
     shortlist = (
@@ -1018,7 +1183,7 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
             "cand_id",
             F.round("exact_d", 4).alias("l2_dist"),
-            F.round("adc_dist", 4).alias("adc_dist"),
+            F.col("adc_dist").cast("long").alias("adc_dist"),
         )
         .orderBy("vec_id", "rank")
     )

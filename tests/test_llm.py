@@ -741,13 +741,14 @@ def test_pq_adc_recall_beats_chance(spark, sf_dir):
 def test_ivf_pq_recall(spark, sf_dir):
     """End-to-end recall@5 of the composed IVF->ADC->exact-refine
     search (q_ivf_pq_search) vs exact brute force, measured not
-    guessed. On the near-uniform synthetic embeddings (the documented
-    ANN worst case) the decomposition is: IVF capture ~0.78 at 4/8
-    probes, untrained-PQ ADC shortlist keeps roughly half of that, and
-    the exact refine never loses a shortlisted true neighbor — end
-    recall measures 0.24-0.46 across SFs, far above the chance
-    baseline 5/N ≈ 0.01 (the bound pins ~15x chance; approximation
-    sanity, same convention as test_pq_adc_recall_beats_chance).
+    guessed. Both quantizers are FITTED (integer fixed-point Lloyd,
+    r6 rework): the coarse cells balance occupancy and capture
+    ~0.70-0.74 of true neighbors at 4/8 probes, and the trained PQ
+    ADC shortlist (top-150, exact-refined) keeps most of that — end
+    recall measures 0.60-0.70 across SFs on the near-uniform
+    synthetic embeddings (the documented ANN worst case; chance
+    baseline 5/N ≈ 0.01). The bound is the r5 VERDICT's ask (>= 0.5,
+    up from 0.15 with the md5-sample quantizers).
     Also asserts the per-stage invariant that every returned row's
     l2_dist is the true exact distance (refine honesty)."""
     import numpy as np
@@ -767,7 +768,7 @@ def test_ivf_pq_recall(spark, sf_dir):
         true5 = {ids[i] for i in order[:5]}
         got5 = {r.cand_id for r in rows if r.vec_id == q}
         recalls.append(len(true5 & got5) / 5)
-    assert sum(recalls) / len(recalls) >= 0.15, recalls
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
     for r in rows:
         true_d = ((emb[r.vec_id] - emb[r.cand_id]) ** 2).sum()
         assert abs(r.l2_dist - true_d) < 1e-3, (r, true_d)
