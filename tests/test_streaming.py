@@ -214,7 +214,7 @@ def _chaos_chunks(sf_dir, n_chunks=6):
 
     tbl = pq.read_table(
         f"{sf_dir.rstrip('/')}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type"],
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
     tbl = tbl.set_column(
         tbl.schema.get_field_index("ts"),
@@ -368,6 +368,269 @@ def test_stream_join_outer_chaos_duplicated_batch(spark, sf_dir, tmp_path):
     assert not (matched_views & null_views), (
         "redelivery made a view both matched and null-padded: "
         f"{list(matched_views & null_views)[:5]}"
+    )
+
+
+def _chaos_write(tmp_path, name, chunks):
+    """One parquet file per micro-batch, mtime = arrival order."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        path = f"{d}/part-{i:04d}.parquet"
+        pq.write_table(chunk, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return d
+
+
+_CHAOS_BASE_FIELDS = [
+    ("event_id", "long"),
+    ("ts", "timestamp_ntz"),
+    ("user_id", "long"),
+    ("event_type", "string"),
+]
+
+
+def _chaos_stream(spark, d, with_value=False):
+    from pyspark.sql import types as T
+
+    names = {"long": T.LongType(), "timestamp_ntz": T.TimestampNTZType(),
+             "string": T.StringType()}
+    fields = [T.StructField(n, names[t]) for n, t in _CHAOS_BASE_FIELDS]
+    if with_value:
+        fields.append(T.StructField("value", T.DoubleType()))
+    return (
+        spark.readStream.schema(T.StructType(fields))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _chaos_full_outer_replay(spark, tmp_path, name, chunks):
+    """The q_stream_full_outer pipeline (both-side null emission) over
+    an arbitrary chunk delivery schedule."""
+    from flink_rc_spark.streaming.replay import run_to_memory
+
+    s = _chaos_stream(spark, _chaos_write(tmp_path, name, chunks))
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts"))
+        .withWatermark("vts", "2 hours")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        F.expr("user_id = c_user_id AND cts >= vts AND cts <= vts + INTERVAL 1 HOUR"),
+        "fullOuter",
+    ).select(
+        F.coalesce("user_id", "c_user_id").alias("user_id"), "view_id", "click_id"
+    )
+    stats: dict = {}
+    out = run_to_memory(joined, output_mode="append", stats=stats)
+    return out, stats
+
+
+def _chaos_full_outer_expected(spark, chunks):
+    """q_stream_full_outer's both-side decidability rule (view horizon
+    vts + 1h, click horizon its own cts, strict <, min-of-sides
+    watermark) over exactly the delivered rows."""
+    import pyarrow as pa
+
+    rows = spark.createDataFrame(
+        pa.concat_tables(chunks).to_pandas()
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    views = rows.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    clicks = rows.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    wm = min(views.agg(F.max("vts")).first()[0], clicks.agg(F.max("cts")).first()[0])
+    cond = F.expr(
+        "user_id = c_user_id AND cts >= vts AND cts <= vts + INTERVAL 1 HOUR"
+    )
+    matched = views.join(clicks, cond).select("user_id", "view_id", "click_id")
+    un_views = (
+        views.join(clicks, cond, "left_anti")
+        .filter(
+            F.col("vts") + F.expr("INTERVAL 1 HOUR")
+            < F.lit(wm) - F.expr("INTERVAL 2 HOURS")
+        )
+        .select("user_id", "view_id", F.lit(None).cast("long").alias("click_id"))
+    )
+    un_clicks = (
+        clicks.join(views, cond, "left_anti")
+        .filter(F.col("cts") < F.lit(wm) - F.expr("INTERVAL 2 HOURS"))
+        .select(
+            F.col("c_user_id").alias("user_id"),
+            F.lit(None).cast("long").alias("view_id"),
+            "click_id",
+        )
+    )
+    return matched.unionByName(un_views).unionByName(un_clicks)
+
+
+def test_stream_full_outer_chaos_dropped_batch(spark, sf_dir, tmp_path):
+    """CHAOS: a micro-batch vanishes mid-replay of the FULL outer
+    join. Both null-emission rules (view horizon vts + 1h, click
+    horizon cts) must re-derive from the rows actually seen — the
+    output must equal the oracle rule over the surviving rows, not
+    the full table's."""
+    chunks = _chaos_chunks(sf_dir)
+    survived = chunks[:4] + chunks[5:]
+    out, stats = _chaos_full_outer_replay(spark, tmp_path, "fo_dropped", survived)
+    assert stats["num_batches"] >= len(survived), stats
+    got = _rowset(out)
+    want = _rowset(_chaos_full_outer_expected(spark, survived))
+    assert len(got) > 0
+    assert got == want, (
+        f"dropped-batch full-outer replay diverged: {len(got)} vs {len(want)}, "
+        f"missing={list(want - got)[:5]}, extra={list(got - want)[:5]}"
+    )
+    full = _rowset(_chaos_full_outer_expected(spark, chunks))
+    assert got != full, "dropped batch did not perturb the result"
+
+
+def test_stream_full_outer_chaos_duplicated_batch(spark, sf_dir, tmp_path):
+    """CHAOS: at-least-once redelivery into the FULL outer join. The
+    DISTINCT result must equal the clean replay's, and no row may be
+    both matched and null-padded on EITHER side (views matched+null or
+    clicks matched+null) — eviction decisions stable under redelivery
+    on both state stores."""
+    chunks = _chaos_chunks(sf_dir)
+    doubled = chunks[:5] + [chunks[4]] + chunks[5:]
+    out, stats = _chaos_full_outer_replay(spark, tmp_path, "fo_duplicated", doubled)
+    assert stats["num_batches"] >= len(doubled), stats
+    got = _rowset(out)
+    want = _rowset(_chaos_full_outer_expected(spark, chunks))
+    assert len(got) > 0
+    assert got == want, (
+        f"duplicated-batch full-outer replay diverged: {len(got)} vs {len(want)}, "
+        f"missing={list(want - got)[:5]}, extra={list(got - want)[:5]}"
+    )
+    matched_views = {(u, v) for (u, v, c) in got if v is not None and c is not None}
+    null_views = {(u, v) for (u, v, c) in got if v is not None and c is None}
+    assert not (matched_views & null_views)
+    matched_clicks = {(u, c) for (u, v, c) in got if c is not None and v is not None}
+    null_clicks = {(u, c) for (u, v, c) in got if c is not None and v is None}
+    assert not (matched_clicks & null_clicks), (
+        "redelivery made a click both matched and orphan: "
+        f"{list(matched_clicks & null_clicks)[:5]}"
+    )
+
+
+def _chaos_upsert_replay(spark, tmp_path, name, chunks):
+    """The q_stream_upsert pipeline (changelog materialization) over
+    an arbitrary delivery schedule; returns the final table."""
+    from pyspark.sql import Window as W
+
+    from flink_rc_spark.streaming.replay import run_to_memory
+    from flink_rc_spark.streaming.stateful import stream_upsert
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    s = _chaos_stream(spark, _chaos_write(tmp_path, name, chunks), with_value=True)
+    stats: dict = {}
+    out = run_to_memory(stream_upsert(s), output_mode="append", stats=stats)
+    w = F.max("seq").over(W.partitionBy("user_id"))
+    final = (
+        out.withColumn("mx", w)
+        .filter((F.col("seq") == F.col("mx")) & (F.col("op") == "U"))
+        .select("user_id", "last_event_id", "last_value", "n_ops")
+    )
+    return final, stats
+
+
+def _chaos_upsert_expected(spark, chunks):
+    """Batch last-writer-wins over the delivered MULTISET: duplicates
+    count toward n_ops (the kernel counts every applied op), while the
+    newest (ts, event_id) coordinates are multiset-max == set-max —
+    which is exactly the redelivery-invariance being tested."""
+    import pyarrow as pa
+
+    from pyspark.sql import Window as W
+
+    rows = spark.createDataFrame(
+        pa.concat_tables(chunks).to_pandas()
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    w_new = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        rows.withColumn("rn", F.row_number().over(w_new))
+        .withColumn("n_ops", F.count("*").over(W.partitionBy("user_id")))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "click"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").cast("decimal(18,2)").cast("double").alias("last_value"),
+            F.col("n_ops").cast("long").alias("n_ops"),
+        )
+    )
+
+
+def _upsert_rowset(df):
+    return {(r.user_id, r.last_event_id, r.last_value, r.n_ops) for r in df.collect()}
+
+
+def test_stream_upsert_chaos_dropped_batch(spark, sf_dir, tmp_path):
+    """CHAOS: a micro-batch of the changelog vanishes. The
+    materialized table must equal batch last-writer-wins over the
+    SURVIVING rows (state decides by event time among what it saw),
+    and the drop must genuinely perturb the full-replay answer."""
+    chunks = _chaos_chunks(sf_dir)
+    survived = chunks[:4] + chunks[5:]
+    final, stats = _chaos_upsert_replay(spark, tmp_path, "up_dropped", survived)
+    assert stats["num_batches"] >= len(survived), stats
+    got = _upsert_rowset(final)
+    want = _upsert_rowset(_chaos_upsert_expected(spark, survived))
+    assert len(got) > 0
+    assert got == want, (
+        f"dropped-batch upsert diverged: missing={list(want - got)[:5]}, "
+        f"extra={list(got - want)[:5]}"
+    )
+    full = _upsert_rowset(_chaos_upsert_expected(spark, chunks))
+    assert got != full, "dropped batch did not perturb the result"
+
+
+def test_stream_upsert_chaos_duplicated_batch(spark, sf_dir, tmp_path):
+    """CHAOS: at-least-once redelivery of a changelog batch. The
+    materialized VALUES (user_id, last_event_id, last_value) must be
+    IDENTICAL to the clean replay's — event-time last-writer-wins is
+    idempotent under redelivery — while n_ops (an applied-op lineage
+    counter, not a value) counts the redelivered rows, matching the
+    multiset oracle exactly."""
+    chunks = _chaos_chunks(sf_dir)
+    doubled = chunks[:5] + [chunks[4]] + chunks[5:]
+    final, stats = _chaos_upsert_replay(spark, tmp_path, "up_duplicated", doubled)
+    assert stats["num_batches"] >= len(doubled), stats
+    got = _upsert_rowset(final)
+    want = _upsert_rowset(_chaos_upsert_expected(spark, doubled))
+    assert len(got) > 0
+    assert got == want, (
+        f"duplicated-batch upsert diverged vs multiset oracle: "
+        f"missing={list(want - got)[:5]}, extra={list(got - want)[:5]}"
+    )
+    values = {(u, e, v) for (u, e, v, n) in got}
+    base = {
+        (u, e, v)
+        for (u, e, v, n) in _upsert_rowset(_chaos_upsert_expected(spark, chunks))
+    }
+    assert values == base, (
+        "redelivery changed materialized values: "
+        f"missing={list(base - values)[:5]}, extra={list(values - base)[:5]}"
     )
 
 
