@@ -64,9 +64,11 @@ _DIST_DUCK = (
 )
 
 
-def _duck_oracle() -> str:
-    """Unrolled 3-round Lloyd in DuckDB SQL (generated, not hand-kept:
-    the round body is identical text per round)."""
+def kmeans_cte() -> str:
+    """Unrolled 3-round Lloyd as DuckDB CTE text (generated, not
+    hand-kept: the round body is identical text per round). Ends with
+    `assign{ROUNDS}` = (vec_id, m, c_id, dist) — the final cluster
+    assignment. Shared by q_kmeans' oracle and the SemDeDup key."""
     parts = [
         f"""
     vec AS (SELECT vec_id, {_QUANT_DUCK} AS m FROM embeddings),
@@ -100,15 +102,18 @@ def _duck_oracle() -> str:
         SELECT p.c_id, COALESCE(n.cm, p.cm) AS cm
         FROM cent{r - 1} p LEFT JOIN newc{r} n USING (c_id)
     )""")
-    parts.append(f"""
+    return ",".join(parts)
+
+
+def _duck_oracle() -> str:
+    return f"""WITH {kmeans_cte()}
     SELECT c_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            MIN(vec_id) AS min_vec_id,
            CAST(SUM(dist) AS BIGINT) AS total_dist
     FROM assign{ROUNDS}
     GROUP BY c_id
-    ORDER BY c_id""")
-    return "WITH " + ",".join(parts[:-1]) + parts[-1]
+    ORDER BY c_id"""
 
 
 def _assign(vec: DataFrame, cent: DataFrame) -> DataFrame:
@@ -146,19 +151,10 @@ def _recenter(assign: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q_kmeans",
-    oracle=_duck_oracle(),
-    tags=("llm", "ml", "iterative", "agg"),
-)
-def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means (k=8, 3 Lloyd rounds, deterministic
-    lowest-vec_id seeding) over the embeddings table, INTEGER
-    FIXED-POINT so every round hash-matches the unrolled SQL oracle:
-    per-cluster member count, smallest member id, and the exact total
-    within-cluster squared distance. See the module docstring for the
-    quantization protocol and the 100 TB plan shape.
-    """
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final Lloyd assignment (vec_id, m, c_id, dist) — the Spark
+    twin of kmeans_cte()'s assign{ROUNDS}. Shared by q_kmeans and the
+    SemDeDup key (llm/dedup.py q_dedup_semdedup)."""
     emb = load(spark, sf_dir, "embeddings")
     vec = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("m")).localCheckpoint(
         eager=True
@@ -177,8 +173,24 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign = _assign(vec, cent)
         if r < ROUNDS:
             cent = _recenter(assign, cent).localCheckpoint(eager=True)
+    return assign
+
+
+@register(
+    "q_kmeans",
+    oracle=_duck_oracle(),
+    tags=("llm", "ml", "iterative", "agg"),
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=8, 3 Lloyd rounds, deterministic
+    lowest-vec_id seeding) over the embeddings table, INTEGER
+    FIXED-POINT so every round hash-matches the unrolled SQL oracle:
+    per-cluster member count, smallest member id, and the exact total
+    within-cluster squared distance. See the module docstring for the
+    quantization protocol and the 100 TB plan shape.
+    """
     return (
-        assign.groupBy("c_id")
+        kmeans_assign(spark, sf_dir).groupBy("c_id")
         .agg(
             F.count("*").cast("bigint").alias("n_members"),
             F.min("vec_id").alias("min_vec_id"),

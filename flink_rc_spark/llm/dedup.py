@@ -1145,3 +1145,136 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_semdedup — SemDeDup: cluster-scoped semantic deduplication
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    from flink_rc_spark.llm.cluster import ROUNDS, kmeans_cte
+
+    dot = (
+        "list_reduce(list_transform(range(1, 65), i -> a.e[i] * b.e[i]),"
+        " (acc, x) -> acc + x)"
+    )
+    return f"""
+    WITH {kmeans_cte()},
+    v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    nv AS (SELECT vec_id, e,
+                  sqrt(list_reduce(list_transform(e, x -> x*x),
+                       (acc, x) -> acc + x)) AS nrm
+           FROM v),
+    mem AS (SELECT asg.vec_id, asg.c_id, n.e, n.nrm
+            FROM assign{ROUNDS} asg JOIN nv n USING (vec_id)),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {dot} / (a.nrm * b.nrm) AS cosv
+        FROM mem a JOIN mem b
+          ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+    ),
+    nbr AS (
+        SELECT vec_b AS vec_id, vec_a AS dup_of, cosv,
+               ROW_NUMBER() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rn
+        FROM pairs WHERE cosv >= {_SEMDEDUP_TAU}
+    )
+    SELECT m.vec_id, m.c_id,
+           CAST(CASE WHEN n.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+           n.dup_of,
+           ROUND(n.cosv, 4) AS sim
+    FROM mem m LEFT JOIN (SELECT * FROM nbr WHERE rn = 1) n USING (vec_id)
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "q_dedup_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("llm", "dedup", "ml", "iterative"),
+)
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication made tractable by CLUSTER SCOPING — k-means the
+    embeddings (the fixed-point Lloyd of q_kmeans, llm/cluster.py,
+    shared via kmeans_assign/kmeans_cte so the whole composition
+    stays hash-exact), then compare pairs ONLY within a cluster and
+    drop every vector that has a smaller-id in-cluster neighbor with
+    cosine >= tau; one row per vector reports its cluster, keep flag,
+    and (for dropped rows) the smallest-id duplicate it collapsed
+    into with that pair's exact cosine.
+
+    The published method's exact shape: pairwise similarity is
+    O(sum_c |c|^2) instead of O(n^2) — the clustering IS the blocking
+    stage, and the canonical-selection rule (keep the lowest id; the
+    paper keeps a per-group representative, id-min is the
+    deterministic choice) runs as one window over in-cluster pairs.
+
+    100 TB: the Lloyd fit is q_kmeans' plan (k x dim integer state
+    broadcast per round); the pair stage is an equi-join on c_id —
+    one shuffle, per-task work bounded by the largest cluster, and in
+    production k scales with n (SemDeDup used 50k clusters for LAION)
+    to keep |c| ~ n/k flat. Cosines are sequential-fold doubles (the
+    repo's cross-engine float policy), so the DuckDB oracle matches
+    hash-exactly despite 3 Lloyd rounds + a float threshold.
+    """
+    from flink_rc_spark.llm.cluster import kmeans_assign
+
+    asg = kmeans_assign(spark, sf_dir).select("vec_id", "c_id")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    nv = emb.withColumn(
+        "nrm",
+        F.expr("sqrt(aggregate(transform(e, x -> x*x), 0d, (acc, x) -> acc + x))"),
+    )
+    mem = asg.join(nv, "vec_id")
+    a = mem.select(
+        F.col("vec_id").alias("vec_a"),
+        "c_id",
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = mem.select(
+        F.col("vec_id").alias("vec_b"),
+        "c_id",
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+    )
+    cosv = dot / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, "c_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosv.alias("cosv"))
+    )
+    w_nbr = Window.partitionBy("vec_b").orderBy("vec_a")
+    nbr = (
+        pairs.filter(F.col("cosv") >= _SEMDEDUP_TAU)
+        .withColumn("rn", F.row_number().over(w_nbr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("dup_of"),
+            "cosv",
+        )
+    )
+    return (
+        mem.select("vec_id", "c_id")
+        .join(nbr, "vec_id", "left")
+        .select(
+            "vec_id",
+            "c_id",
+            F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+            "dup_of",
+            F.round("cosv", 4).alias("sim"),
+        )
+        .orderBy("vec_id")
+    )

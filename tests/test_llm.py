@@ -794,3 +794,47 @@ def test_arrow_surface_kernel_distinguishes_multibyte(spark):
     assert rows[1].n_codepoints == 11 and rows[1].is_ascii
     assert rows[2].n_codepoints == 10 and not rows[2].is_ascii  # ï, é
     assert rows[3].n_codepoints == 4 and not rows[3].is_ascii
+
+
+def test_semdedup_rule_matches_numpy(spark, sf_dir):
+    """q_dedup_semdedup is hash-exact vs its oracle; this recomputes
+    the SemDeDup rule independently (numpy cosines, different
+    summation order): a vector is dropped iff it has a smaller-id
+    SAME-CLUSTER neighbor with cosine >= tau, dup_of is the SMALLEST
+    such id, and the fixture genuinely produces drops (non-vacuous)."""
+    import numpy as np
+
+    from flink_rc_spark.llm.dedup import _SEMDEDUP_TAU
+
+    rows = _run(spark, sf_dir, "q_dedup_semdedup").collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    unit = {k: v / np.linalg.norm(v) for k, v in emb.items()}
+    cluster = {r.vec_id: r.c_id for r in rows}
+    assert set(cluster) == set(emb), "one row per vector"
+    dropped = 0
+    for r in rows:
+        peers = sorted(
+            u for u in cluster
+            if u < r.vec_id and cluster[u] == r.c_id
+            and float(unit[u] @ unit[r.vec_id]) >= _SEMDEDUP_TAU - 1e-9
+        )
+        if r.keep == 1:
+            # borderline cosines (within rounding slack of tau) may
+            # legitimately differ between fold orders; only hard
+            # violations count
+            hard = [
+                u for u in peers
+                if float(unit[u] @ unit[r.vec_id]) >= _SEMDEDUP_TAU + 1e-6
+            ]
+            assert not hard, (r.vec_id, hard[:3])
+            assert r.dup_of is None and r.sim is None, r
+        else:
+            dropped += 1
+            assert peers, r
+            assert r.dup_of == peers[0], (r, peers[:3])
+            want = float(unit[r.dup_of] @ unit[r.vec_id])
+            assert abs(r.sim - want) < 1e-3, (r, want)
+    assert dropped > 0, "fixture produced no semantic duplicates — vacuous"

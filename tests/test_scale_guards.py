@@ -71,6 +71,9 @@ NESTED_LOOP_ALLOWED = {
     #                     against every vector for home/probe
     #                     assignment (q_kmeans' assignment shape) —
     #                     build side bounded at K_IVF by construction
+    "q_dedup_semdedup",  # composes q_kmeans' Lloyd assignment (the
+    #                      broadcast-centroid shape above); the pair
+    #                      stage itself is an equi-join on c_id
 }
 
 
