@@ -106,7 +106,17 @@ def learn_merges(
     merges: list[tuple[int, str, str, int]] = []
     try:
         for k in range(n_merges):
-            t = cur.select(F.split(F.trim(F.col("s")), " ").alias("t"))
+            # size >= 2 guard: a doc merged down to ONE token would
+            # make sequence(1, size-1) = sequence(1, 0), which Spark
+            # evaluates DESCENDING ([1, 0]) -> element_at(t, 0) throws.
+            # Single-token docs contribute no pairs either way (DuckDB's
+            # end-exclusive range(1, 1) is simply empty), so the guard
+            # changes nothing for the oracle. Bites from ~dozens of
+            # merges on (first 2-token doc fully fused), not at the
+            # declared depth 6 — found by the 64-merge encoder test.
+            t = cur.select(F.split(F.trim(F.col("s")), " ").alias("t")).filter(
+                F.size("t") >= 2
+            )
             pairs = t.select(
                 F.explode(
                     F.expr(
@@ -159,6 +169,68 @@ def _merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, i
             spark, load(spark, sf_dir, "documents"), _N_MERGES
         )
     return _MERGE_CACHE[key]
+
+
+def bpe_encode_batches(merges: list[tuple[str, str]]):
+    """mapInPandas kernel factory: apply a merge table, in training
+    order, to ' '||text||' ' via vectorized fixed-string replaces —
+    the DEPTH-UNBOUNDED twin of q_bpe_encode's codegen replace chain.
+
+    Expression chaining caps out at a few dozen nested calls (catalyst
+    tree depth / codegen size); this kernel takes the merge list as
+    plain closure data, so a production 10k-merge vocab costs one
+    Python list and per-batch C-loop replaces instead of a 10k-deep
+    expression tree. Each replace is the SAME left-to-right
+    non-overlapping fixed-string scan Spark's `replace` and DuckDB's
+    `replace` perform, so the bytes are identical to the expression
+    twin — tests/test_llm.py::test_bpe_deep_encoder_64_merges pins
+    bit-equality (counts + md5) at 64 merges."""
+
+    def encode(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            s = " " + pdf["text"] + " "
+            raw = s.str.strip(" ").str.split(" ").str.len()
+            for left, right in merges:
+                s = s.str.replace(
+                    f" {left} {right} ", f" {left}_{right} ", regex=False
+                )
+            enc = s.str.strip(" ")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tok_raw": raw.astype("int64"),
+                    "n_tok_bpe": enc.str.split(" ").str.len().astype("int64"),
+                    "encoded_hash": enc.map(
+                        lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()
+                    ),
+                }
+            )
+
+    return encode
+
+
+def bpe_encode_df(
+    spark: SparkSession, docs: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Arrow-batched BPE encoding of ``docs`` under ``merges`` (the
+    learn_merges table) — same output schema and bytes as
+    q_bpe_encode's expression chain, any merge depth."""
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    return (
+        docs.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(
+            bpe_encode_batches([(l, r) for _, l, r, _ in merges]),
+            "doc_id long, n_tok_raw bigint, n_tok_bpe bigint, encoded_hash string",
+        )
+        .orderBy("doc_id")
+    )
 
 
 def bpe_merge_table(
@@ -238,10 +310,17 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: training state is the 6-row driver-side merge list (shared
     with q_bpe_merges via an mtime-keyed cache — one training pass per
     dataset per process); encoding itself is ONE scan with 6 chained
-    codegen string replaces — embarrassingly parallel, no shuffle. At
-    a production 30k-merge vocab the chained-replace column becomes a
-    broadcast trie + mapInPandas greedy matcher; the declared 6-merge
-    surface keeps the exact-oracle contract.
+    codegen string replaces — embarrassingly parallel, no shuffle.
+
+    DEPTH CEILING + the production path: expression chaining stops
+    scaling at a few dozen merges (catalyst tree depth); past that the
+    encoder is ``bpe_encode_df`` — a mapInPandas kernel taking the
+    merge list as closure data, byte-identical to this chain (same
+    left-to-right non-overlapping replace semantics) and verified
+    bit-equal at 64 merges in
+    tests/test_llm.py::test_bpe_deep_encoder_64_merges. The declared
+    key keeps the 6-merge expression form because that is the
+    exact-oracle surface (the oracle unrolls the same 6 CTE rounds).
     """
     merges = _merges_for(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")

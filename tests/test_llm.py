@@ -838,3 +838,109 @@ def test_semdedup_rule_matches_numpy(spark, sf_dir):
             want = float(unit[r.dup_of] @ unit[r.vec_id])
             assert abs(r.sim - want) < 1e-3, (r, want)
     assert dropped > 0, "fixture produced no semantic duplicates — vacuous"
+
+
+def _bpe_train_py(texts, n_merges):
+    """Pure-Python reference BPE trainer: identical semantics to
+    llm/bpe.py learn_merges (space-sentineled corpus, adjacent-pair
+    counts, (n DESC, a, b) tie-break, left-to-right non-overlapping
+    replace) with zero engine involvement."""
+    from collections import Counter
+
+    corpus = [f" {t} " for t in texts]
+    merges = []
+    for k in range(n_merges):
+        cnt = Counter()
+        for s in corpus:
+            toks = s.strip(" ").split(" ")
+            for a, b in zip(toks, toks[1:]):
+                cnt[(a, b)] += 1
+        (a, b), n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((k, a, b, n))
+        corpus = [s.replace(f" {a} {b} ", f" {a}_{b} ") for s in corpus]
+    return merges
+
+
+def test_bpe_trainer_matches_python_reference(spark, sf_dir):
+    """The distributed trainer (learn_merges) reproduces the
+    pure-Python reference trainer EXACTLY — (step, left, right, n)
+    tuples — on the fixture corpus at the declared depth."""
+    from flink_rc_spark.llm.bpe import _merges_for
+    from flink_rc_spark.sources.tables import load
+
+    texts = [r.text for r in load(spark, sf_dir, "documents").collect()]
+    assert _bpe_train_py(texts, 6) == _merges_for(spark, sf_dir)
+
+
+def test_bpe_trainer_single_token_doc_guard(spark):
+    """Deep-training guard: once a merge fuses a 2-token doc into ONE
+    token, the next round's pair extraction must skip it (Spark's
+    sequence(1, 0) is DESCENDING, so the unguarded expression threw
+    element_at(t, 0)). A literal corpus where that happens at step 2
+    must train on, matching the python reference."""
+    from flink_rc_spark.llm.bpe import learn_merges
+
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x y z w"), (2, "x y z q")], ["doc_id", "text"]
+    )
+    got = learn_merges(spark, docs, 3)
+    want = _bpe_train_py(["x y", "x y z w", "x y z q"], 3)
+    assert got == want
+    # doc 0 is a single token after step 1 -- the guard had to fire
+    assert got[0][1:3] == ("x", "y")
+
+
+def test_bpe_deep_encoder_64_merges(spark, sf_dir):
+    """The depth-unbounded mapInPandas BPE encoder (bpe_encode_df) at
+    64 merges — far past the declared key's 6 — verified three ways:
+    (a) bit-equal (counts + md5) to a 64-deep chained-expression twin
+    on the full fixture corpus, (b) hash-equal to a driver-side
+    pure-Python replace loop on every doc, (c) equal to the declared
+    q_bpe_encode output when given the same 6-merge prefix. The
+    64-merge table comes from the python reference trainer (itself
+    pinned to the distributed trainer by
+    test_bpe_trainer_matches_python_reference)."""
+    import hashlib
+
+    from flink_rc_spark.llm.bpe import bpe_encode_df
+    from flink_rc_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    rows0 = docs.select("doc_id", "text").collect()
+    merges = _bpe_train_py([r.text for r in rows0], 64)
+    assert len(merges) == 64
+    assert len({(l, r) for _, l, r, _ in merges}) == 64, "merge pairs must be distinct"
+
+    got = bpe_encode_df(spark, docs, merges).collect()
+    assert len(got) == len(rows0)
+    assert any(r.n_tok_bpe < r.n_tok_raw for r in got), "64 merges compressed nothing"
+
+    # (a) the expression twin at the same depth
+    s0 = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    enc = s0
+    for _, left, right, _n in merges:
+        enc = F.replace(enc, F.lit(f" {left} {right} "), F.lit(f" {left}_{right} "))
+    want = (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(s0), " ")).cast("bigint").alias("n_tok_raw"),
+            F.size(F.split(F.trim(enc), " ")).cast("bigint").alias("n_tok_bpe"),
+            F.md5(F.trim(enc)).alias("encoded_hash"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # (b) pure-Python reference on every doc (engine-independent)
+    by_id = {r.doc_id: r.text for r in rows0}
+    for r in got:
+        s = f" {by_id[r.doc_id]} "
+        for _, left, right, _n in merges:
+            s = s.replace(f" {left} {right} ", f" {left}_{right} ")
+        assert hashlib.md5(s.strip(" ").encode()).hexdigest() == r.encoded_hash, r.doc_id
+
+    # (c) the 6-merge prefix reproduces the declared key exactly
+    declared = _run(spark, sf_dir, "q_bpe_encode").collect()
+    prefix = bpe_encode_df(spark, docs, merges[:6]).collect()
+    assert [tuple(r) for r in prefix] == [tuple(r) for r in declared]
