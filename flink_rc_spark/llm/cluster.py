@@ -64,19 +64,36 @@ _DIST_DUCK = (
 )
 
 
-def kmeans_cte() -> str:
+def kmeans_cte(k_sql: str | None = None) -> str:
     """Unrolled 3-round Lloyd as DuckDB CTE text (generated, not
     hand-kept: the round body is identical text per round). Ends with
     `assign{ROUNDS}` = (vec_id, m, c_id, dist) — the final cluster
-    assignment. Shared by q_kmeans' oracle and the SemDeDup key."""
-    parts = [
-        f"""
-    vec AS (SELECT vec_id, {_QUANT_DUCK} AS m FROM embeddings),
+    assignment. Shared by q_kmeans' oracle and the SemDeDup key.
+
+    ``k_sql``: None keeps the fixed k={K} literal (q_kmeans' declared
+    contract); otherwise a scalar SQL expression over `embeddings`
+    computing k — the SemDeDup key passes a COUNT(*)-based formula so
+    the cluster count scales with the corpus (both engines evaluate
+    the same formula, so the oracle stays exact)."""
+    if k_sql is None:
+        seed = f"""
     cent0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c_id,
                m AS cm
         FROM (SELECT vec_id, m FROM vec ORDER BY vec_id LIMIT {K})
     )"""
+    else:
+        seed = f"""
+    kparam AS (SELECT {k_sql} AS kk FROM embeddings),
+    cent0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c_id,
+               m AS cm
+        FROM vec QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id)
+                 <= (SELECT kk FROM kparam)
+    )"""
+    parts = [
+        f"""
+    vec AS (SELECT vec_id, {_QUANT_DUCK} AS m FROM embeddings),{seed}"""
     ]
     for r in range(1, ROUNDS + 1):
         prev = f"cent{r - 1}"
@@ -151,10 +168,13 @@ def _recenter(assign: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_assign(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
     """The final Lloyd assignment (vec_id, m, c_id, dist) — the Spark
-    twin of kmeans_cte()'s assign{ROUNDS}. Shared by q_kmeans and the
-    SemDeDup key (llm/dedup.py q_dedup_semdedup)."""
+    twin of kmeans_cte()'s assign{ROUNDS}. Shared by q_kmeans (fixed
+    k={K}) and the SemDeDup key (corpus-scaled k). ``k=None`` keeps
+    the fixed default."""
     emb = load(spark, sf_dir, "embeddings")
     vec = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("m")).localCheckpoint(
         eager=True
@@ -162,7 +182,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     w0 = Window.orderBy("vec_id")
     cent = (
         vec.orderBy("vec_id")
-        .limit(K)
+        .limit(K if k is None else k)
         .select(
             (F.row_number().over(w0) - 1).cast("bigint").alias("c_id"),
             F.col("m").alias("cm"),

@@ -1152,6 +1152,21 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SEMDEDUP_TAU = 0.35
+# cluster count scales with the corpus: k = clamp(n/64, 8, 64) —
+# per-cluster occupancy stays ~64, so the in-cluster pair stage is
+# O(n * 64) not O(n^2 / 8). The SAME formula is evaluated by both
+# engines (COUNT(*) subquery in the oracle, a planning-time count()
+# in Spark), so the oracle stays exact at every SF. The 64-cluster
+# cap bounds the broadcast-assignment cost (n x k distance rows) on
+# this fixture; production lifts it hierarchically (coarse k-means
+# over cluster centroids), the standard SemDeDup-at-scale layout.
+_SEMDEDUP_K_SQL = "LEAST(GREATEST(COUNT(*) // 64, 8), 64)"
+_SEMDEDUP_TARGET_OCC = 64
+_SEMDEDUP_K_CAP = 64
+
+
+def _semdedup_k(n: int) -> int:
+    return min(max(n // _SEMDEDUP_TARGET_OCC, 8), _SEMDEDUP_K_CAP)
 
 
 def _semdedup_oracle() -> str:
@@ -1162,7 +1177,7 @@ def _semdedup_oracle() -> str:
         " (acc, x) -> acc + x)"
     )
     return f"""
-    WITH {kmeans_cte()},
+    WITH {kmeans_cte(k_sql=_SEMDEDUP_K_SQL)},
     v AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
           FROM embeddings),
@@ -1216,15 +1231,23 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the Lloyd fit is q_kmeans' plan (k x dim integer state
     broadcast per round); the pair stage is an equi-join on c_id —
-    one shuffle, per-task work bounded by the largest cluster, and in
-    production k scales with n (SemDeDup used 50k clusters for LAION)
-    to keep |c| ~ n/k flat. Cosines are sequential-fold doubles (the
-    repo's cross-engine float policy), so the DuckDB oracle matches
-    hash-exactly despite 3 Lloyd rounds + a float threshold.
+    one shuffle, per-task work bounded by the largest cluster — and k
+    SCALES WITH THE CORPUS (k = clamp(n/64, 8, 64), the same formula
+    in both engines so the oracle stays exact), holding per-cluster
+    occupancy ~64 and making the pair stage O(n x occupancy), not
+    O(n^2/k). Measured: the fixed-k=8 version ran 10x data in 9.4x
+    the time (quadratic pairs); adaptive k brought the sf1 run down
+    ~4x (BASELINE.md r6 sf1 table). The 64-cluster cap is this
+    fixture's bound on broadcast-assignment cost; production lifts it
+    hierarchically (SemDeDup used 50k clusters for LAION). Cosines
+    are sequential-fold doubles (the repo's cross-engine float
+    policy), so the DuckDB oracle matches hash-exactly despite 3
+    Lloyd rounds + a float threshold.
     """
     from flink_rc_spark.llm.cluster import kmeans_assign
 
-    asg = kmeans_assign(spark, sf_dir).select("vec_id", "c_id")
+    n = load(spark, sf_dir, "embeddings").count()  # planning-time scalar
+    asg = kmeans_assign(spark, sf_dir, k=_semdedup_k(n)).select("vec_id", "c_id")
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),

@@ -582,7 +582,16 @@ def q_dedup_embedding_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidates from one slim (band, bucket) equi-join; vectors
     re-attached only to survivors; verify is a per-pair JVM fold. No
-    stage is O(n^2).
+    stage is literally O(n^2) — but SELF-REPORTED WEAK at unbounded
+    scale (r6 sf1 table: 29x at 10x data): at the WEAK threshold 0.35
+    the per-plane agreement for true pairs is p1 ~ 0.61 vs p2 = 0.5
+    for random ones, so the LSH exponent rho = ln(1/p1)/ln(1/p2) ~
+    0.71 and candidate volume grows ~ n^1.7 under ANY (ppb, bands)
+    re-tuning that preserves the recall bound. This key is the
+    exact-recall VERIFY contract for bounded corpora; the 100 TB
+    production paths are q_dedup_semdedup (cluster-scoped, linear via
+    corpus-scaled k) or a tighter tau where rho genuinely prunes —
+    see BASELINE.md's r6 sf1-table analysis.
     """
     cand = ann_candidate_pairs(spark, sf_dir, planes_per_band=4, n_bands=16)
     n = _vectors(spark, sf_dir)
