@@ -355,7 +355,10 @@ def _band_buckets_udf(planes_per_band: int, n_bands: int):
         # dot could sign-flip vs the SQL fold). This is what makes
         # q_dedup_embedding_full exact-oracle-able. Cost: 64 vectorized
         # (rows x planes) fused adds per Arrow batch — still no Python
-        # per-row loop.
+        # per-row loop, but ~64x the memory traffic of one BLAS GEMM.
+        # A deployment WITHOUT a cross-engine-hash requirement should
+        # flip this loop back to `acc = mat @ w.T`: same buckets except
+        # for dots within float-ulp of the 0 boundary, at GEMM speed.
         acc = np.zeros((mat.shape[0], total))
         for i in range(_DIM):
             acc += mat[:, i, None] * w[None, :, i]
@@ -1484,4 +1487,149 @@ def q_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("qid", "qlabel", "vec_id", F.round("cos", 4).alias("cosine"))
         .orderBy("qid", F.desc("cos"), "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_matryoshka — prefix-dimension coarse filter + full-dim refine
+# ---------------------------------------------------------------------------
+
+_MAT_PREFIX = 16     # dims of the coarse pass (Matryoshka prefix)
+_MAT_SHORTLIST = 50  # prefix-cosine survivors re-ranked exactly
+_MAT_TOPK = 5
+
+_MAT_PDOT_SPARK = (
+    f"aggregate(transform(sequence(1, {_MAT_PREFIX}),"
+    " i -> element_at(ea, i) * element_at(eb, i)),"
+    " 0d, (acc, x) -> acc + x)"
+)
+_MAT_PNORM_SPARK = (
+    f"sqrt(aggregate(transform(sequence(1, {_MAT_PREFIX}),"
+    " i -> element_at(e, i) * element_at(e, i)),"
+    " 0d, (acc, x) -> acc + x))"
+)
+_MAT_PDOT_DUCK = (
+    f"list_reduce(list_transform(range(1, {_MAT_PREFIX + 1}),"
+    " i -> a.e[i] * b.e[i]), (acc, x) -> acc + x)"
+)
+_MAT_PNORM_DUCK = (
+    f"sqrt(list_reduce(list_transform(range(1, {_MAT_PREFIX + 1}),"
+    " i -> e[i] * e[i]), (acc, x) -> acc + x))"
+)
+
+
+@register(
+    "q_sim_matryoshka",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, e, {_NORM_DUCK} AS nrm, {_MAT_PNORM_DUCK} AS pnrm
+        FROM v
+    ),
+    shortlist AS (
+        SELECT qid, cand_id, pcos FROM (
+            SELECT a.vec_id AS qid, b.vec_id AS cand_id,
+                   {_MAT_PDOT_DUCK} / (a.pnrm * b.pnrm) AS pcos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_MAT_PDOT_DUCK} / (a.pnrm * b.pnrm) DESC,
+                                b.vec_id
+                   ) AS prn
+            FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+        ) WHERE prn <= {_MAT_SHORTLIST}
+    ),
+    refined AS (
+        SELECT s.qid, s.cand_id, s.pcos,
+               list_reduce(list_transform(range(1, {_DIM + 1}),
+                   i -> a.e[i] * b.e[i]), (acc, x) -> acc + x)
+                   / (a.nrm * b.nrm) AS cos
+        FROM shortlist s
+        JOIN n a ON a.vec_id = s.qid
+        JOIN n b ON b.vec_id = s.cand_id
+    )
+    SELECT qid AS vec_id, CAST(rn AS INT) AS rank, cand_id,
+           ROUND(cos, 4) AS cosine, ROUND(pcos, 4) AS prefix_cosine
+    FROM (
+        SELECT qid, cand_id, cos, pcos,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, cand_id) AS rn
+        FROM refined
+    ) WHERE rn <= {_MAT_TOPK}
+    ORDER BY vec_id, rank
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA prefix-dimension retrieval (Kusupati et al. 2022,
+    arXiv:2205.13147): embeddings trained with matryoshka losses pack
+    coarse semantics into their leading dims, so retrieval runs a
+    CHEAP first pass on only the first 16 of 64 dims (4x less
+    compute and — on a columnar store with dim-sliced columns — 4x
+    less I/O), keeps the top-50 by prefix cosine, and re-ranks just
+    those with the full-dimension exact cosine. Per query: top-5 by
+    full cosine, with the
+    prefix cosine alongside to expose the funnel's honesty.
+
+    Exactness: prefix dot/norm and full dot/norm are all sequential
+    index-order folds (the repo float policy), both rankings tiebreak
+    on the candidate id, so shortlist membership and final ranks
+    hash-match DuckDB exactly.
+
+    100 TB: the coarse pass is a linear scan of a 4x narrower column
+    against a broadcast 10-row query set (q_knn_label's probe shape)
+    with a per-query top-k — TakeOrdered-style partial top-k per
+    partition, no global sort; the expensive full-width vectors are
+    touched only for 10 x 50 shortlist rows. Composes with any
+    coarse index upstream (IVF cells or LSH bands over the PREFIX
+    dims) — the prefix pass here is the honest brute-force baseline
+    of that family.
+    """
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    n = v.select(
+        "vec_id",
+        "e",
+        F.expr(_NORM_SPARK).alias("nrm"),
+        F.expr(_MAT_PNORM_SPARK).alias("pnrm"),
+    )
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("pnrm").alias("pna"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("pnrm").alias("pnb"),
+    )
+    pcos = F.expr(_MAT_PDOT_SPARK) / (F.col("pna") * F.col("pnb"))
+    w_pre = Window.partitionBy("qid").orderBy(F.desc("pcos"), "cand_id")
+    shortlist = (
+        F.broadcast(q)
+        .join(c, F.col("cand_id") != F.col("qid"))
+        .select("qid", "cand_id", "ea", "na", "eb", "nb", pcos.alias("pcos"))
+        .withColumn("prn", F.row_number().over(w_pre))
+        .filter(F.col("prn") <= _MAT_SHORTLIST)
+    )
+    cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
+    w_top = Window.partitionBy("qid").orderBy(F.desc("cos"), "cand_id")
+    return (
+        shortlist.select("qid", "cand_id", "pcos", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _MAT_TOPK)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("rn").cast("int").alias("rank"),
+            "cand_id",
+            F.round("cos", 4).alias("cosine"),
+            F.round("pcos", 4).alias("prefix_cosine"),
+        )
+        .orderBy("vec_id", "rank")
     )

@@ -1587,3 +1587,111 @@ def q_regr_fit(spark, sf_dir):
         F.round(intercept_num / den, 6).alias("intercept"),
         F.round(F.pow(num, 2) / (den * deny), 6).alias("r2"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q_cep_pattern — MATCH_RECOGNIZE-style complex event processing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cep_pattern",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        runs AS (
+            -- gaps-and-islands: rn minus the per-type row number is
+            -- constant across a maximal same-type run
+            SELECT user_id, event_id, ts, rn,
+                   rn - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY rn) AS grp
+            FROM seq WHERE event_type = 'view'
+        ),
+        islands AS (
+            SELECT user_id, grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_views,
+                   MIN(event_id) AS first_view_id,
+                   MIN(ts) AS first_view_ts,
+                   MAX(rn) AS last_rn
+            FROM runs GROUP BY user_id, grp
+        )
+        SELECT i.user_id AS user_id, i.first_view_id, i.n_views,
+               s.event_id AS click_id,
+               CAST(epoch_us(s.ts) - epoch_us(i.first_view_ts)
+                    AS BIGINT) AS span_us
+        FROM islands i
+        JOIN seq s ON s.user_id = i.user_id AND s.rn = i.last_rn + 1
+        WHERE s.event_type = 'click'
+        ORDER BY i.user_id, first_view_id
+    """,
+    tags=("analytics", "window", "cep"),
+)
+def q_cep_pattern(spark, sf_dir):
+    """COMPLEX EVENT PROCESSING — the SQL MATCH_RECOGNIZE / Flink-CEP
+    pattern `V+ C` with greedy quantifier and AFTER MATCH SKIP PAST
+    LAST ROW semantics: every MAXIMAL run of consecutive 'view'
+    events (per user, event-time order, ties broken by event_id)
+    whose IMMEDIATELY NEXT event is a 'click'. Per match: the run's
+    first event id, the view count (the V+ quantifier's measure), the
+    closing click id, and the exact first-view-to-click span in
+    microseconds (integer epoch arithmetic — no float time math).
+
+    Spark has no MATCH_RECOGNIZE; the rewrite is the gaps-and-islands
+    decomposition CEP engines compile contiguous quantifiers into:
+    one per-user sequence numbering, islands = rn minus per-type rank
+    (constant within a maximal same-type run), and the pattern's
+    closing literal becomes an equi-join on (user_id, rn + 1). The
+    DuckDB oracle spells the identical decomposition, so match sets,
+    measures, and spans hash-match exactly.
+
+    100 TB: two windows over the SAME (user_id)-hash partitioning
+    (one exchange, reused) + a self-equi-join on (user_id, rn) — the
+    sequence-number join CEP state machines become in batch. Per-task
+    memory is bounded by per-user event volume (the sessionize
+    bound); no cross-user state exists by construction.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("rn", F.row_number().over(w_seq))
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("rn")
+    runs = (
+        seq.filter(F.col("event_type") == "view")
+        .withColumn("grp", F.col("rn") - F.row_number().over(w_type))
+    )
+    islands = runs.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("n_views"),
+        F.min("event_id").alias("first_view_id"),
+        F.min("ts").alias("first_view_ts"),
+        F.max("rn").alias("last_rn"),
+    )
+    nxt = seq.select(
+        F.col("user_id").alias("n_user"),
+        F.col("rn").alias("nrn"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_type").alias("ntype"),
+        F.col("ts").alias("nts"),
+    )
+    return (
+        islands.join(
+            nxt,
+            (F.col("n_user") == F.col("user_id"))
+            & (F.col("nrn") == F.col("last_rn") + 1)
+            & (F.col("ntype") == "click"),
+        )
+        .select(
+            "user_id",
+            "first_view_id",
+            "n_views",
+            "click_id",
+            (F.unix_micros("nts") - F.unix_micros("first_view_ts"))
+            .cast("bigint")
+            .alias("span_us"),
+        )
+        .orderBy("user_id", "first_view_id")
+    )

@@ -944,3 +944,33 @@ def test_bpe_deep_encoder_64_merges(spark, sf_dir):
     declared = _run(spark, sf_dir, "q_bpe_encode").collect()
     prefix = bpe_encode_df(spark, docs, merges[:6]).collect()
     assert [tuple(r) for r in prefix] == [tuple(r) for r in declared]
+
+
+def test_matryoshka_funnel_recall(spark, sf_dir):
+    """q_sim_matryoshka is hash-exact vs its oracle; this measures
+    the funnel's approximation quality independently: recall@5 of the
+    prefix-filtered + exact-refined top-5 vs the true full-dim top-5
+    (numpy, different summation order), plus the refine-honesty
+    invariant that every reported cosine is the true full-dim cosine.
+    On synthetic embeddings the leading dims are NOT matryoshka-
+    trained (no coarse-to-fine structure), so this is the documented
+    worst case — the bound pins far-above-chance (5/N ~ 0.01)."""
+    import numpy as np
+
+    rows = _run(spark, sf_dir, "q_sim_matryoshka").collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    unit = {k: v / np.linalg.norm(v) for k, v in emb.items()}
+    ids = sorted(unit)
+    recalls = []
+    for q in range(10):
+        sims = {c: float(unit[q] @ unit[c]) for c in ids if c != q}
+        true5 = {c for c, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]}
+        got5 = {r.cand_id for r in rows if r.vec_id == q}
+        recalls.append(len(true5 & got5) / 5)
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    for r in rows:
+        true_cos = float(unit[r.vec_id] @ unit[r.cand_id])
+        assert abs(r.cosine - true_cos) < 1e-3, (r, true_cos)

@@ -74,6 +74,10 @@ NESTED_LOOP_ALLOWED = {
     "q_dedup_semdedup",  # composes q_kmeans' Lloyd assignment (the
     #                      broadcast-centroid shape above); the pair
     #                      stage itself is an equi-join on c_id
+    "q_sim_matryoshka",  # 10 query vectors BROADCAST against the
+    #                      prefix-dim scan (q_knn_label's probe
+    #                      shape); full-width vectors touched only
+    #                      for the 10 x 50 shortlist
 }
 
 
