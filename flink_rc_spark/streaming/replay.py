@@ -67,9 +67,6 @@ def events_raw_schema(ts_is_nanos: bool) -> T.StructType:
     )
 
 
-_STREAM_DIRS: dict[tuple[str, int], str] = {}
-
-
 def _stream_dir(sf_dir: str, n_splits: int = 1) -> str:
     """The file stream source requires a *directory*.
 
@@ -85,12 +82,12 @@ def _stream_dir(sf_dir: str, n_splits: int = 1) -> str:
     local stand-in for a Kafka topic's arrival order.
     """
     import os
-    import tempfile
+
+    from flink_rc_spark.util import cached_fixture_dir
 
     sf_dir = sf_dir.rstrip("/")
-    key = (sf_dir, n_splits)
-    if key not in _STREAM_DIRS:
-        d = tempfile.mkdtemp(prefix="flink_rc_spark_events_")
+
+    def build(d: str) -> None:
         files = _events_parquet_files(sf_dir)
         if n_splits <= 1:
             # single-file AND directory-shaped events tables both
@@ -112,8 +109,8 @@ def _stream_dir(sf_dir: str, n_splits: int = 1) -> str:
                 path = f"{d}/part-{i:04d}.parquet"
                 pq.write_table(chunk, path)
                 os.utime(path, (base + i, base + i))
-        _STREAM_DIRS[key] = d
-    return _STREAM_DIRS[key]
+
+    return cached_fixture_dir("events_stream", f"{sf_dir}::{n_splits}", build)
 
 
 def events_stream(

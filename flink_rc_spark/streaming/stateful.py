@@ -711,3 +711,136 @@ def q_stream_upsert(spark, sf_dir):
         .select("user_id", "last_event_id", "last_value", "n_ops")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_cep — streaming complex event processing (pattern V+ C)
+# ---------------------------------------------------------------------------
+
+CEP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("first_view_id", T.LongType()),
+        T.StructField("n_views", T.LongType()),
+        T.StructField("click_id", T.LongType()),
+        T.StructField("span_us", T.LongType()),
+    ]
+)
+
+CEP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_id", T.LongType()),
+        T.StructField("first_ts", T.LongType()),
+        T.StructField("run_len", T.LongType()),
+    ]
+)
+
+
+def _cep_kernel(key, pdf_iter, state):
+    """Per-user CEP state machine for the pattern V+ C: the state is
+    the OPEN run (first view's id + ts and the run length); a click
+    arriving while a run is open closes and emits a match, any other
+    type resets the run. Events are scanned in event-time order
+    (batch rows sorted here; batches arrive in event-time order by
+    the replay contract), so the machine's transitions are exactly
+    the batch gaps-and-islands decomposition's."""
+    first_id, first_ts, run_len = (
+        state.get if state.exists else (-1, -1, 0)
+    )
+    out = []
+    pdfs = list(pdf_iter)
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    for ts_us, eid, etype in zip(
+        pdf["ts_us"].to_numpy(), pdf["event_id"].to_numpy(), pdf["event_type"]
+    ):
+        if etype == "view":
+            if run_len == 0:
+                first_id, first_ts = int(eid), int(ts_us)
+            run_len += 1
+        elif etype == "click" and run_len >= 1:
+            out.append(
+                (key[0], first_id, run_len, int(eid), int(ts_us) - first_ts)
+            )
+            run_len = 0
+        else:
+            run_len = 0
+    state.update((first_id, first_ts, run_len))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "first_view_id", "n_views", "click_id", "span_us"],
+        )
+
+
+def stream_cep(s):
+    slim = s.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        _cep_kernel,
+        outputStructType=CEP_OUT_SCHEMA,
+        stateStructType=CEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "q_stream_cep",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, ts, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        runs AS (
+            SELECT user_id, event_id, ts, rn,
+                   rn - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY rn) AS grp
+            FROM seq WHERE event_type = 'view'
+        ),
+        islands AS (
+            SELECT user_id, grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_views,
+                   MIN(event_id) AS first_view_id,
+                   MIN(ts) AS first_view_ts,
+                   MAX(rn) AS last_rn
+            FROM runs GROUP BY user_id, grp
+        )
+        SELECT i.user_id AS user_id, i.first_view_id, i.n_views,
+               s.event_id AS click_id,
+               CAST(epoch_us(s.ts) - epoch_us(i.first_view_ts)
+                    AS BIGINT) AS span_us
+        FROM islands i
+        JOIN seq s ON s.user_id = i.user_id AND s.rn = i.last_rn + 1
+        WHERE s.event_type = 'click'
+        ORDER BY i.user_id, first_view_id
+    """,
+)
+def q_stream_cep(spark, sf_dir):
+    """STREAMING complex event processing — the q_cep_pattern pattern
+    (V+ C, greedy, skip past last row) as a per-key state machine in
+    the state store: the only state per user is the OPEN run (3
+    bigints), matches emit the moment their closing click arrives,
+    and a run spanning micro-batches is carried, not re-derived. The
+    oracle is the SAME batch gaps-and-islands SQL as q_cep_pattern —
+    the hash proves the incremental state machine computes exactly
+    the batch decomposition (the CEP analogue of q_stream_esn's
+    stream==batch contract); cross-batch carry + redelivery behavior
+    are pinned separately in tests/test_streaming.py.
+
+    100 TB: this is the shape Flink-CEP compiles contiguous patterns
+    into — O(pattern length) state per key, no event buffering beyond
+    the open run, emission latency = the closing event's arrival.
+    Spark runs it on applyInPandasWithState with user_id-partitioned
+    state; the batch twin is the backfill path over the same oracle.
+    """
+    ensure_package_shipped(spark)
+    s = events_stream(spark, sf_dir)
+    out = run_to_memory(stream_cep(s), output_mode="append")
+    return out.orderBy("user_id", "first_view_id")

@@ -978,3 +978,48 @@ def test_stream_upsert_slicing_invariant_and_tombstones(spark, sf_dir):
     got = set(a["user_id"])
     assert got == alive and not (got & dead)
     assert dead, "fixture produced no tombstoned keys — test vacuous"
+
+
+def test_stream_cep_slicing_invariant_and_carry(spark, sf_dir):
+    """q_stream_cep's matches must be identical whether the events
+    arrive as ONE batch or as 6 event-time-ordered micro-batches —
+    i.e. a V+ run OPEN at a batch boundary is carried in state and
+    closed by a click in a later batch, never re-derived or dropped.
+    (CEP is inherently multiplicity-sensitive — a duplicated event
+    changes the pattern string itself — so the contract here is
+    slicing-invariance under exactly-once delivery, which is what
+    Spark's file source + checkpointing provide; the
+    redelivery-tolerant keys are the aggregation-shaped ones.)"""
+    from flink_rc_spark.registry import REGISTRY
+    from flink_rc_spark.streaming.replay import events_stream, run_to_memory
+    from flink_rc_spark.streaming.stateful import stream_cep
+
+    a = (
+        REGISTRY["q_stream_cep"].builder(spark, sf_dir)
+        .orderBy("user_id", "first_view_id")
+        .toPandas()
+    )
+    stats: dict = {}
+    s6 = events_stream(spark, sf_dir, n_splits=6)
+    out = run_to_memory(stream_cep(s6), output_mode="append", stats=stats)
+    b = out.orderBy("user_id", "first_view_id").toPandas()
+    assert stats["num_batches"] >= 6, stats
+    assert len(a) > 0 and a.equals(b), (len(a), len(b))
+
+
+def test_stream_cep_equals_batch_twin(spark, sf_dir):
+    """Stream CEP == batch CEP bit-for-bit (the q_stream_esn
+    contract): same matches, same measures, same spans."""
+    from flink_rc_spark.registry import REGISTRY
+
+    a = (
+        REGISTRY["q_cep_pattern"].builder(spark, sf_dir)
+        .orderBy("user_id", "first_view_id")
+        .toPandas()
+    )
+    b = (
+        REGISTRY["q_stream_cep"].builder(spark, sf_dir)
+        .orderBy("user_id", "first_view_id")
+        .toPandas()
+    )
+    assert len(a) > 0 and a.equals(b), (len(a), len(b))
