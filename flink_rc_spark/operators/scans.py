@@ -311,3 +311,163 @@ def q_source_xml(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_hilbert_layout — Hilbert-curve layout audit (the Z-order sibling)
+# ---------------------------------------------------------------------------
+
+_HILBERT_BITS = 16  # 16-bit coords -> a 2^32-cell curve, d fits BIGINT
+
+
+def _hilbert_rounds_cte(xor) -> str:
+    """Unrolled Hilbert xy->d transform as CTE text: per round, the
+    quadrant bit pair accumulates into d and the coordinate frame
+    flips/swaps (the classic iterative algorithm). ``xor`` renders
+    bitwise xor for the target engine (Spark `a ^ b`, DuckDB
+    `xor(a, b)` — `^` is POWER there). Integer-only, so both engines
+    are bit-identical. Expects h0(p, s, hx, hy, d)."""
+    parts = []
+    for k, sv in enumerate(
+        (2**i for i in range(_HILBERT_BITS - 1, -1, -1)), start=1
+    ):
+        parts.append(f"""
+    r{k} AS (
+        SELECT p, s, hx AS ox, hy AS oy, d,
+               CASE WHEN (hx & {sv}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (hy & {sv}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM h{k - 1}
+    ),
+    h{k} AS (
+        SELECT p, s,
+               CASE WHEN ry = 0 THEN
+                   CASE WHEN rx = 1 THEN {sv - 1} - oy ELSE oy END
+               ELSE ox END AS hx,
+               CASE WHEN ry = 0 THEN
+                   CASE WHEN rx = 1 THEN {sv - 1} - ox ELSE ox END
+               ELSE oy END AS hy,
+               d + CAST({sv * sv} AS BIGINT)
+                   * CAST({xor('3 * rx', 'ry')} AS BIGINT) AS d
+        FROM r{k}
+    )""")
+    return ",".join(parts)
+
+
+def hilbert_index(df, x_col: str, y_col: str):
+    """DataFrame helper: append column `d` = Hilbert index of the
+    {_HILBERT_BITS}-bit coords (x_col, y_col), carrying (p, s)
+    through. The Spark twin of _hilbert_rounds_cte — identical
+    integer rounds as chained projections (whole-stage codegen, no
+    UDF)."""
+    cur = df.select(
+        F.col(x_col).alias("p"),
+        F.col(y_col).alias("s"),
+        F.col(x_col).cast("bigint").alias("hx"),
+        F.col(y_col).cast("bigint").alias("hy"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    for sv in (2**i for i in range(_HILBERT_BITS - 1, -1, -1)):
+        rx = F.when(F.col("hx").bitwiseAND(F.lit(sv)) > 0, 1).otherwise(0)
+        ry = F.when(F.col("hy").bitwiseAND(F.lit(sv)) > 0, 1).otherwise(0)
+        cur = cur.select(
+            "p", "s",
+            F.col("hx").alias("ox"), F.col("hy").alias("oy"), "d",
+            rx.alias("rx"), ry.alias("ry"),
+        ).select(
+            "p", "s",
+            F.when(
+                F.col("ry") == 0,
+                F.when(F.col("rx") == 1, F.lit(sv - 1) - F.col("oy")).otherwise(
+                    F.col("oy")
+                ),
+            ).otherwise(F.col("ox")).alias("hx"),
+            F.when(
+                F.col("ry") == 0,
+                F.when(F.col("rx") == 1, F.lit(sv - 1) - F.col("ox")).otherwise(
+                    F.col("ox")
+                ),
+            ).otherwise(F.col("oy")).alias("hy"),
+            (
+                F.col("d")
+                + F.lit(sv * sv).cast("bigint")
+                * F.expr("CAST((3 * rx) ^ ry AS BIGINT)")
+            ).alias("d"),
+        )
+    return cur
+
+
+@register(
+    "q_hilbert_layout",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT l_partkey % 65536 AS p, l_suppkey % 65536 AS s
+            FROM lineitem
+        ),
+        h0 AS (SELECT p, s, CAST(p AS BIGINT) AS hx, CAST(s AS BIGINT) AS hy,
+                      CAST(0 AS BIGINT) AS d
+               FROM keyed),
+        {_hilbert_rounds_cte(lambda a, b: f"xor({a}, {b})")},
+        buckets AS (
+            SELECT d >> 12 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(p) AS BIGINT) AS min_part,
+                   CAST(MAX(p) AS BIGINT) AS max_part,
+                   CAST(MIN(s) AS BIGINT) AS min_supp,
+                   CAST(MAX(s) AS BIGINT) AS max_supp
+            FROM h{_HILBERT_BITS} GROUP BY d >> 12
+        )
+        SELECT bucket, n_rows,
+               max_part - min_part AS part_span,
+               max_supp - min_supp AS supp_span
+        FROM buckets
+        ORDER BY n_rows DESC, bucket
+        LIMIT 20
+    """,
+    tags=("scan", "layout"),
+)
+def q_hilbert_layout(spark, sf_dir):
+    """HILBERT-curve layout audit — the continuity-preserving sibling
+    of q_zorder_layout 
+    (same coords, same bucket audit, different curve): the Hilbert
+    curve never makes the long diagonal jumps Morton interleaving
+    does, so consecutive curve positions are ALWAYS adjacent cells —
+    the reason modern lakehouse clustering (e.g. Delta's liquid
+    clustering, Databricks' Hilbert-ordered OPTIMIZE) prefers it to
+    Z-order for multi-dimensional file skipping: per-file min/max
+    envelopes are tighter on average for the same file count.
+
+    The xy->d transform is the classic iterative quadrant
+    accumulate-and-rotate, unrolled to 16 integer rounds as chained
+    whole-stage-codegen projections (no UDF), spelled identically in
+    the DuckDB oracle (only xor differs textually: `^` vs `xor()`) —
+    all integers, so the hash pins the curve bit-for-bit;
+    tests/test_plans.py additionally pins the curve against an
+    independent Python reference and checks the locality advantage vs
+    Z-order on the actual table. Applying the layout in production is
+    `df.repartitionByRange(col("d")).sortWithinPartitions("d")` —
+    identical plumbing to the Z-order key.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        (F.col("l_partkey") % 65536).alias("px"),
+        (F.col("l_suppkey") % 65536).alias("sx"),
+    )
+    h = hilbert_index(keyed, "px", "sx")
+    return (
+        h.groupBy(F.shiftright("d", 12).alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("p").cast("bigint").alias("min_part"),
+            F.max("p").cast("bigint").alias("max_part"),
+            F.min("s").cast("bigint").alias("min_supp"),
+            F.max("s").cast("bigint").alias("max_supp"),
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            (F.col("max_part") - F.col("min_part")).alias("part_span"),
+            (F.col("max_supp") - F.col("min_supp")).alias("supp_span"),
+        )
+        .orderBy(F.desc("n_rows"), "bucket")
+        .limit(20)
+    )
