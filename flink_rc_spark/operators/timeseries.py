@@ -581,3 +581,119 @@ def q_changepoint_cusum(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_ts_acf",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id,
+               CAST(FLOOR(value) AS BIGINT) AS q,
+               lag(CAST(FLOOR(value) AS BIGINT), 1) OVER w AS q1,
+               lag(CAST(FLOOR(value) AS BIGINT), 2) OVER w AS q2,
+               lag(CAST(FLOOR(value) AS BIGINT), 3) OVER w AS q3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sums AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               SUM(q) AS s,
+               SUM(q * q) AS qq,
+               SUM(q * q1) AS c1, SUM(q * q2) AS c2, SUM(q * q3) AS c3,
+               SUM(CASE WHEN q1 IS NOT NULL THEN q END) AS a1,
+               SUM(CASE WHEN q2 IS NOT NULL THEN q END) AS a2,
+               SUM(CASE WHEN q3 IS NOT NULL THEN q END) AS a3,
+               SUM(q1) AS b1, SUM(q2) AS b2, SUM(q3) AS b3
+        FROM lagged GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN n * n * qq - n * s * s = 0 THEN NULL ELSE
+             CAST(n * n * c1 - n * s * (a1 + b1) + (n - 1) * s * s AS DOUBLE)
+             / CAST(n * n * qq - n * s * s AS DOUBLE) END AS acf1,
+           CASE WHEN n * n * qq - n * s * s = 0 THEN NULL ELSE
+             CAST(n * n * c2 - n * s * (a2 + b2) + (n - 2) * s * s AS DOUBLE)
+             / CAST(n * n * qq - n * s * s AS DOUBLE) END AS acf2,
+           CASE WHEN n * n * qq - n * s * s = 0 THEN NULL ELSE
+             CAST(n * n * c3 - n * s * (a3 + b3) + (n - 3) * s * s AS DOUBLE)
+             / CAST(n * n * qq - n * s * s AS DOUBLE) END AS acf3
+    FROM sums
+    WHERE n >= 8
+    ORDER BY user_id
+    """,
+    tags=("timeseries", "window", "agg"),
+)
+def q_ts_acf(spark, sf_dir):
+    """Per-series AUTOCORRELATION function at lags 1-3 — the
+    diagnostic every forecasting pipeline runs before choosing model
+    order (Box-Jenkins identification), and the seasonality probe for
+    the RC module's input series.
+
+    FLOAT POLICY — one division, everything else integer: the textbook
+    estimator r_k = SUM((x_t - mean)(x_{t-k} - mean)) / SUM((x - mean)^2)
+    subtracts a float mean per row, which no cross-engine hash
+    survives. Multiplying both sides through by n^2 (mean = s/n)
+    turns numerator and denominator into pure BIGINT combinations of
+    map-side sums:
+
+        num_k * n^2 = n^2*C_k - n*s*(A_k + B_k) + (n-k)*s^2
+        den   * n^2 = n^2*Q   - n*s^2
+
+    with C_k = SUM(q_t*q_{t-k}), A_k/B_k the head/tail partial sums
+    and Q = SUM(q^2), all over integer units q = FLOOR(value). The
+    single final BIGINT/BIGINT division is bit-identical cross-engine.
+    Constant series (den = 0) yield NULL, not a div-by-zero.
+
+    100 TB: lag alignment is one (user_id) shuffle; the twelve sums
+    ride a partial+final hash agg on the SAME partitioning (no second
+    exchange — lag and groupBy share the key). Integer headroom: with
+    q <= 1e3 the n^2*C_k term stays under 9.2e18 up to ~1e6 rows per
+    series; past that, swap the BIGINT sums for DECIMAL(38,0) (no
+    cross-engine constraint in production).
+    """
+    ev = load(spark, sf_dir, "events")
+    q = F.floor("value").cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        q.alias("q"),
+        F.lag(q, 1).over(w).alias("q1"),
+        F.lag(q, 2).over(w).alias("q2"),
+        F.lag(q, 3).over(w).alias("q3"),
+    )
+    sums = lagged.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("qq"),
+        F.sum(F.col("q") * F.col("q1")).alias("c1"),
+        F.sum(F.col("q") * F.col("q2")).alias("c2"),
+        F.sum(F.col("q") * F.col("q3")).alias("c3"),
+        F.sum(F.when(F.col("q1").isNotNull(), F.col("q"))).alias("a1"),
+        F.sum(F.when(F.col("q2").isNotNull(), F.col("q"))).alias("a2"),
+        F.sum(F.when(F.col("q3").isNotNull(), F.col("q"))).alias("a3"),
+        F.sum("q1").alias("b1"),
+        F.sum("q2").alias("b2"),
+        F.sum("q3").alias("b3"),
+    )
+    n, s = F.col("n"), F.col("s")
+    den = n * n * F.col("qq") - n * s * s
+
+    def acf(k: int):
+        num = (
+            n * n * F.col(f"c{k}")
+            - n * s * (F.col(f"a{k}") + F.col(f"b{k}"))
+            + (n - F.lit(k)) * s * s
+        )
+        return F.when(den != 0, num.cast("double") / den.cast("double"))
+
+    return (
+        sums.filter(n >= 8)
+        .select(
+            "user_id",
+            "n",
+            acf(1).alias("acf1"),
+            acf(2).alias("acf2"),
+            acf(3).alias("acf3"),
+        )
+        .orderBy("user_id")
+    )

@@ -844,3 +844,164 @@ def q_stream_cep(spark, sf_dir):
     s = events_stream(spark, sf_dir)
     out = run_to_memory(stream_cep(s), output_mode="append")
     return out.orderBy("user_id", "first_view_id")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_timeout — event-time TIMERS: absence detection (view w/o click)
+# ---------------------------------------------------------------------------
+
+TIMEOUT_US = 12 * 3600 * 1_000_000  # 12h click horizon
+
+TIMEOUT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_id", T.LongType()),
+        T.StructField("view_ts_us", T.LongType()),
+        T.StructField("deadline_us", T.LongType()),
+    ]
+)
+
+TIMEOUT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("view_id", T.LongType()),
+        T.StructField("view_ts_us", T.LongType()),
+    ]
+)
+
+
+def _timeout_kernel(key, pdf_iter, state):
+    """Per-user absence detector. State = the latest pending view (2
+    bigints). A newer view REPLACES the pending one; a click within
+    the horizon DISARMS it; an event-time timer emits the alert when
+    the watermark passes the deadline with neither. Because the replay
+    delivers events in event-time order, an arriving event with
+    ts > deadline also PROVES the absence (no earlier event can still
+    arrive), so the kernel emits on whichever comes first — timer or
+    proof event; both paths produce the identical row, and the state
+    is cleared so it emits exactly once."""
+    if state.hasTimedOut:
+        view_id, view_ts = state.get
+        yield pd.DataFrame(
+            [(key[0], view_id, view_ts, view_ts + TIMEOUT_US)],
+            columns=["user_id", "view_id", "view_ts_us", "deadline_us"],
+        )
+        state.remove()
+        return
+    pending = state.get if state.exists else None
+    out = []
+    pdfs = list(pdf_iter)
+    pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+    pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
+    for ts_us, eid, etype in zip(
+        pdf["ts_us"].to_numpy(), pdf["event_id"].to_numpy(), pdf["event_type"]
+    ):
+        if pending is not None and int(ts_us) > pending[1] + TIMEOUT_US:
+            out.append(
+                (key[0], pending[0], pending[1], pending[1] + TIMEOUT_US)
+            )
+            pending = None
+        if etype == "view":
+            pending = (int(eid), int(ts_us))
+        else:  # click
+            pending = None
+    if pending is not None:
+        state.update(pending)
+        # the timer clock is MILLISECONDS (floor µs -> ms)
+        state.setTimeoutTimestamp((pending[1] + TIMEOUT_US) // 1000)
+    elif state.exists:
+        state.remove()
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "view_id", "view_ts_us", "deadline_us"],
+        )
+
+
+def stream_timeout(s):
+    slim = (
+        s.filter(F.col("event_type").isin("view", "click"))
+        .withWatermark("ts", "10 minutes")
+        # the watermarked column itself must reach the stateful
+        # operator's input, so carry ts alongside its µs projection
+        .select(
+            "user_id",
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        _timeout_kernel,
+        outputStructType=TIMEOUT_OUT_SCHEMA,
+        stateStructType=TIMEOUT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+@register(
+    "q_stream_timeout",
+    oracle="""
+        WITH vc AS (
+            SELECT user_id, event_id, ts, event_type
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        seq AS (
+            SELECT user_id, event_id, ts, event_type,
+                   lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS next_us
+            FROM vc
+        ),
+        mx AS (
+            -- watermark clock is ms: final wm = floor_ms(max ts) - 10 min
+            SELECT epoch_ms(MAX(ts)) - 600000 AS wm_ms FROM vc
+        )
+        SELECT user_id, event_id AS view_id,
+               epoch_us(ts) AS view_ts_us,
+               epoch_us(ts) + CAST(43200000000 AS BIGINT) AS deadline_us
+        FROM seq, mx
+        WHERE event_type = 'view'
+          AND (
+            -- proof-event path: the user's next view/click lies beyond
+            -- the horizon, so its arrival decides the absence
+            (next_us IS NOT NULL
+             AND next_us > epoch_us(ts) + CAST(43200000000 AS BIGINT))
+            -- timer path: no further view/click at all -- emits iff the
+            -- final watermark passed the ms-floored deadline (STRICT >,
+            -- Spark fires timers on timeoutTimestamp < watermark)
+            OR (next_us IS NULL
+                AND (epoch_us(ts) + CAST(43200000000 AS BIGINT)) // 1000
+                    < wm_ms)
+          )
+        ORDER BY user_id, view_id
+    """,
+)
+def q_stream_timeout(spark, sf_dir):
+    """EVENT-TIME TIMERS / absence detection — the classic Flink
+    KeyedProcessFunction timer use-case Spark's windowed operators
+    can't express: alert when a 'view' is NOT followed by a click (or
+    a fresh view) within 12 hours. applyInPandasWithState with
+    EventTimeTimeout arms one timer per user (the ms-floored deadline
+    of the latest pending view); the timer fires in the no-data
+    micro-batch once the watermark passes it, and an arriving
+    same-user event beyond the deadline emits the identical alert
+    early (absence is already proven in event-time order) — exactly
+    once either way, so the output is batch-slicing-invariant.
+
+    Exact-oracled: the batch twin is a lead() over the view/click
+    subsequence — a view times out iff its successor is beyond the
+    horizon, or it has none and the pinned final watermark
+    (floor_ms(max ts) - 10 min, the q_stream_watermark_late model)
+    passed its deadline. The hash pins both emission paths AND the
+    strict < timer-fire boundary.
+
+    100 TB: state is 2 bigints per key with an armed timer — the state
+    store holds O(users currently pending), watermark-bounded; this is
+    the cart-abandonment / SLA-breach / heartbeat-loss shape every
+    event pipeline needs, at the cost of one user_id shuffle.
+    """
+    ensure_package_shipped(spark)
+    s = events_stream(spark, sf_dir)
+    out = run_to_memory(stream_timeout(s), output_mode="append")
+    return out.orderBy("user_id", "view_id")

@@ -1023,3 +1023,28 @@ def test_stream_cep_equals_batch_twin(spark, sf_dir):
         .toPandas()
     )
     assert len(a) > 0 and a.equals(b), (len(a), len(b))
+
+
+def test_stream_timeout_slicing_invariant_and_timer_fires(spark, sf_dir):
+    """q_stream_timeout's alerts must be identical whether events
+    arrive as ONE batch or 6 event-time-ordered micro-batches. The
+    multi-batch replay is the one that actually exercises EVENT-TIME
+    TIMERS mid-stream: the watermark advances between batches, so
+    pending views whose deadline falls behind it fire in the timer
+    path (state.hasTimedOut) rather than the proof-event path — the
+    outputs must agree row-for-row regardless of which path emitted."""
+    from flink_rc_spark.registry import REGISTRY
+    from flink_rc_spark.streaming.replay import events_stream, run_to_memory
+    from flink_rc_spark.streaming.stateful import stream_timeout
+
+    a = (
+        REGISTRY["q_stream_timeout"].builder(spark, sf_dir)
+        .orderBy("user_id", "view_id")
+        .toPandas()
+    )
+    stats: dict = {}
+    s6 = events_stream(spark, sf_dir, n_splits=6)
+    out = run_to_memory(stream_timeout(s6), output_mode="append", stats=stats)
+    b = out.orderBy("user_id", "view_id").toPandas()
+    assert stats["num_batches"] >= 6, stats
+    assert len(a) > 0 and a.equals(b), (len(a), len(b))
