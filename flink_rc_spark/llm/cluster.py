@@ -218,3 +218,160 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embed_pca — first principal component by power iteration, hash-exact
+# ---------------------------------------------------------------------------
+
+PIT_ROUNDS = 12
+_PIT_TARGET = 1 << 20  # rescale matvec results to ~2^20 between rounds
+
+
+def _pca_rounds_cte() -> str:
+    """Unrolled power iteration as DuckDB CTE text (generated — the
+    round body is identical per round). Each round is one matvec over
+    the 64x64 integer Gram plus an EXACT-FLOOR rescale: v' =
+    floor(w / gg) with gg = max|w| // 2^20 + 1, spelled with the
+    positive-offset trick (w + (ma // gg + 1) * gg) // gg -
+    (ma // gg + 1) so the only divisions have positive numerators —
+    where DuckDB's flooring // and Spark's truncating DIV (and
+    Python's //) all agree. Every CTE is MATERIALIZED: DuckDB inlines
+    plain CTEs, and 12 rounds each referencing gq + the previous v
+    would otherwise expand the Gram subtree ~3^12 times (observed:
+    fd exhaustion from re-opened parquet scans). Expects gq(d, e, g)
+    and v0(d, v)."""
+    parts = []
+    for k in range(1, PIT_ROUNDS + 1):
+        parts.append(f"""
+    w{k} AS MATERIALIZED (
+        SELECT gq.d, CAST(SUM(gq.g * v.v) AS BIGINT) AS w
+        FROM gq JOIN v{k - 1} v ON gq.e = v.d GROUP BY gq.d
+    ),
+    m{k} AS MATERIALIZED (
+        SELECT MAX(ABS(w)) AS ma,
+               MAX(ABS(w)) // {_PIT_TARGET} + 1 AS gg
+        FROM w{k}
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT d, (w + (ma // gg + 1) * gg) // gg - (ma // gg + 1) AS v
+        FROM w{k}, m{k}
+    )""")
+    return ",".join(parts)
+
+
+@register(
+    "q_embed_pca",
+    oracle=f"""
+    WITH vec AS MATERIALIZED (SELECT vec_id, {_QUANT_DUCK} AS m FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM vec),
+    sums AS (SELECT r.i AS i, CAST(SUM(m[r.i]) AS BIGINT) AS s
+             FROM vec CROSS JOIN range(1, {DIM + 1}) r(i) GROUP BY r.i),
+    mu AS (SELECT i, s // (SELECT n FROM nn) AS mu FROM sums),
+    cent AS MATERIALIZED (
+        SELECT vec_id, r.i AS i, m[r.i] - mu.mu AS c
+        FROM vec CROSS JOIN range(1, {DIM + 1}) r(i)
+        JOIN mu ON mu.i = r.i
+    ),
+    gram AS MATERIALIZED (
+        SELECT a.i AS d, b.i AS e, CAST(SUM(a.c * b.c) AS BIGINT) AS g
+        FROM cent a JOIN cent b USING (vec_id) GROUP BY a.i, b.i
+    ),
+    gm AS (
+        SELECT MAX(ABS(g)) AS ma,
+               MAX(ABS(g)) // {_PIT_TARGET} + 1 AS gg
+        FROM gram
+    ),
+    gq AS MATERIALIZED (
+        SELECT d, e, (g + (ma // gg + 1) * gg) // gg - (ma // gg + 1) AS g
+        FROM gram, gm
+    ),
+    v0 AS (SELECT r.i AS d, CAST(1 AS BIGINT) AS v
+           FROM range(1, {DIM + 1}) r(i)),
+    {_pca_rounds_cte()},
+    nrm AS (SELECT SQRT(CAST(SUM(v * v) AS DOUBLE)) AS nv
+            FROM v{PIT_ROUNDS})
+    SELECT d AS dim, v AS v_fixed,
+           CAST(v AS DOUBLE) / (SELECT nv FROM nrm) AS loading
+    FROM v{PIT_ROUNDS}
+    ORDER BY d
+    """,
+    tags=("llm", "ml", "linalg"),
+)
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST PRINCIPAL COMPONENT of the embedding corpus — the
+    dimensionality diagnostic (dominant direction + its loadings)
+    every embedding pipeline runs before whitening, Matryoshka
+    truncation, or drift monitoring.
+
+    ARCHITECTURE — Gram-block + driver solve (the rc/readout.py R5
+    pattern): the data-sized work is the 64x64 covariance Gram,
+    computed distributed as an exploded outer-product aggregate
+    (map-side combine caps shuffle volume at 4096 rows per task,
+    independent of corpus size); the model-sized work — 12 rounds of
+    power iteration on the 4096-entry Gram — runs on the driver, the
+    same split FAISS uses for codebook fits. At 100 TB only the Gram
+    agg grows; the driver never sees a vector. (A production variant
+    computes per-partition numpy Grams via mapInPandas — fewer rows
+    exploded; the relational spelling here is what the cross-engine
+    hash can pin.)
+
+    INTEGER FIXED-POINT, end-to-end exact: quantized coords (the
+    q_kmeans grid), floor-mean centering mu = S DIV n (positive
+    operands), integer Gram, then every power-iteration round rescales
+    by gg = max|w| // 2^20 + 1 using exact floor division spelled with
+    the positive-offset trick — DuckDB //, Spark DIV, and Python //
+    all compute the identical integer, so after 12 rounds the
+    eigenvector estimate (and its sign) is bit-identical in all three.
+    The ONLY floats are the final sqrt + division, both correctly
+    rounded IEEE on identical integer inputs. Top-eigenvalue gap on
+    near-uniform synthetic data is small, so 12 rounds pin a
+    DETERMINISTIC estimate rather than a converged one — the contract
+    is the algorithm, hash-checked; convergence quality is asserted
+    separately in tests (Rayleigh quotient must dominate the average
+    eigenvalue).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    vec = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("m"))
+    exploded = vec.select("vec_id", F.posexplode("m").alias("i0", "md"))
+    mu_arr = (
+        exploded.groupBy("i0")
+        .agg(F.expr("SUM(md) DIV COUNT(*)").alias("mu"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i0", "mu"))),
+                lambda s: s["mu"],
+            ).alias("mu_arr")
+        )
+    )
+    centered = vec.crossJoin(F.broadcast(mu_arr)).select(
+        F.expr("zip_with(m, mu_arr, (a, b) -> a - b)").alias("c")
+    )
+    pairs = centered.select(
+        F.posexplode("c").alias("d0", "cd"), "c"
+    ).select("d0", "cd", F.posexplode("c").alias("e0", "ce"))
+    gram_rows = (
+        pairs.groupBy("d0", "e0")
+        .agg(F.sum(F.col("cd") * F.col("ce")).alias("g"))
+        .collect()
+    )
+    # model-sized driver solve: exact Python ints mirror the bigint ops
+    gram = {(r["d0"], r["e0"]): int(r["g"]) for r in gram_rows}
+    ma = max(abs(g) for g in gram.values())
+    gg = ma // _PIT_TARGET + 1
+    gq = [
+        [gram[(d, e)] // gg for e in range(DIM)] for d in range(DIM)
+    ]
+    v = [1] * DIM
+    for _ in range(PIT_ROUNDS):
+        w = [sum(gq[d][e] * v[e] for e in range(DIM)) for d in range(DIM)]
+        wa = max(abs(x) for x in w)
+        wg = wa // _PIT_TARGET + 1
+        v = [x // wg for x in w]
+    import math
+
+    nv = math.sqrt(float(sum(x * x for x in v)))
+    out = [(d + 1, v[d], float(v[d]) / nv) for d in range(DIM)]
+    schema = "dim BIGINT, v_fixed BIGINT, loading DOUBLE"
+    return spark.createDataFrame(out, schema).orderBy("dim")

@@ -438,3 +438,202 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = with_media_columns(docs).select("doc_id", "payload")
     return media.mapInPandas(_resize_batches, _RESIZE_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_image_ahash — perceptual-hash (aHash) image dedup over REAL decodes
+# ---------------------------------------------------------------------------
+
+_AW = _AH = 4  # 4x4 RGB -> 16-pixel grayscale -> 16-bit aHash
+_BMP4_HEADER = encode_bmp(np.zeros((_AH, _AW, 3), dtype=np.uint8))[:54]
+
+
+def with_ahash_media(docs: DataFrame) -> DataFrame:
+    """4x4 24-bit BMP payload whose 48 pixel bytes are
+    md5(text) || md5(text||'g') || md5(text||'h') — a 4x4 row is 12
+    bytes (4-byte aligned, so no row padding), stored bottom-up per
+    the BMP spec. Same generating-recurrence contract as
+    with_media_columns: a REAL container any BMP reader decodes, yet
+    every pixel is reproducible in SQL from the md5 hex."""
+    hx = F.concat(
+        F.md5("text"),
+        F.md5(F.concat(F.col("text"), F.lit("g"))),
+        F.md5(F.concat(F.col("text"), F.lit("h"))),
+    )
+    payload = F.concat(F.lit(bytearray(_BMP4_HEADER)), F.unhex(hx))
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas aHash kernel — the classic average-hash, all
+    integer: REAL decode, per-pixel gray = (r+g+b) DIV 3, floor-mean
+    threshold, bit i = gray(y, x) >= mean at i = 4y + x (row-major on
+    the decoded top-down array)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        hashes = []
+        for payload in pdf["payload"]:
+            arr = decode_image(bytes(payload)).astype(np.int64)
+            gray = arr.sum(axis=2) // 3  # channel-order invariant
+            avg = int(gray.sum()) // (_AW * _AH)
+            bits = (gray.reshape(-1) >= avg).astype(np.int64)
+            hashes.append(int((bits << np.arange(_AW * _AH)).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "ahash": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+
+# DuckDB expression for stored pixel byte j (0-based) of the 96-char
+# concatenated md5 hex: two hex digits via strpos arithmetic, as in
+# q_multimodal_decode's oracle.
+def _duck_byte(j: str) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substr(hx, 2*({j})+1, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr(hx, 2*({j})+2, 1)) - 1)"
+    )
+
+
+# decoded row y maps to stored row 3-y (BMP rows are bottom-up);
+# gray is the byte-triple sum DIV 3 (BGR/RGB invariant)
+_DUCK_GRAY = (
+    "("
+    + _duck_byte("12*(3 - i//4) + 3*(i%4)")
+    + " + "
+    + _duck_byte("12*(3 - i//4) + 3*(i%4) + 1")
+    + " + "
+    + _duck_byte("12*(3 - i//4) + 3*(i%4) + 2")
+    + ") // 3"
+)
+
+
+@register(
+    "q_image_ahash",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+        SELECT doc_id,
+               md5(text) || md5(text || 'g') || md5(text || 'h') AS hx
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i -> {_DUCK_GRAY}) AS grays
+        FROM h
+    ),
+    a AS (SELECT doc_id, grays, list_sum(grays) // 16 AS avg FROM g),
+    hsh AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 16), i ->
+                   CASE WHEN grays[i + 1] >= avg
+                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+                   AS BIGINT) AS ahash
+        FROM a
+    ),
+    bands AS (
+        SELECT doc_id, ahash, b.band_id,
+               CASE b.band_id WHEN 0 THEN ahash & 63
+                              WHEN 1 THEN (ahash >> 6) & 31
+                              ELSE (ahash >> 11) & 31 END AS bv
+        FROM hsh, (VALUES (0), (1), (2)) b(band_id)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.ahash AS ha, b.ahash AS hb
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.bv = b.bv
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH IMAGE DEDUP — average hash (aHash) over real
+    BMP payloads, then banded near-duplicate pairing at Hamming <= 2:
+    the image-side twin of q_dedup_simhash, closing the multimodal x
+    dedup crossover (near-dup IMAGE detection is a first-class
+    curation stage for vision-language corpora).
+
+    Pipeline: mapInPandas decodes each container for real (pure-Python
+    codec, no PIL) and computes the all-integer aHash — grayscale
+    DIV-3, floor-mean threshold, 16 bits; then a 3-band pigeonhole
+    (6+5+5 bits) generates candidates — LOSSLESS for Hamming <= 2
+    (2 differing bits can touch at most 2 of 3 bands) — and exact
+    bit_count(xor) verifies. The oracle regenerates every pixel from
+    the md5 hex (accounting for BMP's bottom-up row order), so the
+    hash pins decode -> grayscale -> threshold -> banding -> verify
+    end-to-end against an engine that never parsed a BMP.
+
+    100 TB: per-image work is an Arrow-batched map; the pair stage is
+    the simhash playbook — one shuffle on (band_id, value), pairs only
+    within buckets, never all-pairs. Production images use 64-bit
+    aHash/pHash on 8x8 downsamples with 4x16-bit banding — identical
+    shape, bigger constants; the downsample itself rides the same
+    kernel (box-average is integer too).
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = with_ahash_media(docs).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hashes = media.mapInPandas(_ahash_batches, _AHASH_SCHEMA)
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.col("ahash").bitwiseAND(F.lit(63)).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.shiftright("ahash", 6).bitwiseAND(F.lit(31)).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_id"),
+                    F.shiftright("ahash", 11).bitwiseAND(F.lit(31)).alias("bv"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "ahash", "b.band_id", "b.bv")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(hamming <= 2)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

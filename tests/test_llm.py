@@ -974,3 +974,34 @@ def test_matryoshka_funnel_recall(spark, sf_dir):
     for r in rows:
         true_cos = float(unit[r.vec_id] @ unit[r.cand_id])
         assert abs(r.cosine - true_cos) < 1e-3, (r, true_cos)
+
+
+def test_embed_pca_rayleigh_dominates(spark, sf_dir):
+    """The hash pins q_embed_pca's 12-round power-iteration output as
+    a deterministic integer sequence; THIS test pins its quality: the
+    returned direction's Rayleigh quotient against the true float
+    covariance must dominate the average eigenvalue (ratio >= 1.3)
+    and capture >= 85% of the true top eigenvalue — i.e. the
+    fixed-point iteration found the dominant direction, not an
+    artifact of quantization. Synthetic near-uniform embeddings are
+    the worst case (smallest spectral gap), so these bounds hold with
+    margin on any real corpus."""
+    import numpy as np
+
+    rows = _run(spark, sf_dir, "q_embed_pca").collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+    X = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(X.T, bias=True)
+    ray = float(v @ C @ v)
+    evals = np.linalg.eigvalsh(C)
+    assert abs(float(v @ v) - 1.0) < 1e-9
+    assert ray / evals.mean() >= 1.3, (ray, evals.mean())
+    assert ray / evals.max() >= 0.85, (ray, evals.max())
