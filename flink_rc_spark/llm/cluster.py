@@ -375,3 +375,102 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [(d + 1, v[d], float(v[d]) / nv) for d in range(DIM)]
     schema = "dim BIGINT, v_fixed BIGINT, loading DOUBLE"
     return spark.createDataFrame(out, schema).orderBy("dim")
+
+
+@register(
+    "q_embed_drift",
+    oracle=f"""
+    WITH vec AS MATERIALIZED (
+        SELECT vec_id % 2 AS half, {_QUANT_DUCK} AS m FROM embeddings
+    ),
+    dims AS (
+        SELECT half, r.i AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m[r.i]) AS BIGINT) AS s,
+               CAST(SUM(m[r.i] * m[r.i]) AS BIGINT) AS qq
+        FROM vec CROSS JOIN range(1, {DIM + 1}) r(i)
+        GROUP BY half, r.i
+    ),
+    sides AS (
+        SELECT a.dim,
+               a.s // a.n AS mean_a, b.s // b.n AS mean_b,
+               a.n AS n_a, b.n AS n_b,
+               a.n * a.qq - a.s * a.s AS va_n2,
+               b.n * b.qq - b.s * b.s AS vb_n2
+        FROM dims a JOIN dims b USING (dim)
+        WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT dim, mean_a, mean_b,
+           mean_b - mean_a AS delta,
+           CAST(ABS(mean_b - mean_a) AS DOUBLE)
+             / SQRT((CAST(va_n2 AS DOUBLE) / n_a / n_a
+                     + CAST(vb_n2 AS DOUBLE) / n_b / n_b) / 2 + 1.0)
+             AS drift_z
+    FROM sides
+    ORDER BY dim
+    """,
+    tags=("llm", "ml", "monitoring"),
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT MONITOR — per-dimension mean shift between two
+    corpus snapshots (halves by vec_id parity here; in production,
+    yesterday's batch vs today's): the check that catches a retrained
+    or misconfigured encoder before it poisons dedup thresholds and
+    ANN indexes downstream.
+
+    Integer core per the registry policy: fixed-point coords (the
+    q_kmeans grid), floor means s DIV n, and the variance NUMERATOR
+    kept exact as n*SUM(q^2) - s^2 (no division). The only floats are
+    the final standardized drift score — |delta| over the pooled
+    per-dim std (+1 variance floor so an all-constant dim yields 0,
+    not a div-by-zero) — identical single-expression arithmetic in
+    both engines.
+
+    100 TB: one hash agg keyed (half, dim) — 128 output rows
+    regardless of corpus size, map-side combined; the join of the two
+    halves is dim-keyed over 64 rows. Monitoring cost is one scan.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode(F.expr(_QUANT_SPARK)).alias("i0", "q"),
+        )
+        .groupBy("half", (F.col("i0") + 1).alias("dim"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("s"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
+        )
+    )
+    a = dims.filter(F.col("half") == 0).alias("a")
+    b = dims.filter(F.col("half") == 1).alias("b")
+    sides = a.join(b, F.col("a.dim") == F.col("b.dim")).select(
+        F.col("a.dim").alias("dim"),
+        F.expr("a.s DIV a.n").alias("mean_a"),
+        F.expr("b.s DIV b.n").alias("mean_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        (F.col("a.n") * F.col("a.qq") - F.col("a.s") * F.col("a.s")).alias(
+            "va_n2"
+        ),
+        (F.col("b.n") * F.col("b.qq") - F.col("b.s") * F.col("b.s")).alias(
+            "vb_n2"
+        ),
+    )
+    delta = F.col("mean_b") - F.col("mean_a")
+    drift = F.abs(delta).cast("double") / F.sqrt(
+        (
+            F.col("va_n2").cast("double") / F.col("n_a") / F.col("n_a")
+            + F.col("vb_n2").cast("double") / F.col("n_b") / F.col("n_b")
+        )
+        / 2
+        + 1.0
+    )
+    return sides.select(
+        "dim",
+        "mean_a",
+        "mean_b",
+        delta.alias("delta"),
+        drift.alias("drift_z"),
+    ).orderBy("dim")

@@ -6,9 +6,13 @@ These complete the graph surface next to the existing fixpoint keys
 q_graph_triangles census): PageRank/label-prop iterate VALUES over a
 fixed topology, while the two keys here iterate the TOPOLOGY itself —
 reachability frontiers and ancestor closures — which is what recursive
-CTEs compute in a warehouse. Spark has no WITH RECURSIVE, so each key
-shows the idiomatic distributed replacement and its DuckDB oracle IS
-the recursive CTE it replaces.
+CTEs compute in a warehouse. Spark 4.1 DOES ship WITH RECURSIVE
+(exercised natively by q_recursive_cte in operators/subqueries.py,
+UNION ALL semantics only); the hand-written loops here remain the
+scale path where recursion hurts — cyclic graphs need the visited
+anti-join UNION-dedup gives a warehouse, and deep chains want pointer
+doubling's log d rounds — and each key's DuckDB oracle IS the
+recursive CTE it replaces.
 
 100 TB story:
 - BFS expands a frontier for a BOUNDED hop count: each round is one

@@ -471,3 +471,76 @@ def q_hilbert_layout(spark, sf_dir):
         .orderBy(F.desc("n_rows"), "bucket")
         .limit(20)
     )
+
+
+@register(
+    "q_skew_stats",
+    oracle="""
+        WITH per_key AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY user_id
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM per_key
+        )
+        SELECT user_id, n_rows,
+               n_rows * 1000000 // total AS share_ppm,
+               (n_rows * n_keys + total - 1) // total AS skew_x,
+               CASE WHEN n_rows * 32 > total
+                    THEN (n_rows * 32 + total - 1) // total
+                    ELSE 1 END AS salt_factor
+        FROM per_key, tot
+        ORDER BY n_rows DESC, user_id
+        LIMIT 10
+    """,
+    tags=("scan", "ops", "agg"),
+)
+def q_skew_stats(spark, sf_dir):
+    """JOIN-KEY SKEW AUDIT — the pre-flight a 100 TB pipeline runs
+    before shuffling on a key: the top-10 heaviest keys with their
+    row share (integer ppm), skew factor vs a uniform key (x times
+    the average key's volume, ceil), and the SALT FACTOR a salted
+    join/agg would need to split that key across a 32-partition
+    shuffle (ceil(n_key * parts / total), floored at 1). q_join_salted
+    and q_agg_salted apply the remedy; this key computes the
+    diagnosis that decides WHEN to apply it (AQE's skewedJoin makes
+    the same measurement from shuffle statistics at runtime).
+
+    All-integer: shares in ppm via BIGINT floor-div, both ceils as
+    (a + b - 1) DIV b with positive operands — hash-exact with no
+    float policy needed.
+
+    100 TB: one hash agg keyed by the audited key (map-side combined),
+    then a single-partition top-10 over the key rollup — the rollup is
+    |distinct keys|-sized, and the TakeOrdered is limit-first.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    tot = per_key.agg(
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    n, t, k = F.col("n_rows"), F.col("total"), F.col("n_keys")
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            F.expr("n_rows * 1000000 DIV total").alias("share_ppm"),
+            # integer DIV throughout — float division then cast would
+            # round, not floor, for large counts
+            F.expr("(n_rows * n_keys + total - 1) DIV total").alias("skew_x"),
+            F.when(
+                n * 32 > t,
+                F.expr("(n_rows * 32 + total - 1) DIV total"),
+            )
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("salt_factor"),
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(10)
+    )

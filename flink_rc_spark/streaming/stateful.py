@@ -905,9 +905,24 @@ def _timeout_kernel(key, pdf_iter, state):
         else:  # click
             pending = None
     if pending is not None:
-        state.update(pending)
         # the timer clock is MILLISECONDS (floor µs -> ms)
-        state.setTimeoutTimestamp((pending[1] + TIMEOUT_US) // 1000)
+        deadline_ms = (pending[1] + TIMEOUT_US) // 1000
+        if deadline_ms <= state.getCurrentWatermarkMs():
+            # REDELIVERY guard: a re-seen old view may re-arm a pending
+            # whose deadline the watermark already passed — the absence
+            # is decided (no view/click with ts <= deadline can still
+            # arrive), so emit the identical alert row now instead of
+            # arming an invalid timer. Unreachable in an ordered clean
+            # replay (the trailing watermark is always behind a fresh
+            # view's deadline), so the oracle is unaffected.
+            out.append(
+                (key[0], pending[0], pending[1], pending[1] + TIMEOUT_US)
+            )
+            if state.exists:
+                state.remove()
+        else:
+            state.update(pending)
+            state.setTimeoutTimestamp(deadline_ms)
     elif state.exists:
         state.remove()
     if out:

@@ -351,3 +351,40 @@ def test_hilbert_adjacent_cells_and_locality(spark):
     # curve must be adjacent; the subgrid misses some curve cells, so
     # demand adjacency for the overwhelming majority of steps
     assert adjacent / (len(ds) - 1) > 0.95, adjacent / (len(ds) - 1)
+
+
+def test_pipe_syntax_desugars_to_classic_plan(spark, sf_dir):
+    """q_pipe_syntax's |> chain must be pure parser sugar: the same
+    query spelled as classic SQL (EXTEND = a subquery projection)
+    optimizes to the TEXTUALLY IDENTICAL plan modulo expression ids —
+    so every optimizer benefit (pushdown, partial agg, codegen)
+    carries over verbatim. (sameSemantics is stricter than needed
+    here — it canonicalizes less than id-normalization does across
+    separately-parsed queries.)"""
+    import re
+
+    from flink_rc_spark.sources import load as _load
+
+    df = _q("q_pipe_syntax", spark, sf_dir)
+    _load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    classic = spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(disc_price) AS DOUBLE) AS revenue
+        FROM (
+            SELECT *, CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS disc_price
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+        )
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+    def norm(frame):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"#\d+L?", "#x", plan)
+
+    assert norm(df) == norm(classic)

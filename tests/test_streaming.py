@@ -1048,3 +1048,131 @@ def test_stream_timeout_slicing_invariant_and_timer_fires(spark, sf_dir):
     b = out.orderBy("user_id", "view_id").toPandas()
     assert stats["num_batches"] >= 6, stats
     assert len(a) > 0 and a.equals(b), (len(a), len(b))
+
+
+def _chaos_timeout_replay(spark, tmp_path, name, chunks):
+    """Replay `chunks` (one file per micro-batch) through the
+    q_stream_timeout pipeline."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from flink_rc_spark.streaming.replay import run_to_memory
+    from flink_rc_spark.streaming.stateful import stream_timeout
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        path = f"{d}/part-{i:04d}.parquet"
+        pq.write_table(chunk, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    stats: dict = {}
+    out = run_to_memory(stream_timeout(s), output_mode="append", stats=stats)
+    return out, stats
+
+
+def _chaos_timeout_expected(spark, chunks):
+    """The q_stream_timeout oracle rule (lead over the delivered
+    view/click subsequence; pinned final watermark) recomputed over
+    exactly the rows the replay delivered."""
+    import pyarrow as pa
+
+    from flink_rc_spark.streaming.stateful import TIMEOUT_US
+
+    rows = (
+        spark.createDataFrame(pa.concat_tables(chunks).to_pandas())
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wm_ms = rows.agg(
+        (F.floor(F.max("ts_us") / 1000) - 600_000).alias("w")
+    ).first()[0]
+    seq = rows.withColumn("next_us", F.lead("ts_us").over(w))
+    deadline = F.col("ts_us") + F.lit(TIMEOUT_US)
+    return (
+        seq.filter(F.col("event_type") == "view")
+        .filter(
+            (F.col("next_us").isNotNull() & (F.col("next_us") > deadline))
+            | (
+                F.col("next_us").isNull()
+                & (F.floor(deadline / 1000) < F.lit(wm_ms))
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts_us").alias("view_ts_us"),
+            deadline.alias("deadline_us"),
+        )
+    )
+
+
+def _timeout_rowset(df):
+    return {(r.user_id, r.view_id, r.view_ts_us, r.deadline_us) for r in df.collect()}
+
+
+def test_stream_timeout_chaos_dropped_batch(spark, sf_dir, tmp_path):
+    """CHAOS: a micro-batch vanishes mid-replay. Absence detection must
+    be driven by what was actually delivered: a dropped click makes its
+    view's timeout REAL, and the output must equal the oracle rule
+    recomputed over the surviving rows — timers and proof events alike."""
+    chunks = _chaos_chunks(sf_dir)
+    survived = chunks[:4] + chunks[5:]
+    out, stats = _chaos_timeout_replay(spark, tmp_path, "to_dropped", survived)
+    assert stats["num_batches"] >= len(survived), stats
+    got = _timeout_rowset(out)
+    want = _timeout_rowset(_chaos_timeout_expected(spark, survived))
+    assert len(got) > 0
+    assert got == want, (
+        f"dropped-batch timeout replay diverged: {len(got)} vs {len(want)}, "
+        f"missing={list(want - got)[:5]}, extra={list(got - want)[:5]}"
+    )
+
+
+def test_stream_timeout_chaos_duplicated_batch(spark, sf_dir, tmp_path):
+    """CHAOS: at-least-once redelivery of a micro-batch. The timeout
+    state machine's transitions are idempotent (a re-armed view is the
+    same pending row; a re-seen click still disarms), so the SET of
+    alerts must equal the clean replay's — redelivered in-batch pairs
+    may re-emit an alert row (append sink, at-least-once), which a
+    downstream idempotent sink keyed on view_id absorbs; no alert may
+    appear that the clean replay would not produce, and none may go
+    missing."""
+    chunks = _chaos_chunks(sf_dir)
+    doubled = chunks[:5] + [chunks[4]] + chunks[5:]
+    out, stats = _chaos_timeout_replay(spark, tmp_path, "to_duplicated", doubled)
+    assert stats["num_batches"] >= len(doubled), stats
+    got = _timeout_rowset(out)
+    want = _timeout_rowset(_chaos_timeout_expected(spark, chunks))
+    assert len(got) > 0
+    assert got == want, (
+        f"duplicated-batch timeout replay diverged from clean alert set: "
+        f"missing={list(want - got)[:5]}, extra={list(got - want)[:5]}"
+    )
