@@ -390,3 +390,115 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     files = files.repartition(spark.sparkContext.defaultParallelism)
     return files.mapInPandas(_audio_batches, _AUDIO_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_audio_vad — frame-energy voice-activity detection over real decodes
+# ---------------------------------------------------------------------------
+
+_VAD_FRAME = 8  # 8 samples/frame @ 8 kHz -> 1 ms frames, 8 per clip
+_VAD_THRESHOLD = _VAD_FRAME * 127 * 127  # frame active iff energy > this
+
+_VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("seg_start", T.IntegerType()),
+        T.StructField("seg_len", T.IntegerType()),
+        T.StructField("seg_energy", T.LongType()),
+    ]
+)
+
+
+def _vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas VAD kernel: REAL RIFF decode, integer frame energy
+    (sum of squared PCM16 samples per 8-sample frame), threshold, and
+    run-length merge of consecutive active frames into segments — the
+    classic energy-gate VAD, no float DSP anywhere."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples, _sr = decode_wav(bytes(payload))
+            s = samples.reshape(-1).astype(np.int64)
+            frames = s.reshape(-1, _VAD_FRAME)
+            energy = (frames * frames).sum(axis=1)
+            active = energy > _VAD_THRESHOLD
+            start = None
+            for f in range(len(active) + 1):
+                on = f < len(active) and active[f]
+                if on and start is None:
+                    start = f
+                elif not on and start is not None:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            start,
+                            f - start,
+                            int(energy[start:f].sum()),
+                        )
+                    )
+                    start = None
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "seg_start", "seg_len", "seg_energy"]
+        )
+
+
+@register(
+    "q_audio_vad",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id, r.f AS f,
+               CAST(list_sum(list_transform(range(0, {_VAD_FRAME}), j ->
+                   ((doc_id * 7 + (r.f * {_VAD_FRAME} + j) * 13) % 256)
+                   * ((doc_id * 7 + (r.f * {_VAD_FRAME} + j) * 13) % 256)))
+                   AS BIGINT) AS energy
+        FROM documents
+        CROSS JOIN range(0, {_N_SAMPLES // _VAD_FRAME}) r(f)
+    ),
+    active AS (
+        SELECT doc_id, f, energy,
+               f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        FROM frames WHERE energy > {_VAD_THRESHOLD}
+    )
+    SELECT doc_id,
+           CAST(MIN(f) AS INT) AS seg_start,
+           CAST(COUNT(*) AS INT) AS seg_len,
+           CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM active
+    GROUP BY doc_id, grp
+    ORDER BY doc_id, seg_start
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOICE-ACTIVITY DETECTION — the energy-gate VAD every speech
+    corpus pipeline runs before transcription: per clip, frames of
+    8 PCM16 samples are scored by integer energy (sum of
+    squares), gated at a fixed threshold, and consecutive active
+    frames merge into SEGMENTS (start, length, energy) — the
+    speech/silence map that decides what gets transcribed, chunked,
+    or dropped.
+
+    The kernel decodes the RIFF container for real (the q_audio_decode
+    walker) and merges runs in-stream; the oracle regenerates every
+    sample from the doc_id recurrence and derives the SAME segments
+    relationally (gaps-and-islands over active frames, the
+    q_dedup_substring interval idiom) — integer end-to-end, so the
+    hash pins decode -> framing -> energy -> threshold -> merge
+    exactly.
+
+    100 TB: per-clip work is an Arrow-batched map with NO shuffle —
+    segments emit directly from the kernel; real deployments only grow
+    the constants (25 ms frames, noise-floor-adaptive thresholds,
+    hangover smoothing — all the same integer per-clip loop).
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = with_audio_columns(docs).select("doc_id", "payload")
+    media = media.repartition(spark.sparkContext.defaultParallelism)
+    return media.mapInPandas(_vad_batches, _VAD_SCHEMA).orderBy(
+        "doc_id", "seg_start"
+    )

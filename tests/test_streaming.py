@@ -1176,3 +1176,78 @@ def test_stream_timeout_chaos_duplicated_batch(spark, sf_dir, tmp_path):
         f"duplicated-batch timeout replay diverged from clean alert set: "
         f"missing={list(want - got)[:5]}, extra={list(got - want)[:5]}"
     )
+
+
+def test_stream_timeout_checkpoint_resume(spark, sf_dir, tmp_path):
+    """DURABILITY: the query is STOPPED after the first 3 micro-batches
+    and a NEW query resumes from the same checkpoint over the remaining
+    3 — the state store (pending views + armed timers) must restore
+    exactly, so the resumed run's combined sink equals the clean
+    single-run alert set. Sink is the fault-tolerant PARQUET file sink
+    (exactly-once via its _spark_metadata commit log — the memory sink
+    does not support recovery, by design). This is the Flink-savepoint
+    parity claim: stateful operators survive restarts without
+    reprocessing or loss."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from flink_rc_spark.streaming.stateful import stream_timeout
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    chunks = _chaos_chunks(sf_dir)
+    d = str(tmp_path / "resume_src")
+    cp = str(tmp_path / "resume_cp")
+    outdir = str(tmp_path / "resume_out")
+    os.makedirs(d)
+
+    def write(i, chunk):
+        path = f"{d}/part-{i:04d}.parquet"
+        pq.write_table(chunk, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def run_leg():
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            stream_timeout(s)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return _timeout_rowset(spark.read.parquet(outdir))
+
+    for i, c in enumerate(chunks[:3]):
+        write(i, c)
+    after_leg1 = run_leg()
+    for i, c in enumerate(chunks[3:], start=3):
+        write(i, c)
+    got = run_leg()
+
+    want = _timeout_rowset(_chaos_timeout_expected(spark, chunks))
+    assert len(after_leg1) > 0, "first leg emitted nothing"
+    assert len(got) > len(after_leg1), "resumed leg emitted nothing new"
+    assert got == want, (
+        f"checkpoint resume diverged: missing={list(want - got)[:5]}, "
+        f"extra={list(got - want)[:5]}"
+    )
