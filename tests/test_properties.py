@@ -632,3 +632,35 @@ def test_dedup_substring_matches_bruteforce_property(spark, seed):
             for r in REGISTRY["q_dedup_substring"].builder(spark, "x").collect()
         }
     assert got == expected, (seed, got, expected)
+
+
+def test_ts_acf_matches_textbook_estimator(spark, sf_dir):
+    """q_ts_acf's n^2-multiplied-through integer algebra must equal
+    the TEXTBOOK autocorrelation estimator
+    r_k = sum((x_t - mean)(x_{t-k} - mean)) / sum((x - mean)^2)
+    computed in numpy floats over the same floor-quantized series —
+    the hash pins cross-engine equality; this pins the FORMULA."""
+    from flink_rc_spark.registry import REGISTRY, load_all
+    from flink_rc_spark.sources import load
+
+    load_all()
+    rows = REGISTRY["q_ts_acf"].builder(spark, sf_dir).collect()
+
+    pdf = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    checked = 0
+    for r in rows[:20]:
+        q = np.floor(
+            pdf[pdf["user_id"] == r.user_id]["value"].to_numpy()
+        ).astype(np.float64)
+        c = q - q.mean()
+        den = (c * c).sum()
+        for k, got in ((1, r.acf1), (2, r.acf2), (3, r.acf3)):
+            want = (c[k:] * c[:-k]).sum() / den
+            assert abs(got - want) < 1e-9, (r.user_id, k, got, want)
+            checked += 1
+    assert checked >= 30

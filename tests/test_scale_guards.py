@@ -78,6 +78,9 @@ NESTED_LOOP_ALLOWED = {
     #                      prefix-dim scan (q_knn_label's probe
     #                      shape); full-width vectors touched only
     #                      for the 10 x 50 shortlist
+    "q_skew_stats",  # ONE broadcast row (total rows + key count)
+    #                  riding onto the per-key rollup — the
+    #                  q_bm25/q_dsir_weights single-row-join class
 }
 
 
