@@ -12,3 +12,5 @@ import flink_rc_spark.operators.tpch  # noqa: F401
 import flink_rc_spark.operators.analytics  # noqa: F401
 import flink_rc_spark.operators.geo  # noqa: F401
 import flink_rc_spark.operators.graph  # noqa: F401
+import flink_rc_spark.operators.stattests  # noqa: F401
+import flink_rc_spark.operators.sqlsurface  # noqa: F401

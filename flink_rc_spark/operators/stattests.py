@@ -1,0 +1,475 @@
+"""Classical hypothesis tests / inequality statistics, integer-exact.
+
+Two-sample Kolmogorov–Smirnov, Mann–Whitney U (tie-corrected),
+chi-square independence, rank-based ROC AUC, the Gini coefficient,
+and a Benford first-digit audit — the statistics a data-quality /
+experimentation platform runs over event and revenue streams.
+
+Reference parity: none — the reference is a numeric dataflow engine
+(SURVEY.md §1.1); this is driver-north-star analytics surface, the
+same family as q_ab_ztest / q_skew_stats.
+
+Float policy (SURVEY.md §4.2): every statistic here is computed in
+INTEGER or DECIMAL arithmetic end-to-end and only cast to DOUBLE for
+the final reported ratio, so the driver hash matches DuckDB exactly:
+
+- KS: D·n1·n2 = max|F1·n2 − F2·n1| is a BIGINT over cumulative counts.
+- MWU / AUC: doubled rank sums (2·cum_before + cnt + 1 per tie group)
+  are integers; U and AUC numerators stay integral.
+- chi²: Σ o²/(rt·ct) is floor-quantized at 1e5 per cell in DECIMAL
+  arithmetic (both engines floor the same exact rational — the
+  quantized statistic IS the key's contract, the q_dsir_weights
+  idiom), then χ² = N·(Σ − 1).
+- Gini: G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over DECIMAL(18,2) cents.
+
+100 TB story: every key is one scan + one hash shuffle on a bounded
+re-aggregated frame. The cumulative windows (KS/MWU) run over the
+per-distinct-VALUE aggregate — cardinality is the number of distinct
+measurement values, not rows — and AUC's window is partitioned by
+source, so it scales with the per-group distinct-score count. At
+true 100 TB-distinct cardinality the global windows upgrade to the
+two-pass range-partitioned prefix sum (partition-local cumsum +
+broadcast per-partition offsets); the statistic's integer algebra is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources.tables import load
+
+
+@register(
+    "q_ks_test",
+    oracle="""
+        WITH p AS (
+            SELECT value,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END) AS BIGINT) AS c2
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY value
+        ), c AS (
+            SELECT CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS f1,
+                   CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS f2,
+                   CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+                   CAST(SUM(c2) OVER () AS BIGINT) AS n2
+            FROM p
+        )
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+               CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+               CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DOUBLE)
+                 / CAST(MAX(n1) * MAX(n2) AS DOUBLE) AS ks_d
+        FROM c
+    """,
+    tags=("stats", "window"),
+)
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov: D = sup|F̂₁(x) − F̂₂(x)| between
+    the 'click' and 'view' value distributions.
+
+    Integer-exact: at each distinct pooled value, D's candidate is
+    |F1·n2 − F2·n1| over cumulative COUNTS (ties handled by evaluating
+    at distinct values only, the standard empirical-CDF jump points).
+    ks_d = d_num/(n1·n2) is one IEEE division of exact integers.
+
+    Plan: groupBy(value) map-side-combines the raw events down to the
+    distinct-value frame; the cumulative window runs over that bounded
+    frame (global sort of distinct values — upgrade path: range-
+    partitioned two-pass prefix sum; the max-reduce is partial+final).
+    """
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = p.select(
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    return c.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))).alias(
+            "d_num"
+        ),
+        (
+            F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))).cast(
+                "double"
+            )
+            / (F.max("n1") * F.max("n2")).cast("double")
+        ).alias("ks_d"),
+    )
+
+
+@register(
+    "q_mw_utest",
+    oracle="""
+        WITH p AS (
+            SELECT value,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY value
+        ), r AS (
+            SELECT c1, c,
+                   CAST(SUM(c) OVER (ORDER BY value) AS BIGINT) - c AS before_cnt,
+                   CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+                   CAST(SUM(c - c1) OVER () AS BIGINT) AS n2
+            FROM p
+        )
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+               CAST(SUM(c1 * (2 * before_cnt + c + 1)) AS BIGINT) AS r1_x2,
+               CAST(SUM(c1 * (2 * before_cnt + c + 1)) AS BIGINT)
+                 - MAX(n1) * (MAX(n1) + 1) AS u_x2,
+               CAST(CAST(SUM(c1 * (2 * before_cnt + c + 1)) AS BIGINT)
+                 - MAX(n1) * (MAX(n1) + 1) AS DOUBLE) / 2.0 AS u1
+        FROM r
+    """,
+    tags=("stats", "window"),
+)
+def q_mw_utest(spark, sf_dir):
+    """Mann–Whitney U (tie-corrected, midrank method) between the
+    'click' and 'view' value samples.
+
+    Integer-exact via DOUBLED ranks: a tie group of size c preceded by
+    b pooled observations has midrank (2b + c + 1)/2, so 2·R₁ =
+    Σ c1·(2b + c + 1) is a BIGINT and 2·U₁ = 2·R₁ − n1(n1+1) stays
+    integral; u1 halves it with one exact IEEE division by 2.
+
+    Plan: same distinct-value re-aggregation + bounded cumulative
+    window as q_ks_test (shared scale/upgrade story).
+    """
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+            F.count("*").alias("c"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = p.select(
+        "c1",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("before_cnt"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).over(wall).alias("n2"),
+    )
+    r1_x2 = F.sum(
+        F.col("c1") * (F.lit(2) * F.col("before_cnt") + F.col("c") + F.lit(1))
+    ).cast("long")
+    u_x2 = r1_x2 - F.max("n1") * (F.max("n1") + F.lit(1))
+    return r.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        r1_x2.alias("r1_x2"),
+        u_x2.alias("u_x2"),
+        (u_x2.cast("double") / F.lit(2.0)).alias("u1"),
+    )
+
+
+@register(
+    "q_chi2_test",
+    oracle="""
+        WITH cell AS (
+            SELECT event_type, user_id % 4 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM events GROUP BY event_type, user_id % 4
+        ), tot AS (
+            SELECT event_type, bucket, o,
+                   CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+                   CAST(SUM(o) OVER (PARTITION BY bucket) AS BIGINT) AS ct,
+                   CAST(SUM(o) OVER () AS BIGINT) AS n
+            FROM cell
+        )
+        SELECT MAX(n) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM((o * o * 100000) // (rt * ct)) AS BIGINT) AS sum_term_e5,
+               CAST(MAX(n) AS DOUBLE)
+                 * (CAST(CAST(SUM((o * o * 100000) // (rt * ct)) AS BIGINT) AS DOUBLE)
+                    / 100000.0 - 1.0) AS chi2
+        FROM tot
+    """,
+    tags=("stats", "agg"),
+)
+def q_chi2_test(spark, sf_dir):
+    """Chi-square independence test of event_type × (user_id mod 4)
+    via the algebraically-equivalent form χ² = N·(Σ o²/(rt·ct) − 1).
+
+    Exactness: each cell's o²/(rt·ct) is floor-quantized at 1e5 —
+    (o·o·1e5) div (rt·ct) over positive integers floors the same
+    exact rational in Spark (`div`) and DuckDB (`//`); the quantized
+    Σ is the key's defined statistic (q_dsir_weights idiom), so the
+    hash matches bit-for-bit while |error| < n_cells·1e-5·N.
+    DECIMAL(38,0) headroom: o·o·1e5 ≤ 1e29 at sf100 stays exact.
+
+    Plan: one groupBy to the 5×4 contingency frame; row/col/grand
+    totals are three windows over 20 rows (a broadcast-size frame);
+    final single-row reduce.
+    """
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("bucket")
+    ).agg(F.count("*").alias("o"))
+    tot = cell.select(
+        "event_type",
+        "bucket",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("bucket")).alias("ct"),
+        F.sum("o")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    term_e5 = F.expr(
+        "CAST(CAST(o AS DECIMAL(20,0)) * o * 100000 AS DECIMAL(38,0))"
+        " div (rt * ct)"
+    )
+    sum_term_e5 = F.sum(term_e5).cast("long")
+    return tot.agg(
+        F.max("n").alias("n"),
+        F.count("*").cast("long").alias("n_cells"),
+        sum_term_e5.alias("sum_term_e5"),
+        (
+            F.max("n").cast("double")
+            * (sum_term_e5.cast("double") / F.lit(100000.0) - F.lit(1.0))
+        ).alias("chi2"),
+    )
+
+
+@register(
+    "q_auc_roc",
+    oracle="""
+        WITH p AS (
+            SELECT source, n_chars,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY source, n_chars
+        ), r AS (
+            SELECT source, cp, c,
+                   CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) - c
+                     AS before_cnt,
+                   CAST(SUM(cp) OVER (PARTITION BY source) AS BIGINT) AS np,
+                   CAST(SUM(c - cp) OVER (PARTITION BY source) AS BIGINT) AS nn
+            FROM p
+        )
+        SELECT source, MAX(np) AS n_pos, MAX(nn) AS n_neg,
+               CAST(SUM(cp * (2 * before_cnt + c + 1)) AS BIGINT)
+                 - MAX(np) * (MAX(np) + 1) AS auc_num_x2,
+               CAST(CAST(SUM(cp * (2 * before_cnt + c + 1)) AS BIGINT)
+                 - MAX(np) * (MAX(np) + 1) AS DOUBLE)
+                 / CAST(2 * MAX(np) * MAX(nn) AS DOUBLE) AS auc
+        FROM r
+        GROUP BY source
+        HAVING MAX(np) > 0 AND MAX(nn) > 0
+    """,
+    tags=("stats", "window", "llm"),
+)
+def q_auc_roc(spark, sf_dir):
+    """Per-source ROC AUC of n_chars as a classifier score for
+    lang = 'en' — the rank-sum (Wilcoxon) identity:
+    AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋), midranks on ties.
+
+    Integer-exact with doubled ranks exactly as q_mw_utest; the final
+    auc is one IEEE division of exact integers. Sources with a single
+    class are excluded (AUC undefined).
+
+    Plan: groupBy (source, score) combines to distinct scores, the
+    cumulative window partitions BY SOURCE (parallel across groups —
+    no global sort), one grouped reduce. Scales with per-source
+    distinct-score cardinality.
+    """
+    docs = load(spark, sf_dir, "documents")
+    p = docs.groupBy("source", "n_chars").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cp"),
+        F.count("*").alias("c"),
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wsrc = Window.partitionBy("source")
+    r = p.select(
+        "source",
+        "cp",
+        "c",
+        (F.sum("c").over(ws) - F.col("c")).alias("before_cnt"),
+        F.sum("cp").over(wsrc).alias("np"),
+        F.sum(F.col("c") - F.col("cp")).over(wsrc).alias("nn"),
+    )
+    r2 = F.sum(
+        F.col("cp") * (F.lit(2) * F.col("before_cnt") + F.col("c") + F.lit(1))
+    ).cast("long")
+    auc_num = r2 - F.max("np") * (F.max("np") + F.lit(1))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.max("np").alias("n_pos"),
+            F.max("nn").alias("n_neg"),
+            auc_num.alias("auc_num_x2"),
+            (
+                auc_num.cast("double")
+                / (F.lit(2) * F.max("np") * F.max("nn")).cast("double")
+            ).alias("auc"),
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    )
+
+
+@register(
+    "q_gini_index",
+    oracle="""
+        WITH spend AS (
+            SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey
+        ), rk AS (
+            SELECT segment, x,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                                           ORDER BY x, custkey) AS BIGINT) AS i,
+                   CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+            FROM spend
+        )
+        SELECT segment, MAX(n) AS n_cust,
+               CAST(2 * SUM(i * x) - (MAX(n) + 1) * SUM(x) AS DOUBLE) AS g_num,
+               CAST(MAX(n) * SUM(x) AS DOUBLE) AS g_den,
+               CAST(2 * SUM(i * x) - (MAX(n) + 1) * SUM(x) AS DOUBLE)
+                 / CAST(MAX(n) * SUM(x) AS DOUBLE) AS gini
+        FROM rk
+        GROUP BY segment
+    """,
+    tags=("stats", "window"),
+)
+def q_gini_index(spark, sf_dir):
+    """Gini coefficient of customer spend within each market segment,
+    the exact finite-sample formula over ascending-sorted spend:
+    G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx), ties broken by custkey.
+
+    Exact: spend is a DECIMAL(18,2) sum; i·xᵢ and both Σ stay in
+    DECIMAL; only the three reported columns cast to DOUBLE (one
+    deterministic cast + one IEEE division — hash-stable).
+
+    Plan: fact scans once, dim join broadcasts, per-segment rank is a
+    window partitioned by segment (5-way parallel; per-segment
+    customer count bounds the sort), grouped reduce. No global sort.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    wseg = Window.partitionBy("segment")
+    rk = spend.select(
+        "segment",
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("segment").orderBy("x", "custkey"))
+        .cast("long")
+        .alias("i"),
+        F.count("*").over(wseg).cast("long").alias("n"),
+    )
+    g_num = F.lit(2) * F.sum(F.col("i") * F.col("x")) - (
+        F.max("n") + F.lit(1)
+    ) * F.sum("x")
+    g_den = F.max("n") * F.sum("x")
+    return rk.groupBy("segment").agg(
+        F.max("n").alias("n_cust"),
+        g_num.cast("double").alias("g_num"),
+        g_den.cast("double").alias("g_den"),
+        (g_num.cast("double") / g_den.cast("double")).alias("gini"),
+    )
+
+
+@register(
+    "q_benford",
+    oracle="""
+        WITH d AS (
+            SELECT SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                    AS BIGINT) AS VARCHAR), 1, 1) AS digit
+            FROM orders
+        )
+        SELECT digit,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(COUNT(*) AS DOUBLE)
+                 / CAST(CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS DOUBLE) AS share,
+               CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176 WHEN '3' THEN 125
+                          WHEN '4' THEN 97 WHEN '5' THEN 79 WHEN '6' THEN 67
+                          WHEN '7' THEN 58 WHEN '8' THEN 51 ELSE 46
+               END AS benford_permille
+        FROM d
+        GROUP BY digit
+    """,
+    tags=("stats", "dq"),
+)
+def q_benford(spark, sf_dir):
+    """Benford's-law first-significant-digit audit of o_totalprice —
+    the classic fraud/data-quality screen.
+
+    Exactness: the first digit is taken from the VARCHAR rendering of
+    the integer CENTS (DECIMAL(18,2)·100 → BIGINT) — integer-to-string
+    is identical across engines, no float formatting. Counts are
+    exact; share is one IEEE division; the Benford expectation
+    log10(1+1/d) ships as literal permille (no transcendental calls).
+
+    Plan: scan → 9-group hash agg (map-side combined); the share's
+    grand total is a window over ≤ 9 rows.
+    """
+    orders = load(spark, sf_dir, "orders")
+    d = orders.select(
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "digit",
+            "cnt",
+            (
+                F.col("cnt").cast("double")
+                / F.sum("cnt").over(wall).cast("double")
+            ).alias("share"),
+            F.expr(
+                "CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176 WHEN '3' THEN 125"
+                " WHEN '4' THEN 97 WHEN '5' THEN 79 WHEN '6' THEN 67"
+                " WHEN '7' THEN 58 WHEN '8' THEN 51 ELSE 46 END"
+            ).alias("benford_permille"),
+        )
+    )
