@@ -1301,3 +1301,140 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "q_dedup_url",
+    oracle="""
+        WITH raw AS (
+            -- four deterministic messy variants of the SAME logical URL:
+            -- gid = doc_id // 2 so consecutive docs collide post-canon
+            SELECT doc_id, doc_id // 2 AS gid,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'https://www.h' || CAST((doc_id // 2) % 10 AS VARCHAR)
+                          || '.example.com/item/' || CAST(doc_id // 2 AS VARCHAR)
+                          || '?z=1&utm_source=feed&id=' || CAST(doc_id // 2 AS VARCHAR)
+                     WHEN 1 THEN 'https://H' || CAST((doc_id // 2) % 10 AS VARCHAR)
+                          || '.EXAMPLE.com:443/item/' || CAST(doc_id // 2 AS VARCHAR)
+                          || '/?id=' || CAST(doc_id // 2 AS VARCHAR) || '&z=1'
+                     WHEN 2 THEN 'https://h' || CAST((doc_id // 2) % 10 AS VARCHAR)
+                          || '.example.com/item/' || CAST(doc_id // 2 AS VARCHAR)
+                          || '?id=' || CAST(doc_id // 2 AS VARCHAR)
+                          || '&z=1&utm_campaign=x#frag'
+                     ELSE 'https://h' || CAST((doc_id // 2) % 10 AS VARCHAR)
+                          || '.example.com/item/' || CAST(doc_id // 2 AS VARCHAR)
+                          || '?id=' || CAST(doc_id // 2 AS VARCHAR) || '&z=1'
+                   END AS url
+            FROM documents
+        ), canon AS (
+            SELECT doc_id, gid,
+                   s1 || CASE WHEN qs2 <> '' THEN '?' || qs2 ELSE '' END AS curl
+            FROM (
+                SELECT doc_id, gid,
+                       regexp_replace(
+                           replace(replace(split_part(lower(
+                               regexp_replace(url, '#.*$', '')), '?', 1),
+                               '://www.', '://'), ':443/', '/'),
+                           '/$', '') AS s1,
+                       array_to_string(list_sort(list_filter(
+                           string_split(split_part(lower(
+                               regexp_replace(url, '#.*$', '')), '?', 2), '&'),
+                           x -> NOT x LIKE 'utm%' AND x <> '')), '&') AS qs2
+                FROM raw
+            )
+        )
+        SELECT curl AS canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_dups,
+               MIN(doc_id) AS keeper_doc
+        FROM canon
+        GROUP BY curl
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_url(spark, sf_dir):
+    """URL-canonicalization dedup — the crawl-frontier first pass that
+    runs BEFORE any content hashing: lowercase, strip the fragment,
+    drop the default :443 port and the www. prefix, strip the
+    trailing slash, remove utm_* tracking params, and SORT the
+    remaining query params; group on the canonical form, keeping the
+    smallest doc_id.
+
+    Each document synthesizes one of four deterministic messy
+    variants (www/uppercase-host/default-port/trailing-slash/utm/
+    fragment/param-order) of a shared target (gid = doc_id div 2), so
+    every canonical group collapses 2 raw URLs and the oracle proves
+    the whole normalization chain — including the engine-identical
+    lexicographic param sort (Spark array_sort == DuckDB list_sort on
+    ASCII) — end to end.
+
+    Plan: the normalization is a zero-shuffle codegen string/regex
+    chain; the dedup is one hash agg on the canonical key — exactly
+    q_dedup_exact's shape with a smarter key. At 100 TB the canonical
+    key shuffle carries ~60-byte strings; salting is never needed
+    because URL keys are near-unique by construction.
+    """
+    docs = load(spark, sf_dir, "documents")
+    gid = F.expr("doc_id div 2")  # doc_id >= 0: div == floor == //
+    gid_s = gid.cast("string")
+    host_d = (gid % 10).cast("string")
+    variants = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("https://www.h"), host_d, F.lit(".example.com/item/"),
+                gid_s, F.lit("?z=1&utm_source=feed&id="), gid_s,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://H"), host_d, F.lit(".EXAMPLE.com:443/item/"),
+                gid_s, F.lit("/?id="), gid_s, F.lit("&z=1"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://h"), host_d, F.lit(".example.com/item/"),
+                gid_s, F.lit("?id="), gid_s, F.lit("&z=1&utm_campaign=x#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"), host_d, F.lit(".example.com/item/"),
+                gid_s, F.lit("?id="), gid_s, F.lit("&z=1"),
+            )
+        )
+    )
+    raw = docs.select("doc_id", variants.alias("url"))
+    nofrag = F.regexp_replace(F.lower(F.col("url")), "#.*$", "")
+    base = F.regexp_replace(
+        F.replace(
+            F.replace(F.split_part(nofrag, F.lit("?"), F.lit(1)),
+                      F.lit("://www."), F.lit("://")),
+            F.lit(":443/"), F.lit("/"),
+        ),
+        "/$", "",
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.split_part(nofrag, F.lit("?"), F.lit(2)), "&"),
+                lambda x: (~x.startswith("utm")) & (x != ""),
+            )
+        ),
+        "&",
+    )
+    canon = raw.select(
+        "doc_id",
+        F.concat(
+            base,
+            F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+                F.lit("")
+            ),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count("*").alias("n_dups"),
+        F.min("doc_id").alias("keeper_doc"),
+    )

@@ -14,3 +14,4 @@ import flink_rc_spark.operators.geo  # noqa: F401
 import flink_rc_spark.operators.graph  # noqa: F401
 import flink_rc_spark.operators.stattests  # noqa: F401
 import flink_rc_spark.operators.sqlsurface  # noqa: F401
+import flink_rc_spark.operators.inference  # noqa: F401

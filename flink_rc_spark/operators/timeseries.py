@@ -697,3 +697,236 @@ def q_ts_acf(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_ts_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                        * 10000 AS BIGINT) AS x_micro
+            FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        ), tr AS (
+            SELECT event_type, d, x_micro,
+                   CASE WHEN CAST(COUNT(*) OVER w AS BIGINT) = 7
+                        THEN CAST(SUM(x_micro) OVER w AS BIGINT) // 7
+                   END AS trend_micro
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), seas AS (
+            -- exact-floor signed division: shift the dividend positive by
+            -- K*cnt (K = 1e16 bounds |detrended sum| by construction), floor
+            -- on positives (// == div == trunc), shift back
+            SELECT event_type, date_diff('day', DATE '1970-01-01', d) % 7 AS dow,
+                   (CAST(SUM(x_micro - trend_micro) AS BIGINT)
+                      + 10000000000000000 * CAST(COUNT(*) AS BIGINT))
+                     // CAST(COUNT(*) AS BIGINT) - 10000000000000000 AS seas_micro
+            FROM tr WHERE trend_micro IS NOT NULL
+            GROUP BY event_type, date_diff('day', DATE '1970-01-01', d) % 7
+        )
+        SELECT tr.event_type,
+               CAST(date_diff('day', DATE '1970-01-01', tr.d) AS BIGINT)
+                 AS day_epoch,
+               tr.x_micro, tr.trend_micro, seas.seas_micro,
+               tr.x_micro - tr.trend_micro - seas.seas_micro AS resid_micro
+        FROM tr
+        JOIN seas ON tr.event_type = seas.event_type
+                 AND date_diff('day', DATE '1970-01-01', tr.d) % 7 = seas.dow
+        WHERE tr.trend_micro IS NOT NULL
+    """,
+    tags=("timeseries", "window"),
+)
+def q_ts_decompose(spark, sf_dir):
+    """Additive seasonal-trend decomposition of the daily value series
+    per event type: trend = centered 7-day moving average (full
+    windows only), seasonal = day-of-week mean of the detrended
+    series, residual = x − trend − seasonal.
+
+    Integer-exact throughout: daily sums are DECIMAL cents lifted to
+    micro-units (×1e4); the MA divides positive integers (floor ==
+    trunc, both engines agree); the seasonal mean's dividend CAN be
+    negative — Spark div truncates while DuckDB // floors — so it
+    uses the exact-floor shift idiom: add K·cnt (K = 1e16 bounds the
+    detrended sum), divide positive, subtract K. Day-of-week =
+    epoch_day mod 7 (no locale/weekstart dependence).
+
+    Plan: one hash agg to |types|×|days| rows; the MA window
+    partitions by type (parallel, tiny); the seasonal frame is
+    |types|×7 rows joined back broadcast. Decomposing 100 TB of raw
+    events costs exactly the daily-rollup agg — everything after is
+    bounded by the calendar, not the data.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        (
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long")
+            * 10000
+        )
+        .cast("long")
+        .alias("x_micro")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "d",
+        "x_micro",
+        F.when(
+            F.count("*").over(w) == 7, F.sum("x_micro").over(w).cast("long")
+        ).alias("ma_sum"),
+    ).withColumn(
+        "trend_micro", F.expr("ma_sum div 7")
+    ).drop("ma_sum")
+    dow = (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7).alias(
+        "dow"
+    )
+    seas = (
+        tr.filter(F.col("trend_micro").isNotNull())
+        .groupBy("event_type", dow)
+        .agg(
+            F.expr(
+                "(CAST(SUM(x_micro - trend_micro) AS BIGINT)"
+                " + 10000000000000000L * COUNT(*))"
+                " div COUNT(*) - 10000000000000000L"
+            ).alias("seas_micro")
+        )
+    )
+    out = (
+        tr.filter(F.col("trend_micro").isNotNull())
+        .withColumn(
+            "dow", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7
+        )
+        .join(F.broadcast(seas), ["event_type", "dow"])
+    )
+    return out.select(
+        "event_type",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day_epoch"),
+        "x_micro",
+        "trend_micro",
+        "seas_micro",
+        (
+            F.col("x_micro") - F.col("trend_micro") - F.col("seas_micro")
+        ).alias("resid_micro"),
+    )
+
+
+@register(
+    "q_ts_outlier_mad",
+    oracle="""
+        WITH x AS (
+            SELECT event_type, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+            FROM events
+        ), med AS (
+            SELECT event_type, cents AS median_c
+            FROM (
+                SELECT event_type, cents,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY cents, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM x
+            ) WHERE rn = (n + 1) // 2
+        ), dev AS (
+            SELECT x.event_type, x.event_id, x.cents,
+                   ABS(x.cents - med.median_c) AS ad
+            FROM x JOIN med ON x.event_type = med.event_type
+        ), mad AS (
+            SELECT event_type, ad AS mad_c
+            FROM (
+                SELECT event_type, ad,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY ad, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM dev
+            ) WHERE rn = (n + 1) // 2
+        )
+        SELECT dev.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(med.median_c) AS median_c,
+               MAX(mad.mad_c) AS mad_c,
+               CAST(SUM(CASE WHEN dev.ad > 3 * mad.mad_c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev
+        JOIN med ON dev.event_type = med.event_type
+        JOIN mad ON dev.event_type = mad.event_type
+        GROUP BY dev.event_type
+    """,
+    tags=("timeseries", "stats", "window"),
+)
+def q_ts_outlier_mad(spark, sf_dir):
+    """Robust outlier screen per event type: median and MAD (median
+    absolute deviation) via EXACT order-statistic selection (the
+    lower median, rank (n+1) div 2, tie-broken by event_id), then
+    count of points with |x − median| > 3·MAD — the standard
+    robust-z rule with integer cents end-to-end (no percentile
+    interpolation, no floats).
+
+    Plan: two selection passes, each a per-type window over the
+    type partition (parallel; the same shuffle a groupBy needs), the
+    5-row median/MAD frames broadcast back, one grouped reduce. The
+    100 TB upgrade for the selection is the classic two-pass
+    histogram-then-narrow exact median (bucket counts, then select
+    within the winning bucket) — same integer algebra.
+    """
+    ev = load(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    med = (
+        x.select(
+            "event_type",
+            "cents",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("cents", "event_id"))
+            .alias("rn"),
+            F.count("*").over(wt).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("cents").alias("median_c"))
+    )
+    dev = x.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "cents",
+        F.abs(F.col("cents") - F.col("median_c")).alias("ad"),
+    )
+    mad = (
+        dev.select(
+            "event_type",
+            "ad",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("ad", "event_id"))
+            .alias("rn"),
+            F.count("*").over(wt).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("ad").alias("mad_c"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("median_c").alias("median_c"),
+            F.max("mad_c").alias("mad_c"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad_c"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

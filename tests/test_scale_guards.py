@@ -81,6 +81,11 @@ NESTED_LOOP_ALLOWED = {
     "q_skew_stats",  # ONE broadcast row (total rows + key count)
     #                  riding onto the per-key rollup — the
     #                  q_bm25/q_dsir_weights single-row-join class
+    "q_bootstrap_ci",  # ONE broadcast row (full-sample mean + n)
+    #                    riding onto the 40-row replicate frame —
+    #                    the single-row corpus-stats class
+    "q_assoc_rules",  # ONE broadcast row (basket count) feeding the
+    #                   lift denominator — the q_bm25 class
 }
 
 
