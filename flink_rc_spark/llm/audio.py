@@ -502,3 +502,138 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_vad_batches, _VAD_SCHEMA).orderBy(
         "doc_id", "seg_start"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_audio_fingerprint — landmark-hash audio matching (Shazam-style)
+# ---------------------------------------------------------------------------
+
+_FP_MAX_DT = 4  # landmark pairs at most 4 frames apart
+_FP_DOC_CAP = 2000  # fixed matching sample (flat across SF by design)
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def _fingerprint_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas landmark-hash kernel: REAL RIFF decode, integer
+    frame energies, strict-left/loose-right local-maximum peaks, and
+    peak-pair landmarks hashed as ((e1%256)*256 + e2%256)*8 + dt —
+    the constellation-map fingerprint (Wang 2003) with energy peaks
+    standing in for spectrogram peaks (no FFT dependency, integer
+    end-to-end)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples, _sr = decode_wav(bytes(payload))
+            s = samples.reshape(-1).astype(np.int64)
+            energy = (s.reshape(-1, _VAD_FRAME) ** 2).sum(axis=1)
+            peaks = [
+                f
+                for f in range(1, len(energy) - 1)
+                if energy[f] > energy[f - 1] and energy[f] >= energy[f + 1]
+            ]
+            fps = set()
+            for i, f1 in enumerate(peaks):
+                for f2 in peaks[i + 1 :]:
+                    dt = f2 - f1
+                    if dt > _FP_MAX_DT:
+                        break
+                    fps.add(
+                        int(
+                            ((energy[f1] % 256) * 256 + energy[f2] % 256) * 8
+                            + dt
+                        )
+                    )
+            rows.extend((int(doc_id), fp) for fp in sorted(fps))
+        yield pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+
+@register(
+    "q_audio_fingerprint",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id, r.f AS f,
+               CAST(list_sum(list_transform(range(0, {_VAD_FRAME}), j ->
+                   ((doc_id * 7 + (r.f * {_VAD_FRAME} + j) * 13) % 256)
+                   * ((doc_id * 7 + (r.f * {_VAD_FRAME} + j) * 13) % 256)))
+                   AS BIGINT) AS energy
+        FROM documents
+        CROSS JOIN range(0, {_N_SAMPLES // _VAD_FRAME}) r(f)
+        WHERE doc_id < {_FP_DOC_CAP}
+    ),
+    peaks AS (
+        SELECT doc_id, f, energy
+        FROM (
+            SELECT doc_id, f, energy,
+                   LAG(energy) OVER (PARTITION BY doc_id ORDER BY f) AS ep,
+                   LEAD(energy) OVER (PARTITION BY doc_id ORDER BY f) AS en
+            FROM frames
+        )
+        WHERE ep IS NOT NULL AND en IS NOT NULL
+          AND energy > ep AND energy >= en
+    ),
+    fps AS (
+        SELECT DISTINCT a.doc_id,
+               ((a.energy % 256) * 256 + b.energy % 256) * 8
+                 + (b.f - a.f) AS fp
+        FROM peaks a JOIN peaks b
+          ON a.doc_id = b.doc_id AND b.f > a.f
+         AND b.f - a.f <= {_FP_MAX_DT}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO FINGERPRINT MATCHING — the landmark-hash (constellation)
+    scheme behind audio dedup/content-ID: per clip, energy PEAKS
+    (strict-left/loose-right local maxima over the VAD frame energies)
+    pair into time-anchored landmarks hashed as
+    ((e₁%256)·256 + e₂%256)·8 + Δt; clips sharing ≥ 2 distinct
+    landmark hashes are reported as matches.
+
+    The kernel decodes the RIFF container for real; the oracle
+    regenerates every sample from the doc_id recurrence and derives
+    the SAME peaks (lag/lead window), landmarks, and matches
+    relationally — integer end-to-end, so the hash pins decode →
+    framing → peak-picking → landmark hashing → inverted-index join.
+    Matching is scoped to the fixed doc_id < 2000 sample (the
+    q_dedup_embedding block-scope idiom): the toy 8-frame clips make
+    residue-class clips IDENTICAL, so unscoped match volume grows
+    n² by construction (the q_image_ahash effect, documented there).
+
+    100 TB: fingerprint extraction is an Arrow-batched per-clip map
+    (no shuffle, linear); matching is the inverted-index equi-join on
+    fp — the q_dedup_minhash band-join shape, collisions only, never
+    pairwise. Production changes only the peak domain (spectrogram
+    bins via FFT) and the hash width.
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _FP_DOC_CAP
+    )
+    media = with_audio_columns(docs).select("doc_id", "payload")
+    media = media.repartition(spark.sparkContext.defaultParallelism)
+    fps = media.mapInPandas(_fingerprint_batches, _FP_SCHEMA)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

@@ -1438,3 +1438,117 @@ def q_dedup_url(spark, sf_dir):
         F.count("*").alias("n_dups"),
         F.min("doc_id").alias("keeper_doc"),
     )
+
+
+@register(
+    "q_lsh_eval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE doc_id < 1000),
+    sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS s
+           FROM toks WHERE len(t) >= 3),
+    inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+    truth AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand0 c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.4
+    ),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, {_N_HASHES}),
+                     j -> list_min(list_transform(s,
+                       x -> md5(CAST(j AS VARCHAR) || '|' || x)))) AS g
+            FROM sh),
+    bands AS (SELECT doc_id, md5(g[2*j+1] || g[2*j+2]) AS band_key, j AS band_id
+              FROM sig, range({_N_BANDS}) r(j)),
+    lsh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+    conf AS (
+        SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+               CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_cand,
+               CAST((SELECT COUNT(*)
+                     FROM lsh JOIN truth
+                       ON lsh.doc_a = truth.doc_a
+                      AND lsh.doc_b = truth.doc_b) AS BIGINT) AS tp
+    )
+    SELECT n_truth, n_cand, tp,
+           n_cand - tp AS fp, n_truth - tp AS fn,
+           CASE WHEN n_cand > 0 THEN (tp * 1000000) // n_cand END
+             AS precision_micro,
+           CASE WHEN n_truth > 0 THEN (tp * 1000000) // n_truth END
+             AS recall_micro
+    FROM conf
+    """,
+    tags=("llm", "dedup", "eval"),
+)
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH TUNING AUDIT — the recall/precision readout that justifies
+    a banding config before a production dedup run: ground truth =
+    ALL pairs with exact shingle Jaccard ≥ 0.4 (found sparsely via
+    the shared-shingle inverted index — J > 0 requires a shared
+    shingle, so no cartesian anywhere), candidates = the
+    q_dedup_minhash band pairs, confusion = TP/FP/FN with
+    floor-quantized micro precision/recall. Scoped to the fixed
+    doc_id < 1000 eval sample (the q_dedup_embedding block-scope
+    idiom) — exactly how a real pipeline audits: exact truth on a
+    sample, extrapolate the operating point.
+
+    Both the truth side and the candidate side are exact, so the
+    driver hash pins the ENTIRE evaluation — the 4x2 banding's
+    S-curve at τ=0.4 — not just one pipeline's output.
+
+    Plan: two inverted-index equi-joins (shingle-key and band-key —
+    both collision-scoped), one exact verify on truth candidates, and
+    three single-row counts combined broadcast (the q_dq_checks
+    single-row class).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    sh = toks.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+    inv = sh.select("doc_id", F.explode("s").alias("g"))
+    ia = inv.select(F.col("doc_id").alias("doc_a"), "g")
+    ib = inv.select(F.col("doc_id").alias("doc_b"), "g")
+    cand0 = (
+        ia.join(ib, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    withsets = cand0.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    truth = withsets.filter(jac >= 0.4).select("doc_a", "doc_b")
+    lsh = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = lsh.agg(F.count("*").alias("n_cand"))
+    tp = (
+        lsh.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count("*").alias("tp"))
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_truth",
+            "n_cand",
+            "tp",
+            (F.col("n_cand") - F.col("tp")).alias("fp"),
+            (F.col("n_truth") - F.col("tp")).alias("fn"),
+            F.when(
+                F.col("n_cand") > 0, F.expr("(tp * 1000000) div n_cand")
+            ).alias("precision_micro"),
+            F.when(
+                F.col("n_truth") > 0, F.expr("(tp * 1000000) div n_truth")
+            ).alias("recall_micro"),
+        )
+    )

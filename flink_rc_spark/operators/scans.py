@@ -544,3 +544,105 @@ def q_skew_stats(spark, sf_dir):
         .orderBy(F.desc("n_rows"), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "q_zonemap_prune",
+    oracle="""
+        WITH z AS (
+            SELECT l_orderkey // 1000 AS file_id,
+                   CAST(date_trunc('day', l_shipdate) AS DATE) AS d
+            FROM lineitem
+        ), nat AS (
+            SELECT file_id, MIN(d) AS min_d, MAX(d) AS max_d,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM z GROUP BY file_id
+        ), wk AS (
+            SELECT date_diff('day', DATE '1970-01-01', d) // 7 AS file_id,
+                   MIN(d) AS min_d, MAX(d) AS max_d,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM z GROUP BY date_diff('day', DATE '1970-01-01', d) // 7
+        ), both_layouts AS (
+            SELECT 'ingest_order' AS layout, * FROM nat
+            UNION ALL
+            SELECT 'date_partitioned' AS layout, * FROM wk
+        )
+        SELECT layout,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN max_d < DATE '1998-01-01'
+                               OR min_d > DATE '1998-06-30'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+               CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+               CAST(SUM(CASE WHEN max_d < DATE '1998-01-01'
+                               OR min_d > DATE '1998-06-30'
+                             THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+               (CAST(SUM(CASE WHEN max_d < DATE '1998-01-01'
+                                OR min_d > DATE '1998-06-30'
+                              THEN n_rows ELSE 0 END) AS BIGINT) * 1000000)
+                 // CAST(SUM(n_rows) AS BIGINT) AS skip_ratio_micro
+        FROM both_layouts GROUP BY layout
+    """,
+    tags=("scan", "layout"),
+)
+def q_zonemap_prune(spark, sf_dir):
+    """Zone-map (min/max data-skipping) audit: simulate per-file
+    shipdate zone maps under two physical layouts — ingest order
+    (files = 1000-order batches) vs date-partitioned (weekly files) —
+    and count how many files/rows a 1998-H1 range predicate could
+    SKIP without reading. The quantified "why you sort/partition on
+    the filter column" story that q_zorder_layout / q_hilbert_layout
+    tell for clustering, told for pruning.
+
+    Plan: one scan feeds both layout rollups (each a map-combined
+    hash agg to the bounded file frame), unioned and reduced to 2
+    audit rows; all comparisons on integer epoch-derived keys and
+    DATE bounds, counts exact.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    z = li.select(
+        F.expr("l_orderkey div 1000").alias("nat_file"),
+        F.date_trunc("day", "l_shipdate").cast("date").alias("d"),
+    ).withColumn(
+        "wk_file",
+        F.expr(
+            "datediff(d, DATE '1970-01-01') div 7"
+        ),
+    )
+
+    def rollup(file_col: str, label: str):
+        zones = z.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.count("*").alias("n_rows"),
+        )
+        skipped = F.when(
+            (F.col("max_d") < F.lit("1998-01-01").cast("date"))
+            | (F.col("min_d") > F.lit("1998-06-30").cast("date")),
+            1,
+        ).otherwise(0)
+        return zones.agg(
+            F.count("*").alias("n_files"),
+            F.sum(skipped).cast("long").alias("files_skipped"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.sum(
+                F.when(skipped == 1, F.col("n_rows")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_skipped"),
+            F.expr(
+                "(CAST(SUM(CASE WHEN max_d < DATE '1998-01-01'"
+                " OR min_d > DATE '1998-06-30' THEN n_rows ELSE 0 END)"
+                " AS BIGINT) * 1000000) div CAST(SUM(n_rows) AS BIGINT)"
+            ).alias("skip_ratio_micro"),
+        ).select(
+            F.lit(label).alias("layout"),
+            "n_files",
+            "files_skipped",
+            "rows_total",
+            "rows_skipped",
+            "skip_ratio_micro",
+        )
+
+    return rollup("nat_file", "ingest_order").unionByName(
+        rollup("wk_file", "date_partitioned")
+    )

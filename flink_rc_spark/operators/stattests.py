@@ -473,3 +473,149 @@ def q_benford(spark, sf_dir):
             ).alias("benford_permille"),
         )
     )
+
+
+@register(
+    "q_quantile_2pass",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS c
+            FROM lineitem
+        ), n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x
+        ), t AS (
+            SELECT CAST(v.p AS BIGINT) AS p,
+                   (v.p * n.n + 99) // 100 AS rnk
+            FROM (VALUES (25), (50), (75), (99)) v(p), n
+        ), r AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM x
+        )
+        SELECT t.p, CAST(t.rnk AS BIGINT) AS rnk, r.c AS q_value_c
+        FROM t JOIN r ON r.rn = t.rnk
+    """,
+    tags=("stats", "agg", "scale"),
+)
+def q_quantile_2pass(spark, sf_dir):
+    """EXACT distributed quantiles (p25/p50/p75/p99 of extendedprice
+    cents) by the two-pass histogram-then-narrow algorithm — the
+    scale-correct way to get exact order statistics without a global
+    sort:
+
+    pass 1: hash-agg row counts into $10 value buckets (bounded by the
+    value RANGE, not the row count), cumulative-sum the bucket frame,
+    and locate which bucket holds each target rank (percentile-disc
+    semantics: rank = ceil(p·n/100), the smallest value whose cumulative
+    count reaches p%).
+    pass 2: re-scan ONLY the rows of the ≤ 4 winning buckets (predicate
+    pushes to the parquet scan) and select the (rank − cum_before)-th
+    smallest within each — ties make the selected VALUE well-defined
+    regardless of intra-tie order.
+
+    The oracle spells the same statistic as the naive global
+    ROW_NUMBER selection, proving the 2-pass rewrite exact. All
+    integer arithmetic.
+
+    Plan: two scans + one bounded-frame window; no global sort of fact
+    rows anywhere. The single-partition window runs over the BUCKET
+    frame (range/width rows); the 4-row target frame broadcasts onto
+    it (range predicate — the intended tiny nested-loop).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c")
+    )
+    n = x.agg(F.count("*").alias("n"))
+    t = (
+        spark.createDataFrame([(25,), (50,), (75,), (99,)], "p long")
+        .crossJoin(F.broadcast(n))
+        .select("p", F.expr("(p * n + 99) div 100").alias("rnk"))
+    )
+    bucket = x.groupBy(F.expr("c div 1000").alias("b")).agg(
+        F.count("*").alias("cnt")
+    )
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    bf = bucket.select(
+        "b", "cnt", (F.sum("cnt").over(wb) - F.col("cnt")).alias("cum_before")
+    )
+    sel = t.join(
+        F.broadcast(bf),
+        (F.col("cum_before") < F.col("rnk"))
+        & (F.col("rnk") <= F.col("cum_before") + F.col("cnt")),
+    ).select("p", "rnk", "b", "cum_before")
+    narrowed = x.join(F.broadcast(sel), F.expr("c div 1000") == F.col("b"))
+    wq = Window.partitionBy("p").orderBy("c")
+    return (
+        narrowed.withColumn("rb", F.row_number().over(wq))
+        .filter(F.col("rb") == F.col("rnk") - F.col("cum_before"))
+        .select("p", "rnk", F.col("c").alias("q_value_c"))
+    )
+
+
+@register(
+    "q_calibration_bins",
+    oracle="""
+        WITH x AS (
+            SELECT event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS score_c,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+            FROM events
+        ), binned AS (
+            SELECT score_c, pos,
+                   CAST(NTILE(10) OVER (ORDER BY score_c, event_id) AS BIGINT)
+                     AS bin
+            FROM x
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(score_c) AS BIGINT) AS sum_score_c,
+               (CAST(SUM(score_c) AS BIGINT) * 10000)
+                 // CAST(COUNT(*) AS BIGINT) AS mean_score_micro,
+               (CAST(SUM(pos) AS BIGINT) * 1000000)
+                 // CAST(COUNT(*) AS BIGINT) AS pos_rate_micro
+        FROM binned GROUP BY bin
+    """,
+    tags=("stats", "window"),
+)
+def q_calibration_bins(spark, sf_dir):
+    """Calibration (reliability) table for 'value predicts purchase':
+    rows rank into 10 equal-depth score bins (NTILE over the
+    (score, event_id) total order — both engines use the standard SQL
+    floor distribution, so bin assignment is identical), each bin
+    reporting observed positive rate and mean score as floor-quantized
+    micro-units. The companion diagnostic to q_auc_roc: AUC measures
+    ranking, this measures probability calibration.
+
+    Plan: one scan; the NTILE runs over the global order (documented
+    single-sort — the 2-pass upgrade is rank-by-histogram exactly as
+    q_quantile_2pass, then bin = ceil(rank·10/n)); the rollup is a
+    10-group hash agg.
+    """
+    ev = load(spark, sf_dir, "events")
+    x = ev.select(
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias(
+            "score_c"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    binned = x.select(
+        "score_c",
+        "pos",
+        F.ntile(10).over(Window.orderBy("score_c", "event_id")).cast("long")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("score_c").cast("long").alias("sum_score_c"),
+        F.expr(
+            "(CAST(SUM(score_c) AS BIGINT) * 10000) div COUNT(*)"
+        ).alias("mean_score_micro"),
+        F.expr("(CAST(SUM(pos) AS BIGINT) * 1000000) div COUNT(*)").alias(
+            "pos_rate_micro"
+        ),
+    )

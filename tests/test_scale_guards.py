@@ -86,6 +86,11 @@ NESTED_LOOP_ALLOWED = {
     #                    the single-row corpus-stats class
     "q_assoc_rules",  # ONE broadcast row (basket count) feeding the
     #                   lift denominator — the q_bm25 class
+    "q_quantile_2pass",  # 4 target-rank rows range-joined against the
+    #                      bounded bucket-count frame (the intended
+    #                      tiny nested-loop), plus the single-row n
+    "q_lsh_eval",  # combining three single-row confusion counters —
+    #                the q_dq_checks single-row-join class
 }
 
 
