@@ -1063,3 +1063,134 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     ).orderBy("lang", "pred_lang")
+
+
+@register(
+    "q_keyword_rake",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, u.w AS w, u.pos AS pos
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                              (x, i) -> {'w': x, 'pos': i})) AS u
+                FROM documents
+            )
+        ), stop AS (
+            SELECT w FROM (
+                SELECT w, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rn
+                FROM tok GROUP BY w
+            ) WHERE rn <= 5
+        ), content AS (
+            SELECT t.doc_id, t.w, t.pos,
+                   t.pos - ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                              ORDER BY t.pos) AS isl
+            FROM tok t LEFT JOIN stop s ON t.w = s.w
+            WHERE s.w IS NULL
+        ), phrase AS (
+            SELECT doc_id, isl,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS plen
+            FROM content GROUP BY doc_id, isl
+        ), member AS (
+            SELECT c.doc_id, c.isl, c.w, p.plen
+            FROM content c JOIN phrase p
+              ON c.doc_id = p.doc_id AND c.isl = p.isl
+        ), wstat AS (
+            SELECT w,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(plen) AS BIGINT) AS degree,
+                   (CAST(SUM(plen) AS BIGINT) * 1000000)
+                     // CAST(COUNT(*) AS BIGINT) AS wscore_micro
+            FROM member GROUP BY w
+        ), scored AS (
+            SELECT m.doc_id, m.isl,
+                   CAST(SUM(ws.wscore_micro) AS BIGINT) AS score_micro
+            FROM member m JOIN wstat ws ON m.w = ws.w
+            GROUP BY m.doc_id, m.isl
+        )
+        SELECT p.phrase, p.plen AS n_words,
+               s.score_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM phrase p JOIN scored s
+          ON p.doc_id = s.doc_id AND p.isl = s.isl
+        GROUP BY p.phrase, p.plen, s.score_micro
+        ORDER BY s.score_micro DESC, p.phrase
+        LIMIT 20
+    """,
+    tags=("llm", "text"),
+)
+def q_keyword_rake(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens (stopwords = the corpus
+    top-5 tokens — data-derived, deterministic), each phrase scored by
+    Σ over member words of degree(w)/freq(w), where freq counts word
+    occurrences in phrases and degree sums the lengths of the phrases
+    containing each occurrence. Word scores floor-quantize to micro
+    so the phrase score is an exact integer sum; top-20 phrases
+    (ties → lexicographic).
+
+    Phrase segmentation is the gaps-and-islands idiom (pos −
+    row_number over content tokens per doc — q_gaps_islands on token
+    positions); ordered phrase assembly is the sorted string_agg /
+    array_sort-transform twin pair.
+
+    Plan: tokenize+posexplode is the one fan-out scan; the stopword
+    list is a 5-row broadcast; segmentation windows partition by
+    doc_id (parallel, per-doc length bounded); word stats and phrase
+    scores are two hash aggs on bounded keys (vocab / phrase count);
+    TakeOrdered(20).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    stop = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "w"))
+        )
+        .filter(F.col("rn") <= 5)
+        .select("w")
+    )
+    content = (
+        tok.join(F.broadcast(stop), "w", "left_anti")
+        .withColumn(
+            "isl",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    phrase = content.groupBy("doc_id", "isl").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    member = content.select("doc_id", "isl", "w").join(
+        phrase.select("doc_id", "isl", "plen"), ["doc_id", "isl"]
+    )
+    wstat = member.groupBy("w").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+        F.expr(
+            "(CAST(SUM(plen) AS BIGINT) * 1000000) div COUNT(*)"
+        ).alias("wscore_micro"),
+    )
+    scored = (
+        member.join(wstat.select("w", "wscore_micro"), "w")
+        .groupBy("doc_id", "isl")
+        .agg(F.sum("wscore_micro").cast("long").alias("score_micro"))
+    )
+    return (
+        phrase.join(scored, ["doc_id", "isl"])
+        .groupBy("phrase", F.col("plen").alias("n_words"), "score_micro")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("score_micro"), "phrase")
+        .limit(20)
+    )

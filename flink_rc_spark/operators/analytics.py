@@ -1695,3 +1695,163 @@ def q_cep_pattern(spark, sf_dir):
         )
         .orderBy("user_id", "first_view_id")
     )
+
+
+@register(
+    "q_funnel_windowed",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e
+            JOIN s2 ON e.user_id = s2.user_id
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+              AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS users_total,
+               (SELECT COUNT(*) FROM s1) AS reached_view,
+               (SELECT COUNT(*) FROM s2) AS reached_click_24h,
+               (SELECT COUNT(*) FROM s3) AS reached_purchase_24h
+    """,
+    tags=("analytics", "agg", "hof"),
+)
+def q_funnel_windowed(spark, sf_dir):
+    """WINDOWED funnel (the windowFunnel semantics): view → click →
+    purchase in strict order, with every later step required to land
+    within 24 HOURS of the user's first view — the conversion-window
+    variant product teams actually report (q_funnel_steps is the
+    unbounded-horizon twin).
+
+    Same one-scan HOF fold as q_funnel_steps — the deadline is just
+    one more predicate inside each step's filter lambda — while the
+    oracle pays the textbook k-pass CTE chain; the driver hash proves
+    the single-pass rewrite under the window constraint.
+
+    Plan: ONE events scan, one user_id shuffle, per-user journey
+    folded in array HOFs (JVM codegen), 4 global counters.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+    j = (
+        per_user.withColumn(
+            "t1",
+            F.expr(
+                "array_min(transform(filter(evs, x -> x.event_type = 'view'),"
+                " x -> x.ts))"
+            ),
+        )
+        .withColumn("deadline", F.expr("t1 + INTERVAL 24 HOUR"))
+        .withColumn(
+            "t2",
+            F.expr(
+                "array_min(transform(filter(evs, x -> x.event_type = 'click'"
+                " AND t1 IS NOT NULL AND x.ts > t1 AND x.ts <= deadline),"
+                " x -> x.ts))"
+            ),
+        )
+        .withColumn(
+            "t3",
+            F.expr(
+                "array_min(transform(filter(evs, x -> x.event_type = 'purchase'"
+                " AND t2 IS NOT NULL AND x.ts > t2 AND x.ts <= deadline),"
+                " x -> x.ts))"
+            ),
+        )
+    )
+    return j.agg(
+        F.count("*").alias("users_total"),
+        F.count("t1").alias("reached_view"),
+        F.count("t2").alias("reached_click_24h"),
+        F.count("t3").alias("reached_purchase_24h"),
+    )
+
+
+@register(
+    "q_itemsets_apriori",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ), vocab AS (
+            SELECT w FROM (
+                SELECT w, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rn
+                FROM tok GROUP BY w
+            ) WHERE rn <= 40
+        ), incidence AS (
+            SELECT DISTINCT t.doc_id, t.w
+            FROM tok t JOIN vocab v ON t.w = v.w
+        )
+        SELECT a.w AS w1, b.w AS w2, c.w AS w3,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM incidence a
+        JOIN incidence b ON a.doc_id = b.doc_id AND a.w < b.w
+        JOIN incidence c ON b.doc_id = c.doc_id AND b.w < c.w
+        GROUP BY a.w, b.w, c.w
+        HAVING COUNT(*) >= 5
+        ORDER BY support DESC, w1, w2, w3
+        LIMIT 20
+    """,
+    tags=("analytics", "join", "agg", "llm"),
+)
+def q_itemsets_apriori(spark, sf_dir):
+    """Frequent TRIPLES (the 3-itemset tier of the Apriori lattice,
+    Agrawal–Srikant 1994) over document token sets, mined on the
+    top-40 corpus vocabulary (the q_cooccur_pmi restriction — PMI is
+    this lattice's 2-itemset tier scored; this key climbs one level)
+    with document-support ≥ 5, ranked by support.
+
+    The vocabulary restriction IS the scale control: per-document
+    fan-out is C(k,3) in the count k of VOCABULARY words the document
+    contains (≤ 40 by construction, independent of corpus size or
+    document length) — unlike an absolute top-N over a growing item
+    catalog, whose per-basket hit rate decays with scale (a first cut
+    on the co-purchase catalog returned 0 rows at sf0.1 for exactly
+    that reason; recorded in BASELINE.md).
+
+    Plan: tokenize scan → 40-row vocabulary broadcast → distinct
+    incidence (map-side combined) → 3-way self-equi-join on doc_id →
+    hash agg on ≤ C(40,3) keys → TakeOrdered(20). Support counts
+    exact, output total-ordered.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "w"))
+        )
+        .filter(F.col("rn") <= 40)
+        .select("w")
+    )
+    incidence = tok.join(F.broadcast(vocab), "w").select(
+        "doc_id", "w"
+    ).distinct()
+    a = incidence.select("doc_id", F.col("w").alias("w1"))
+    b = incidence.select("doc_id", F.col("w").alias("w2"))
+    c = incidence.select("doc_id", F.col("w").alias("w3"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .join(c, "doc_id")
+        .filter(F.col("w2") < F.col("w3"))
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 5)
+        .orderBy(F.desc("support"), "w1", "w2", "w3")
+        .limit(20)
+    )

@@ -326,3 +326,124 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(F.col("v").alias("doc_id"), F.col("d").alias("dist")).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "q_link_predict",
+    oracle="""
+        WITH basket AS (
+            SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        ), cop AS (
+            SELECT a.part AS u, b.part AS v, CAST(COUNT(*) AS BIGINT) AS supp
+            FROM basket a JOIN basket b ON a.cust = b.cust AND a.part < b.part
+            GROUP BY a.part, b.part
+        ), top AS (
+            SELECT u, v FROM cop ORDER BY supp DESC, u, v LIMIT 1500
+        ), edges AS (
+            SELECT u, v FROM top
+            UNION ALL SELECT v, u FROM top
+        ), deg AS (
+            SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u
+        ), wedge AS (
+            SELECT e1.v AS a, e2.v AS b, e1.u AS x
+            FROM edges e1 JOIN edges e2
+              ON e1.u = e2.u AND e1.v < e2.v
+        ), cand AS (
+            SELECT w.a, w.b,
+                   CAST(COUNT(*) AS BIGINT) AS cn,
+                   CAST(SUM(1000000 // dx.d) AS BIGINT) AS ra_micro
+            FROM wedge w JOIN deg dx ON dx.x = w.x
+            WHERE NOT EXISTS (SELECT 1 FROM top c
+                              WHERE c.u = w.a AND c.v = w.b)
+            GROUP BY w.a, w.b
+        )
+        SELECT cand.a AS part_a, cand.b AS part_b, cand.cn, cand.ra_micro,
+               (cand.cn * 1000000) // (da.d + db.d - cand.cn)
+                 AS jaccard_micro
+        FROM cand
+        JOIN deg da ON da.x = cand.a
+        JOIN deg db ON db.x = cand.b
+        ORDER BY cand.cn DESC, cand.ra_micro DESC, part_a, part_b
+        LIMIT 20
+    """,
+    tags=("graph", "analytics"),
+)
+def q_link_predict(spark, sf_dir):
+    """LINK PREDICTION on the top-K-sparsified co-purchase graph: keep
+    the 1500 strongest co-purchase edges (supp DESC, total-ordered tie
+    break — the kNN-sparsification every production similarity graph
+    applies before graph ML), then for part pairs NOT among those
+    edges score the top-20 predicted links by common-neighbor count,
+    neighbor-Jaccard, and the Resource-Allocation index (Zhou et al.
+    2009, Σ_x 1/deg(x) over shared neighbors — chosen over
+    Adamic–Adar because 1/deg is an exact rational: per-term
+    floor-quantized micro, NO transcendental whose last ulp could
+    differ across engines).
+
+    The top-K cut IS the scale control: wedge fan-out is bounded by
+    the FIXED 1500-edge graph regardless of corpus density (the raw
+    co-purchase graph measured 274k edges / 3.8M wedges at sf0.01 and
+    OOMed a default driver; the band graph alternative is all closed
+    cliques — no open wedges to predict). The support aggregation
+    underneath is exactly q_basket_pairs' measured shape; the top cut
+    is TakeOrdered(1500), never a full sort.
+
+    Plan: basket self-join → hash agg (q_basket_pairs), TakeOrdered
+    edge cut, wedge enumeration on the bounded edge frame (the
+    q_graph_triangles shape), anti-join for non-adjacency,
+    degree joins after aggregation, TakeOrdered(20).
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    basket = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    ba = basket.select("cust", F.col("part").alias("u"))
+    bb = basket.select("cust", F.col("part").alias("v"))
+    top = (
+        ba.join(bb, "cust")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("supp"))
+        .orderBy(F.desc("supp"), "u", "v")
+        .limit(1500)
+        .select("u", "v")
+    )
+    edges = top.unionByName(
+        top.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("x")).agg(F.count("*").alias("d"))
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("a"))
+    e2 = edges.select(F.col("u").alias("x"), F.col("v").alias("b"))
+    wedge = e1.join(e2, "x").filter(F.col("a") < F.col("b"))
+    open_wedge = wedge.join(
+        top.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    cand = (
+        open_wedge.join(deg, "x")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(F.expr("1000000 div d")).cast("long").alias("ra_micro"),
+        )
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("db"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "cn",
+            "ra_micro",
+            F.expr("(cn * 1000000) div (da + db - cn)").alias("jaccard_micro"),
+        )
+        .orderBy(F.desc("cn"), F.desc("ra_micro"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -502,3 +502,103 @@ def q_join_salted(spark, sf_dir):
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase'
+        ), b AS (
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.event_id AS prev_id, p.ts AS prev_ts
+            FROM events e
+            ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        ), f AS (
+            SELECT e.event_id, p.event_id AS next_id, p.ts AS next_ts
+            FROM events e
+            ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+        )
+        SELECT b.event_id, b.user_id,
+               CASE
+                 WHEN b.prev_id IS NULL THEN f.next_id
+                 WHEN f.next_id IS NULL THEN b.prev_id
+                 WHEN epoch_us(b.ts) - epoch_us(b.prev_ts)
+                      <= epoch_us(f.next_ts) - epoch_us(b.ts) THEN b.prev_id
+                 ELSE f.next_id
+               END AS nearest_purchase_id,
+               CASE
+                 WHEN b.prev_id IS NULL AND f.next_id IS NULL THEN NULL
+                 WHEN b.prev_id IS NULL
+                   THEN epoch_us(f.next_ts) - epoch_us(b.ts)
+                 WHEN f.next_id IS NULL
+                   THEN epoch_us(b.prev_ts) - epoch_us(b.ts)
+                 WHEN epoch_us(b.ts) - epoch_us(b.prev_ts)
+                      <= epoch_us(f.next_ts) - epoch_us(b.ts)
+                   THEN epoch_us(b.prev_ts) - epoch_us(b.ts)
+                 ELSE epoch_us(f.next_ts) - epoch_us(b.ts)
+               END AS dt_us
+        FROM b JOIN f ON b.event_id = f.event_id
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """NEAREST-neighbor as-of join: each event ↦ the temporally
+    CLOSEST purchase of the same user, either direction, ties to the
+    earlier side — the sensor-fusion/feature-alignment semantics
+    (backward-only as-of, q_join_asof, biases features stale; nearest
+    is what clock-skewed sources need). dt_us is signed (≤ 0 looking
+    back, ≥ 0 looking forward), integer epoch microseconds.
+
+    Spark lacks ASOF JOIN; the declared rewrite runs asof_join's
+    union+ordered-window pass twice — backward on ts, forward on
+    NEGATED epoch micros (a forward as-of IS a backward as-of on the
+    reversed clock) — then one row-local CASE picks the nearer side.
+    The oracle spells it as two native DuckDB ASOF joins.
+
+    Plan: two (user, time)-ordered windows — same single-shuffle
+    shape as q_join_asof, one per direction (the second reuses the
+    user_id hash partitioning); no range explosion, no self-join.
+    """
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("prev_id"),
+        F.unix_micros("ts").alias("prev_um"),
+    )
+    left = e.select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("um")
+    )
+    back = asof_join(
+        left, purchases, "user_id", "ts", "ts", ["prev_id", "prev_um"]
+    )
+    fwd_right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (-F.unix_micros("ts")).alias("nts"),
+        F.col("event_id").alias("next_id"),
+        F.unix_micros("ts").alias("next_um"),
+    )
+    left2 = back.withColumn("nts", -F.col("um"))
+    both = asof_join(
+        left2, fwd_right, "user_id", "nts", "nts", ["next_id", "next_um"]
+    )
+    d_prev = F.col("um") - F.col("prev_um")
+    d_next = F.col("next_um") - F.col("um")
+    pick_prev = F.col("next_id").isNull() | (
+        F.col("prev_id").isNotNull() & (d_prev <= d_next)
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        F.when(pick_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .alias("nearest_purchase_id"),
+        F.when(
+            F.col("prev_id").isNull() & F.col("next_id").isNull(),
+            F.lit(None).cast("long"),
+        )
+        .when(pick_prev, F.col("prev_um") - F.col("um"))
+        .otherwise(d_next)
+        .alias("dt_us"),
+    )
