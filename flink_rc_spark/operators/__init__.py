@@ -15,3 +15,4 @@ import flink_rc_spark.operators.graph  # noqa: F401
 import flink_rc_spark.operators.stattests  # noqa: F401
 import flink_rc_spark.operators.sqlsurface  # noqa: F401
 import flink_rc_spark.operators.inference  # noqa: F401
+import flink_rc_spark.operators.mlprims  # noqa: F401

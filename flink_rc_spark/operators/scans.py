@@ -646,3 +646,72 @@ def q_zonemap_prune(spark, sf_dir):
     return rollup("nat_file", "ingest_order").unionByName(
         rollup("wk_file", "date_partitioned")
     )
+
+
+@register(
+    "q_parse_fixedwidth",
+    oracle="""
+        WITH rec AS (
+            SELECT lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+                || rpad(o_orderstatus, 2, ' ')
+                || lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) AS VARCHAR), 12, '0')
+                || rpad(o_orderpriority, 15, ' ')
+                || strftime(o_orderdate, '%Y%m%d') AS line
+            FROM orders
+        )
+        SELECT CAST(substr(line, 1, 12) AS BIGINT) AS orderkey,
+               trim(substr(line, 13, 2)) AS status,
+               CAST(substr(line, 15, 12) AS BIGINT) AS totalprice_c,
+               trim(substr(line, 27, 15)) AS priority,
+               CAST(substr(line, 42, 4) AS BIGINT) * 10000
+                 + CAST(substr(line, 46, 2) AS BIGINT) * 100
+                 + CAST(substr(line, 48, 2) AS BIGINT) AS yyyymmdd,
+               CAST(length(line) AS BIGINT) AS rec_len
+        FROM rec
+    """,
+    tags=("scan", "source"),
+)
+def q_parse_fixedwidth(spark, sf_dir):
+    """FIXED-WIDTH record parsing — the mainframe/COBOL copybook
+    surface: each order serializes to a 49-byte layout (12-digit
+    zero-padded key, 2-char status, 12-digit zero-padded cents,
+    15-char space-padded priority, YYYYMMDD date) and is parsed back
+    with offset/length substrings, trims, and casts; the key proves
+    the full serialize→parse round trip plus the record-length
+    invariant. Date formatting avoids engine-specific format
+    functions on the PARSE side by reassembling yyyymmdd from three
+    integer substrings.
+
+    Plan: pure per-row codegen string work, zero shuffle — the map
+    stage of a fixed-width ingest; at 100 TB the same expressions
+    run over spark.read.text lines.
+    """
+    orders = load(spark, sf_dir, "orders")
+    rec = orders.select(
+        F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            F.rpad("o_orderstatus", 2, " "),
+            F.lpad(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .cast("string"),
+                12,
+                "0",
+            ),
+            F.rpad("o_orderpriority", 15, " "),
+            F.date_format("o_orderdate", "yyyyMMdd"),
+        ).alias("line")
+    )
+    return rec.select(
+        F.substring("line", 1, 12).cast("long").alias("orderkey"),
+        F.trim(F.substring("line", 13, 2)).alias("status"),
+        F.substring("line", 15, 12).cast("long").alias("totalprice_c"),
+        F.trim(F.substring("line", 27, 15)).alias("priority"),
+        (
+            F.substring("line", 42, 4).cast("long") * 10000
+            + F.substring("line", 46, 2).cast("long") * 100
+            + F.substring("line", 48, 2).cast("long")
+        ).alias("yyyymmdd"),
+        F.length("line").cast("long").alias("rec_len"),
+    )

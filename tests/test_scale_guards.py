@@ -91,6 +91,12 @@ NESTED_LOOP_ALLOWED = {
     #                      tiny nested-loop), plus the single-row n
     "q_lsh_eval",  # combining three single-row confusion counters —
     #                the q_dq_checks single-row-join class
+    "q_naive_bayes",  # the 5-class prior (and 500-row model) broadcast
+    #                   across every doc — q_kmeans' assignment shape
+    "q_target_encode",  # ONE global-counter row + the 2-value y
+    #                     expansion onto the 5-segment frame
+    "q_woe_iv",  # ONE totals row onto the 5-bucket frame — the
+    #              q_bm25 single-row-join class
 }
 
 
