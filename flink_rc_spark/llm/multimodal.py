@@ -637,3 +637,131 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_image_stats — exact per-image statistics + low-contrast screen
+# ---------------------------------------------------------------------------
+
+_IMG_N = _AW * _AH  # 16 gray pixels
+# variance threshold: var_num = n*Σg² − (Σg)² compared against
+# TH·n² (i.e. per-pixel variance TH); md5 bytes are near-uniform
+# (var ≈ 256²/12 ≈ 5461), so 4000 splits the population
+_IMG_VAR_TH = 4000
+
+_IMG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("gray_sum", T.LongType()),
+        T.StructField("gray_sq_sum", T.LongType()),
+        T.StructField("var_num", T.LongType()),
+        T.StructField("gray_min", T.LongType()),
+        T.StructField("gray_max", T.LongType()),
+        T.StructField("low_contrast", T.IntegerType()),
+    ]
+)
+
+
+def _image_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: REAL BMP decode, integer gray (r+g+b) DIV 3
+    per pixel, exact first/second moments via the n²-multiplied
+    variance numerator var_num = n·Σg² − (Σg)² — no float mean, no
+    division — plus min/max and the low-contrast flag."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = decode_image(bytes(payload)).astype(np.int64)
+            gray = (arr.sum(axis=2) // 3).reshape(-1)
+            s, sq = int(gray.sum()), int((gray * gray).sum())
+            var_num = _IMG_N * sq - s * s
+            rows.append(
+                (
+                    int(doc_id),
+                    s,
+                    sq,
+                    var_num,
+                    int(gray.min()),
+                    int(gray.max()),
+                    1 if var_num < _IMG_VAR_TH * _IMG_N * _IMG_N else 0,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "gray_sum",
+                "gray_sq_sum",
+                "var_num",
+                "gray_min",
+                "gray_max",
+                "low_contrast",
+            ],
+        )
+
+
+@register(
+    "q_image_stats",
+    oracle=f"""
+    WITH hxd AS (
+        SELECT doc_id,
+               md5(text) || md5(text || 'g') || md5(text || 'h') AS hx
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, CAST({_DUCK_GRAY} AS BIGINT) AS g
+        FROM hxd, (SELECT CAST(range AS INT) AS i
+                   FROM range({_IMG_N})) r
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(SUM(g) AS BIGINT) AS gray_sum,
+               CAST(SUM(g * g) AS BIGINT) AS gray_sq_sum,
+               CAST(MIN(g) AS BIGINT) AS gray_min,
+               CAST(MAX(g) AS BIGINT) AS gray_max
+        FROM px GROUP BY doc_id
+    )
+    SELECT doc_id, gray_sum, gray_sq_sum,
+           CAST({_IMG_N} * gray_sq_sum - gray_sum * gray_sum AS BIGINT)
+             AS var_num,
+           gray_min, gray_max,
+           CASE WHEN {_IMG_N} * gray_sq_sum - gray_sum * gray_sum
+                     < {_IMG_VAR_TH} * {_IMG_N} * {_IMG_N}
+                THEN 1 ELSE 0 END AS low_contrast
+    FROM m
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal", "image", "dq"),
+)
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image quality statistics — the data-quality screen an image
+    corpus runs before training (drop blank/flat frames): exact gray
+    first/second moments with the n²-multiplied variance numerator
+    (var_num = n·Σg² − (Σg)², the q_ts_acf integer-variance idiom on
+    pixels), min/max dynamic range, and a low-contrast flag at a
+    fixed per-pixel variance threshold. No float mean, no division —
+    the flag compares integers, engine-identical.
+
+    Kernel computes from the REAL BMP decode (the q_image_ahash
+    walker); the oracle regenerates each gray pixel from the md5
+    generating recurrence (bottom-up row un-mapping included) and
+    reduces relationally — decode → gray → moments → flag pinned by
+    the driver hash.
+
+    100 TB: Arrow-batched per-image map, no shuffle; production
+    swaps the 4x4 toy for row-group-sized tiles with the same
+    integer algebra.
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = with_ahash_media(docs).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return media.mapInPandas(_image_stats_batches, _IMG_STATS_SCHEMA).orderBy(
+        "doc_id"
+    )

@@ -370,3 +370,112 @@ def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = with_video_columns(docs).select("doc_id", "payload")
     flat = flat.repartition(spark.sparkContext.defaultParallelism)
     return flat.mapInPandas(_motion_batches, _MOTION_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_video_shots — motion-threshold shot segmentation
+# ---------------------------------------------------------------------------
+
+_SHOT_TH = 600  # frame-pair delta above this = shot boundary
+
+_SHOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shot_start", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("pix_sum", T.LongType()),
+    ]
+)
+
+
+def _shots_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas shot-segmentation kernel: REAL AVI parse, per-pair
+    absolute pixel deltas, boundary where delta > threshold, frames
+    merged into shots with their integer pixel-byte sums."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _w, _h, _fps, _n, frames = decode_avi(bytes(payload))
+            px = []
+            for fb in frames:
+                arr = np.frombuffer(fb, dtype=np.uint8)
+                mask = (np.arange(len(arr)) % 8) < 6  # drop row padding
+                px.append(arr[mask].astype(np.int64))
+            mat = np.stack(px)
+            deltas = np.abs(np.diff(mat, axis=0)).sum(axis=1)
+            start = 0
+            for f in range(1, len(frames) + 1):
+                if f == len(frames) or deltas[f - 1] > _SHOT_TH:
+                    rows.append(
+                        (
+                            int(doc_id),
+                            start,
+                            f - start,
+                            int(mat[start:f].sum()),
+                        )
+                    )
+                    start = f
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "shot_start", "n_frames", "pix_sum"]
+        )
+
+
+@register(
+    "q_video_shots",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_DELTAS_DUCK} AS deltas FROM documents),
+    frames AS (
+        SELECT doc_id, r.f AS f,
+               CAST(list_sum(list_transform(range(0, {_PX_PER_FRAME}), p ->
+                   (doc_id * 11 + r.f * 17 + p * 5) % 256)) AS BIGINT)
+                 AS fsum,
+               CASE WHEN r.f = 0 THEN 0
+                    WHEN deltas[r.f] > {_SHOT_TH} THEN 1 ELSE 0 END AS bnd
+        FROM d CROSS JOIN range(0, {_N_FRAMES}) r(f)
+    ), shotted AS (
+        SELECT doc_id, f, fsum,
+               CAST(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY f)
+                    AS BIGINT) AS shot_id
+        FROM frames
+    )
+    SELECT doc_id,
+           CAST(MIN(f) AS INT) AS shot_start,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(SUM(fsum) AS BIGINT) AS pix_sum
+    FROM shotted
+    GROUP BY doc_id, shot_id
+    ORDER BY doc_id, shot_start
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def q_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOT-BOUNDARY segmentation — the video twin of q_audio_vad's
+    speech/silence map: a shot ends where the consecutive-frame pixel
+    delta exceeds the motion threshold, and each shot reports its
+    start frame, length, and integer pixel-byte sum (the features a
+    sampling pipeline uses to pick one representative frame per
+    shot). The synthetic frames step by +17 per byte mod 256, so a
+    pair's delta is 204 + 222·wraps — the threshold at 600 (≥ 2
+    wraps) yields a deterministic, doc-varying shot structure.
+
+    Kernel segments during the REAL AVI decode (run-length in-stream,
+    the q_audio_vad pattern); the oracle regenerates every pixel from
+    the recurrence and derives the same shots relationally (boundary
+    flags → cumulative shot ids → group): decode → delta → threshold
+    → merge is pinned end-to-end by the driver hash.
+
+    100 TB: Arrow-batched per-clip map, segments emit from the
+    kernel, no shuffle; the relational twin shows the same algorithm
+    over a decoded-frame TABLE when clips arrive pre-exploded.
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    flat = with_video_columns(docs).select("doc_id", "payload")
+    flat = flat.repartition(spark.sparkContext.defaultParallelism)
+    return flat.mapInPandas(_shots_batches, _SHOTS_SCHEMA).orderBy(
+        "doc_id", "shot_start"
+    )

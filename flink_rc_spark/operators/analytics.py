@@ -1855,3 +1855,154 @@ def q_itemsets_apriori(spark, sf_dir):
         .orderBy(F.desc("support"), "w1", "w2", "w3")
         .limit(20)
     )
+
+
+@register(
+    "q_seq_mining",
+    oracle="""
+        WITH first_occ AS (
+            SELECT user_id, event_type AS t, MIN(ts) AS ft
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT a.t AS t1, b.t AS t2, c.t AS t3,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM first_occ a
+        JOIN first_occ b ON a.user_id = b.user_id AND a.ft < b.ft
+        JOIN first_occ c ON b.user_id = c.user_id AND b.ft < c.ft
+        GROUP BY a.t, b.t, c.t
+        HAVING COUNT(*) >= 5
+        ORDER BY n_users DESC, t1, t2, t3
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def q_seq_mining(spark, sf_dir):
+    """SEQUENTIAL pattern mining (the funnel-DISCOVERY primitive —
+    which ordered journeys are common, before anyone hand-picks a
+    funnel): for every ordered type triple (t1 → t2 → t3), count
+    users whose FIRST occurrences respect that strict time order;
+    support ≥ 5 users. The first-occurrence projection is what makes
+    this the bounded tier of PrefixSpan: each user contributes one
+    row per event TYPE (≤ |types| = 5), so the 3-way join fans out
+    at most P(5,3) = 60 combinations per user regardless of event
+    volume — the q_itemsets_apriori lesson applied to sequences.
+
+    Plan: one groupBy to the (user, type, first_ts) frame (map-side
+    combined over the raw events), a user-keyed 3-way self-join on
+    that ≤ 5-rows-per-user frame, hash agg on ≤ 60 keys. All
+    timestamps compared exactly; counts exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    fo = ev.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.min("ts").alias("ft")
+    )
+    a = fo.select("user_id", F.col("t").alias("t1"), F.col("ft").alias("fa"))
+    b = fo.select("user_id", F.col("t").alias("t2"), F.col("ft").alias("fb"))
+    c = fo.select("user_id", F.col("t").alias("t3"), F.col("ft").alias("fc"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("fa") < F.col("fb"))
+        .join(c, "user_id")
+        .filter(F.col("fb") < F.col("fc"))
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") >= 5)
+        .orderBy(F.desc("n_users"), "t1", "t2", "t3")
+    )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', MIN(ts)) AS DATE)) // 7
+                     AS cohort_week
+            FROM events GROUP BY user_id
+        ), cohort_size AS (
+            SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM firsts GROUP BY cohort_week
+        ), spend AS (
+            SELECT f.cohort_week,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', e.ts) AS DATE)) // 7
+                     - f.cohort_week AS week_offset,
+                   CAST(SUM(CAST(CAST(e.value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM events e
+            JOIN firsts f ON e.user_id = f.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY f.cohort_week, week_offset
+        ), cum AS (
+            SELECT cohort_week, week_offset,
+                   CAST(SUM(cents) OVER (PARTITION BY cohort_week
+                                         ORDER BY week_offset) AS BIGINT)
+                     AS cum_cents
+            FROM spend
+        )
+        SELECT c.cohort_week, c.week_offset, s.n_users, c.cum_cents,
+               (c.cum_cents * 10000) // s.n_users AS ltv_micro
+        FROM cum c JOIN cohort_size s ON c.cohort_week = s.cohort_week
+        WHERE c.week_offset >= 0
+    """,
+    tags=("analytics", "window", "agg"),
+)
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curve — the revenue companion to q_retention_cohort:
+    users cohort by first-event week (epoch-day div 7, engine-neutral
+    like q_ts_decompose), purchase revenue accumulates per cohort
+    across week offsets, and LTV per user is the cumulative cents
+    floor-quantized micro. The curve every growth team plots.
+
+    Plan: first-event groupBy (one user-keyed agg), cohort join back
+    (same user_id partitioning), weekly rollup crushes cardinality to
+    |cohorts|×|offsets| before the cumulative window (partitioned by
+    cohort, tiny). All integer/decimal exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    wk = lambda col: F.expr(
+        f"datediff(CAST(date_trunc('day', {col}) AS DATE),"
+        " DATE '1970-01-01') div 7"
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("fts")).select(
+        "user_id", wk("fts").alias("cohort_week")
+    )
+    cohort_size = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("n_users")
+    )
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (wk("ts") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = spend.select(
+        "cohort_week",
+        "week_offset",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
+    return (
+        cum.join(F.broadcast(cohort_size), "cohort_week")
+        .filter(F.col("week_offset") >= 0)
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "cum_cents",
+            F.expr("(cum_cents * 10000) div n_users").alias("ltv_micro"),
+        )
+    )
