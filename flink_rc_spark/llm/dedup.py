@@ -1552,3 +1552,87 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_micro"),
         )
     )
+
+
+@register(
+    "q_dedup_paragraph",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, u.w AS w, u.pos AS pos
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                              (x, i) -> {'w': x, 'pos': i})) AS u
+                FROM documents
+            )
+        ), chunk AS (
+            SELECT doc_id, (pos - 1) // 10 AS chunk_id,
+                   md5(string_agg(w, ' ' ORDER BY pos)) AS h
+            FROM tok GROUP BY doc_id, (pos - 1) // 10
+        ), freq AS (
+            SELECT h, CAST(COUNT(*) AS BIGINT) AS n_global
+            FROM chunk GROUP BY h
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN f.n_global > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks,
+               CAST((SUM(CASE WHEN f.n_global > 1 THEN 1 ELSE 0 END)
+                     * 1000000) // COUNT(*) AS BIGINT) AS dup_ratio_micro,
+               CASE WHEN SUM(CASE WHEN f.n_global > 1 THEN 1 ELSE 0 END)
+                         * 1000000 // COUNT(*) >= 300000
+                    THEN 1 ELSE 0 END AS flag_heavy_dup
+        FROM chunk c JOIN freq f ON c.h = f.h
+        GROUP BY c.doc_id
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-level dedup screen (the C4/CCNet repetition pass that
+    runs BETWEEN exact-doc and near-dup): documents chunk into
+    non-overlapping 10-token windows (DuckDB's 1-based token index
+    shifted to match Spark's 0-based — chunk ids agree), each chunk
+    md5-hashed, and a doc is flagged when ≥ 30% of its chunks also
+    appear elsewhere in the corpus — catching boilerplate/templated
+    docs exact-doc dedup misses.
+
+    Plan: one tokenize fan-out scan → per-(doc, chunk) ordered
+    string_agg (the q_agg_listagg sorted-digest idiom) → 16-byte-key
+    frequency agg (q_dedup_exact's shuffle shape) → per-doc rollup.
+    All counts exact; the ratio floor-quantizes micro.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    chunk = tok.groupBy(
+        "doc_id", F.expr("pos div 10").alias("chunk_id")
+    ).agg(
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, w))),"
+                    " x -> x.w)"
+                ),
+                " ",
+            )
+        ).alias("h")
+    )
+    freq = chunk.groupBy("h").agg(F.count("*").alias("n_global"))
+    dup = F.sum(F.when(F.col("n_global") > 1, 1).otherwise(0))
+    return (
+        chunk.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            dup.cast("long").alias("n_dup_chunks"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_global > 1 THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) AS BIGINT)"
+            ).alias("dup_ratio_micro"),
+            F.expr(
+                "CASE WHEN SUM(CASE WHEN n_global > 1 THEN 1 ELSE 0 END)"
+                " * 1000000 div COUNT(*) >= 300000 THEN 1 ELSE 0 END"
+            ).alias("flag_heavy_dup"),
+        )
+    )

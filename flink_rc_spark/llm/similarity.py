@@ -1633,3 +1633,197 @@ def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_rvq — two-stage RESIDUAL vector quantization
+# ---------------------------------------------------------------------------
+
+_RVQ_K = 8  # centroids per stage (3-bit codes)
+
+_RVQ_D1_SPARK = (
+    f"aggregate(transform(sequence(1, {_DIM}), i ->"
+    " (element_at(e, i) - element_at(ce, i))"
+    " * (element_at(e, i) - element_at(ce, i))),"
+    " 0d, (acc, x) -> acc + x)"
+)
+_RVQ_D2_SPARK = (
+    f"aggregate(transform(sequence(1, {_DIM}), i ->"
+    " (element_at(r, i) - element_at(cr, i))"
+    " * (element_at(r, i) - element_at(cr, i))),"
+    " 0d, (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "q_embedding_rvq",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    r1 AS (
+        SELECT vec_id, e,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('rvq1#' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rnk
+        FROM v
+    ),
+    c1 AS (SELECT CAST(rnk - 1 AS INT) AS code1, e AS ce
+           FROM r1 WHERE rnk <= {_RVQ_K}),
+    a1 AS (
+        SELECT vec_id, code1, d1, r FROM (
+            SELECT p.vec_id, c.code1,
+                   list_reduce(list_transform(range(1, {_DIM + 1}), i ->
+                       (p.e[i] - c.ce[i]) * (p.e[i] - c.ce[i])),
+                       (acc, x) -> acc + x) AS d1,
+                   list_transform(range(1, {_DIM + 1}), i ->
+                       p.e[i] - c.ce[i]) AS r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.vec_id
+                       ORDER BY list_reduce(list_transform(range(1, {_DIM + 1}), i ->
+                           (p.e[i] - c.ce[i]) * (p.e[i] - c.ce[i])),
+                           (acc, x) -> acc + x), c.code1) AS rn
+            FROM v p CROSS JOIN c1 c
+        ) WHERE rn = 1
+    ),
+    r2 AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('rvq2#' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rnk
+        FROM v
+    ),
+    c2 AS (
+        SELECT CAST(r2.rnk - 1 AS INT) AS code2, a1.r AS cr
+        FROM r2 JOIN a1 ON r2.vec_id = a1.vec_id
+        WHERE r2.rnk <= {_RVQ_K}
+        UNION ALL
+        SELECT {_RVQ_K} AS code2,
+               list_transform(range(1, {_DIM + 1}), i -> CAST(0 AS DOUBLE))
+    ),
+    a2 AS (
+        SELECT vec_id, code1, d1, code2, d2 FROM (
+            SELECT a.vec_id, a.code1, a.d1, c.code2,
+                   list_reduce(list_transform(range(1, {_DIM + 1}), i ->
+                       (a.r[i] - c.cr[i]) * (a.r[i] - c.cr[i])),
+                       (acc, x) -> acc + x) AS d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_reduce(list_transform(range(1, {_DIM + 1}), i ->
+                           (a.r[i] - c.cr[i]) * (a.r[i] - c.cr[i])),
+                           (acc, x) -> acc + x), c.code2) AS rn
+            FROM a1 a CROSS JOIN c2 c
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, code1, code2,
+           ROUND(d1, 4) AS sq_err_stage1,
+           ROUND(d2, 4) AS sq_err_stage2
+    FROM a2
+    ORDER BY vec_id
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def q_embedding_rvq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL vector quantization (the RVQ scheme modern neural
+    codecs and ANN indexes stack: quantize, subtract, quantize the
+    residual): stage 1 assigns each 64-dim vector to the nearest of 8
+    md5-ranked-sample centroids; stage 2 quantizes the RESIDUAL
+    against a codebook built from the stage-1 residuals of a second
+    md5-ranked sample PLUS the ZERO escape codeword (code 8 — with
+    unfitted sample codebooks a random high-dim residual direction
+    usually hurts, so the escape word is what makes stage 2 a
+    guaranteed refinement; a fitted RVQ gets the same property from
+    mean-centering). Reported per vector: both codes and the
+    stage-wise squared errors — stage 2 NEVER increases error
+    (tested exactly: the zero word reproduces stage 1's fold
+    bit-for-bit).
+
+    Determinism: codebooks are md5-rank samples (the q_embedding_pq
+    seeding contract); every distance is the identical sequential
+    left fold in both engines (Spark `aggregate` ≡ DuckDB
+    `list_reduce`), residual arrays subtract element-wise exactly,
+    and argmin ties break on the code — ROUND(·, 4) on bit-identical
+    doubles is stable.
+
+    Plan: codebooks are 8 broadcast rows each; both assignment stages
+    are embarrassingly parallel maps (broadcast join + per-vector
+    argmin window on the vec partition); no shuffle of the vector
+    table. At 100 TB the codebooks would be Lloyd-fitted
+    (q_kmeans/IVF integer protocol) with the same assignment plan.
+    """
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    r1 = v.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(
+                F.md5(F.concat(F.lit("rvq1#"), F.col("vec_id").cast("string"))),
+                "vec_id",
+            )
+        ),
+    )
+    c1 = r1.filter(F.col("rnk") <= _RVQ_K).select(
+        (F.col("rnk") - 1).cast("int").alias("code1"), F.col("e").alias("ce")
+    )
+    w1 = Window.partitionBy("vec_id").orderBy("d1", "code1")
+    a1 = (
+        v.crossJoin(F.broadcast(c1))
+        .withColumn("d1", F.expr(_RVQ_D1_SPARK))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "code1",
+            "d1",
+            F.expr(
+                f"transform(sequence(1, {_DIM}), i ->"
+                " element_at(e, i) - element_at(ce, i))"
+            ).alias("r"),
+        )
+    )
+    r2 = v.select(
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.md5(F.concat(F.lit("rvq2#"), F.col("vec_id").cast("string"))),
+                "vec_id",
+            )
+        )
+        .alias("rnk"),
+    )
+    c2 = (
+        r2.filter(F.col("rnk") <= _RVQ_K)
+        .join(a1.select("vec_id", "r"), "vec_id")
+        .select(
+            (F.col("rnk") - 1).cast("int").alias("code2"),
+            F.col("r").alias("cr"),
+        )
+        .unionByName(
+            v.limit(1).select(
+                F.lit(_RVQ_K).cast("int").alias("code2"),
+                F.expr(f"array_repeat(CAST(0 AS DOUBLE), {_DIM})").alias("cr"),
+            )
+        )
+    )
+    w2 = Window.partitionBy("vec_id").orderBy("d2", "code2")
+    return (
+        a1.crossJoin(F.broadcast(c2))
+        .withColumn("d2", F.expr(_RVQ_D2_SPARK))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "code1",
+            "code2",
+            F.round("d1", 4).alias("sq_err_stage1"),
+            F.round("d2", 4).alias("sq_err_stage2"),
+        )
+        .orderBy("vec_id")
+    )

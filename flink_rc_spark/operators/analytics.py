@@ -2006,3 +2006,133 @@ def q_cohort_ltv(spark, sf_dir):
             F.expr("(cum_cents * 10000) div n_users").alias("ltv_micro"),
         )
     )
+
+
+@register(
+    "q_ab_cuped",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', MIN(ts)) AS DATE))
+                   + (date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', MAX(ts)) AS DATE))
+                      - date_diff('day', DATE '1970-01-01',
+                                  CAST(date_trunc('day', MIN(ts)) AS DATE)))
+                     // 2 AS mid_day
+            FROM events
+        ), per_user AS (
+            SELECT e.user_id,
+                   CAST(SUM(CASE WHEN date_diff('day', DATE '1970-01-01',
+                                     CAST(date_trunc('day', e.ts) AS DATE))
+                                     <= b.mid_day
+                                 THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100
+                                           AS BIGINT) ELSE 0 END)
+                        // 100 AS BIGINT) AS pre_d,
+                   CAST(SUM(CASE WHEN date_diff('day', DATE '1970-01-01',
+                                     CAST(date_trunc('day', e.ts) AS DATE))
+                                     > b.mid_day
+                                 THEN CAST(CAST(e.value AS DECIMAL(18,2)) * 100
+                                           AS BIGINT) ELSE 0 END)
+                        // 100 AS BIGINT) AS post_d
+            FROM events e CROSS JOIN bounds b
+            GROUP BY e.user_id
+        ), mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(pre_d) AS BIGINT) AS sx,
+                   CAST(SUM(post_d) AS BIGINT) AS sy,
+                   CAST(SUM(pre_d * pre_d) AS BIGINT) AS sxx,
+                   CAST(SUM(pre_d * post_d) AS BIGINT) AS sxy,
+                   CAST(SUM(post_d * post_d) AS BIGINT) AS syy
+            FROM per_user
+        )
+        SELECT n,
+               CAST(n * sxx - sx * sx AS BIGINT) AS var_pre_n2,
+               CAST(n * sxy - sx * sy AS BIGINT) AS cov_n2,
+               CAST(n * syy - sy * sy AS BIGINT) AS var_post_n2,
+               CAST((CAST(n * sxy - sx * sy AS HUGEINT) * 1000000
+                     + 1000000000 * CAST(n * sxx - sx * sx AS HUGEINT))
+                    // CAST(n * sxx - sx * sx AS HUGEINT)
+                    - 1000000000 AS BIGINT) AS theta_micro,
+               CAST((CAST(n * sxy - sx * sy AS HUGEINT)
+                     * CAST(n * sxy - sx * sy AS HUGEINT) * 1000000)
+                    // (CAST(n * sxx - sx * sx AS HUGEINT)
+                       * CAST(n * syy - sy * sy AS HUGEINT))
+                    AS BIGINT) AS var_reduction_micro
+        FROM mom
+    """,
+    tags=("analytics", "stats", "agg"),
+)
+def q_ab_cuped(spark, sf_dir):
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the
+    experimentation-platform technique that shrinks A/B metric
+    variance using each user's PRE-period behavior as a control
+    covariate: θ = cov(pre, post)/var(pre), and the achievable
+    variance reduction is ρ² = cov²/(var_pre·var_post).
+
+    The pre/post split is the data-derived midpoint day (exact
+    integer epoch-day arithmetic); per-user sums floor to whole
+    DOLLARS (the defined metric unit — keeps every n²-multiplied
+    moment inside 38-digit headroom at sf100). All moments are the
+    exact integer n·Σxy − Σx·Σy form (the q_ts_acf idiom); θ uses
+    the signed exact-floor shift (K = 1e9 bounds |θ_micro|), ρ² is a
+    positive exact rational floor-quantized micro.
+
+    Plan: one scan → one user-keyed agg (the midpoint is ONE
+    broadcast row) → single-row moment reduce. The whole CUPED fit —
+    the thing platforms run per-metric per-experiment — costs one
+    shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    day = F.expr("datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01')")
+    bounds = ev.agg(
+        F.expr(
+            "min(datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01'))"
+            " + (max(datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01'))"
+            " - min(datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01')))"
+            " div 2"
+        ).alias("mid_day")
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN datediff(CAST(date_trunc('day', ts) AS DATE),"
+                " DATE '1970-01-01') <= mid_day THEN"
+                " CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " ELSE 0 END) div 100 AS BIGINT)"
+            ).alias("pre_d"),
+            F.expr(
+                "CAST(SUM(CASE WHEN datediff(CAST(date_trunc('day', ts) AS DATE),"
+                " DATE '1970-01-01') > mid_day THEN"
+                " CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " ELSE 0 END) div 100 AS BIGINT)"
+            ).alias("post_d"),
+        )
+    )
+    mom = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("pre_d").alias("sx"),
+        F.sum("post_d").alias("sy"),
+        F.sum(F.col("pre_d") * F.col("pre_d")).alias("sxx"),
+        F.sum(F.col("pre_d") * F.col("post_d")).alias("sxy"),
+        F.sum(F.col("post_d") * F.col("post_d")).alias("syy"),
+    )
+    return mom.select(
+        "n",
+        F.expr("CAST(n * sxx - sx * sx AS BIGINT)").alias("var_pre_n2"),
+        F.expr("CAST(n * sxy - sx * sy AS BIGINT)").alias("cov_n2"),
+        F.expr("CAST(n * syy - sy * sy AS BIGINT)").alias("var_post_n2"),
+        F.expr(
+            "CAST((CAST(n * sxy - sx * sy AS DECIMAL(38,0)) * 1000000"
+            " + CAST(1000000000 AS DECIMAL(38,0)) * (n * sxx - sx * sx))"
+            " div (n * sxx - sx * sx) - 1000000000 AS BIGINT)"
+        ).alias("theta_micro"),
+        F.expr(
+            "CAST((CAST(n * sxy - sx * sy AS DECIMAL(19,0))"
+            " * CAST(n * sxy - sx * sy AS DECIMAL(19,0)) * 1000000)"
+            " div (CAST(n * sxx - sx * sx AS DECIMAL(19,0))"
+            " * (n * syy - sy * sy)) AS BIGINT)"
+        ).alias("var_reduction_micro"),
+    )

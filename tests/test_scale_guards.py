@@ -97,6 +97,10 @@ NESTED_LOOP_ALLOWED = {
     #                     expansion onto the 5-segment frame
     "q_woe_iv",  # ONE totals row onto the 5-bucket frame — the
     #              q_bm25 single-row-join class
+    "q_ab_cuped",  # ONE midpoint-day row broadcast onto the scan —
+    #                the q_bm25 single-row-join class
+    "q_embedding_rvq",  # 8/9-row codebooks broadcast against every
+    #                     vector — q_kmeans' assignment shape, twice
 }
 
 
