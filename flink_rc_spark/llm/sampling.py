@@ -329,3 +329,164 @@ def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sample_coreset — farthest-point (k-center greedy) coreset selection
+# ---------------------------------------------------------------------------
+
+_FPS_K = 8  # coreset size (seed + 7 greedy picks)
+
+
+def _fps_oracle() -> str:
+    """Unrolled greedy farthest-point selection as DuckDB CTE text:
+    integer-grid vectors (the q_kmeans quantization), md5-ranked seed,
+    then k−1 rounds of argmax-of-min-distance with vec_id tie-break,
+    ending with the k-center coverage radius of the chosen set."""
+    from flink_rc_spark.llm.cluster import _QUANT_DUCK
+
+    dist = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> (v.m[i] - c.m[i]) * (v.m[i] - c.m[i])))"
+    )
+    parts = [
+        f"""
+        vq AS (SELECT vec_id, {_QUANT_DUCK} AS m FROM embeddings),
+        ch0 AS (
+            SELECT vec_id, m, 0 AS sel_rank, CAST(NULL AS BIGINT) AS dist_at_pick
+            FROM (SELECT vec_id, m,
+                         ROW_NUMBER() OVER (
+                             ORDER BY md5('fps#' || CAST(vec_id AS VARCHAR)),
+                                      vec_id) AS rn
+                  FROM vq) WHERE rn = 1
+        )"""
+    ]
+    for r in range(1, _FPS_K):
+        parts.append(
+            f"""
+        d{r} AS MATERIALIZED (
+            SELECT v.vec_id, CAST(MIN({dist}) AS BIGINT) AS dmin
+            FROM vq v CROSS JOIN ch{r - 1} c
+            GROUP BY v.vec_id
+        ),
+        ch{r} AS (
+            SELECT * FROM ch{r - 1}
+            UNION ALL
+            SELECT q.vec_id, q.m, {r} AS sel_rank, p.dmin
+            FROM (SELECT vec_id, dmin FROM d{r}
+                  ORDER BY dmin DESC, vec_id LIMIT 1) p
+            JOIN vq q ON q.vec_id = p.vec_id
+        )"""
+        )
+    parts.append(
+        f"""
+        cover AS (
+            SELECT CAST(MAX(dmin) AS BIGINT) AS cover_radius_sq FROM (
+                SELECT v.vec_id, MIN({dist}) AS dmin
+                FROM vq v CROSS JOIN ch{_FPS_K - 1} c
+                GROUP BY v.vec_id
+            )
+        )"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+        SELECT ch.sel_rank, ch.vec_id, ch.dist_at_pick, cover.cover_radius_sq
+        FROM ch{_FPS_K - 1} ch CROSS JOIN cover
+        ORDER BY ch.sel_rank
+    """
+    )
+
+
+@register(
+    "q_sample_coreset",
+    oracle=None,  # assembled below from the round helper
+    tags=("llm", "sample", "iterative"),
+)
+def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORESET selection by greedy farthest-point (k-center) sampling
+    — the diversity-maximizing subset pick training-data pipelines
+    use where hash/stratified sampling would oversample dense modes
+    (Sener & Savarese 2018's active-learning core-set): start from an
+    md5-ranked seed, then repeatedly add the vector FARTHEST from the
+    chosen set (max-min distance, vec_id tie-break), reporting each
+    pick's distance and the final k-center coverage radius (the
+    2-approximation certificate of Gonzalez' algorithm).
+
+    Integer fixed-point (the q_kmeans grid): distances are exact
+    integer sums of squares, so every greedy pick and the radius are
+    engine-identical — an order-sensitive iterative selection made
+    hash-verifiable.
+
+    Plan: k−1 rounds of [broadcast the ≤ k-row chosen set → per-vector
+    min-distance map → TakeOrdered(1)]; vectors never shuffle. The
+    coverage pass is one more broadcast map + max-reduce.
+    """
+    from flink_rc_spark.llm.cluster import _QUANT_SPARK
+
+    emb = load(spark, sf_dir, "embeddings")
+    vq = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("m"))
+    seed = (
+        vq.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(
+                        F.concat(F.lit("fps#"), F.col("vec_id").cast("string"))
+                    ),
+                    "vec_id",
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "m",
+            F.lit(0).alias("sel_rank"),
+            F.lit(None).cast("long").alias("dist_at_pick"),
+        )
+    )
+    dist = (
+        "aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    chosen = seed.localCheckpoint(eager=True)
+    for r in range(1, _FPS_K):
+        dmin = (
+            vq.crossJoin(
+                F.broadcast(chosen.select(F.col("m").alias("cm")))
+            )
+            .select("vec_id", F.expr(dist).alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("dmin"))
+        )
+        pick = (
+            dmin.orderBy(F.desc("dmin"), "vec_id")
+            .limit(1)
+            .join(vq, "vec_id")
+            .select(
+                "vec_id",
+                "m",
+                F.lit(r).alias("sel_rank"),
+                F.col("dmin").alias("dist_at_pick"),
+            )
+        )
+        chosen = chosen.unionByName(pick).localCheckpoint(eager=True)
+    cover = (
+        vq.crossJoin(F.broadcast(chosen.select(F.col("m").alias("cm"))))
+        .select("vec_id", F.expr(dist).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("dmin"))
+        .agg(F.max("dmin").cast("long").alias("cover_radius_sq"))
+    )
+    return (
+        chosen.crossJoin(F.broadcast(cover))
+        .select("sel_rank", "vec_id", "dist_at_pick", "cover_radius_sq")
+        .orderBy("sel_rank")
+    )
+
+
+from flink_rc_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["q_sample_coreset"].oracle = _fps_oracle()

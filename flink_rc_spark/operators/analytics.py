@@ -2136,3 +2136,285 @@ def q_ab_cuped(spark, sf_dir):
             " * (n * syy - sy * sy)) AS BIGINT)"
         ).alias("var_reduction_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_attribution_markov — removal-effect (Markov-chain) attribution
+# ---------------------------------------------------------------------------
+
+_MKV_ROUNDS = 12
+_MKV_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _mkv_transitions_cte() -> str:
+    """DuckDB CTE text: user journeys truncated at the first purchase,
+    transitions (from_s, to_s) with 'start'/'conv'/'null' endpoints,
+    expanded to the 5 chain variants (base + one per removed channel:
+    transitions INTO the removed channel redirect to 'null'), with
+    per-(variant, from) floor-quantized probabilities."""
+    variants = ", ".join(
+        f"('rm_{c}')" for c in _MKV_CHANNELS
+    )
+    return f"""
+        fp AS (
+            SELECT user_id, ts AS fts, event_id AS fid FROM (
+                SELECT user_id, ts, event_id,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rn = 1
+        ),
+        kept AS (
+            SELECT e.user_id, e.ts, e.event_id, e.event_type
+            FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+            WHERE fp.fts IS NULL OR e.ts < fp.fts
+               OR (e.ts = fp.fts AND e.event_id <= fp.fid)
+        ),
+        seq AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM kept
+        ),
+        trans_raw AS (
+            SELECT 'start' AS from_s,
+                   CASE WHEN event_type = 'purchase' THEN 'conv'
+                        ELSE event_type END AS to_s
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT event_type,
+                   CASE WHEN nxt = 'purchase' THEN 'conv'
+                        WHEN nxt IS NULL THEN 'null' ELSE nxt END
+            FROM seq WHERE event_type <> 'purchase'
+        ),
+        tcnt AS (
+            SELECT from_s, to_s, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM trans_raw GROUP BY from_s, to_s
+        ),
+        vnames AS (SELECT 'base' AS variant UNION ALL
+                   SELECT * FROM (VALUES {variants}) v(variant)),
+        vtrans AS (
+            SELECT v.variant, t.from_s,
+                   CASE WHEN v.variant <> 'base'
+                         AND t.to_s = substr(v.variant, 4) THEN 'null'
+                        ELSE t.to_s END AS to_s,
+                   CAST(SUM(t.cnt) AS BIGINT) AS cnt
+            FROM tcnt t CROSS JOIN vnames v
+            WHERE NOT (v.variant <> 'base'
+                       AND t.from_s = substr(v.variant, 4))
+            GROUP BY 1, 2, 3
+        ),
+        probs AS (
+            SELECT variant, from_s, to_s,
+                   (cnt * 1000000)
+                     // CAST(SUM(cnt) OVER (PARTITION BY variant, from_s)
+                             AS BIGINT) AS p_micro
+            FROM vtrans
+        )"""
+
+
+def _mkv_round_sql(r: int) -> str:
+    """One integer fixed-point value-iteration round as DuckDB CTE:
+    v_r(s) = (p(s,conv)·1e6 + Σ p(s,t)·v_{r-1}(t)) div 1e6."""
+    return f"""
+        v{r} AS MATERIALIZED (
+            SELECT p.variant, p.from_s AS s,
+                   CAST((CAST(SUM(CASE WHEN p.to_s = 'conv'
+                                       THEN p.p_micro * 1000000
+                                       WHEN p.to_s IN ('null')
+                                       THEN 0
+                                       ELSE p.p_micro * COALESCE(v.val, 0)
+                                  END) AS BIGINT)) // 1000000 AS BIGINT)
+                     AS val
+            FROM probs p
+            LEFT JOIN v{r - 1} v
+              ON v.variant = p.variant AND v.s = p.to_s
+            GROUP BY p.variant, p.from_s
+        )"""
+
+
+@register(
+    "q_attribution_markov",
+    oracle=None,  # replaced below — assembled from the CTE helpers
+    tags=("analytics", "graph", "iterative"),
+)
+def q_attribution_markov(spark, sf_dir):
+    """REMOVAL-EFFECT (Markov-chain) attribution (Anderl et al. 2014)
+    — the model-based alternative to q_attribution's first/last-touch
+    heuristics: user journeys (truncated at first purchase) define a
+    start → channels → conv/null chain; a channel's credit is how
+    much the absorption probability DROPS when the channel is removed
+    (its inbound edges redirect to null), normalized into shares.
+
+    Integer fixed-point end-to-end (the q_kmeans/PageRank protocol):
+    transition probabilities floor-quantize to micro; absorption
+    probabilities run {_MKV_ROUNDS} value-iteration rounds of
+    v(s) = (p(s,conv)·1e6 + Σ p(s,t)·v(t)) div 1e6 — every iterate an
+    identical integer in both engines, so the 12th-round vector IS
+    the defined statistic. All 5 chain variants (base + 4 removals)
+    iterate TOGETHER as one (variant, state)-keyed frame — one plan,
+    not 5 chains.
+
+    Plan: journey windows partition by user (the sessionize shuffle);
+    the chain frame is ≤ 5 variants × 36 edges; 12 rounds of
+    join+agg on that broadcast-size frame; effects/shares are a
+    4-row reduce. At 100 TB only the journey rollup touches data.
+    """
+    ev = load(spark, sf_dir, "events")
+    wuser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wuser))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid"))
+    )
+    kept = ev.join(F.broadcast(fp), "user_id", "left").filter(
+        F.col("fts").isNull()
+        | (F.col("ts") < F.col("fts"))
+        | ((F.col("ts") == F.col("fts")) & (F.col("event_id") <= F.col("fid")))
+    )
+    seq = kept.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wuser).alias("rn"),
+        F.lead("event_type").over(wuser).alias("nxt"),
+    )
+    starts = seq.filter(F.col("rn") == 1).select(
+        F.lit("start").alias("from_s"),
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("to_s"),
+    )
+    steps = seq.filter(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("from_s"),
+        F.when(F.col("nxt") == "purchase", "conv")
+        .when(F.col("nxt").isNull(), "null")
+        .otherwise(F.col("nxt"))
+        .alias("to_s"),
+    )
+    tcnt = starts.unionByName(steps).groupBy("from_s", "to_s").agg(
+        F.count("*").alias("cnt")
+    )
+    vnames = spark.createDataFrame(
+        [("base",)] + [(f"rm_{c}",) for c in _MKV_CHANNELS], "variant string"
+    )
+    vtrans = (
+        tcnt.crossJoin(F.broadcast(vnames))
+        .filter(
+            ~(
+                (F.col("variant") != "base")
+                & (F.col("from_s") == F.expr("substr(variant, 4)"))
+            )
+        )
+        .groupBy(
+            "variant",
+            "from_s",
+            F.when(
+                (F.col("variant") != "base")
+                & (F.col("to_s") == F.expr("substr(variant, 4)")),
+                "null",
+            )
+            .otherwise(F.col("to_s"))
+            .alias("to_s"),
+        )
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wv = Window.partitionBy("variant", "from_s")
+    probs = vtrans.select(
+        "variant",
+        "from_s",
+        "to_s",
+        F.expr(
+            "(cnt * 1000000) div CAST(SUM(cnt)"
+            " OVER (PARTITION BY variant, from_s) AS BIGINT)"
+        ).alias("p_micro"),
+    ).localCheckpoint(eager=True)  # ≤ 180 rows: cut the lineage before 12 rounds
+    v = None
+    for _ in range(_MKV_ROUNDS):
+        if v is None:
+            joined = probs.withColumn("val", F.lit(None).cast("long"))
+        else:
+            joined = probs.join(
+                F.broadcast(
+                    v.select(
+                        "variant", F.col("s").alias("to_s"), F.col("val")
+                    )
+                ),
+                ["variant", "to_s"],
+                "left",
+            )
+        v = joined.groupBy("variant", F.col("from_s").alias("s")).agg(
+            F.expr(
+                "CAST(CAST(SUM(CASE WHEN to_s = 'conv'"
+                " THEN p_micro * 1000000"
+                " WHEN to_s = 'null' THEN 0"
+                " ELSE p_micro * COALESCE(val, 0) END) AS BIGINT)"
+                " div 1000000 AS BIGINT)"
+            ).alias("val")
+        )
+    base = v.filter((F.col("variant") == "base") & (F.col("s") == "start")).select(
+        F.col("val").alias("base_micro")
+    )
+    removed = v.filter(
+        (F.col("variant") != "base") & (F.col("s") == "start")
+    ).select(
+        F.expr("substr(variant, 4)").alias("channel"),
+        F.col("val").alias("removed_micro"),
+    )
+    eff = removed.crossJoin(F.broadcast(base)).select(
+        "channel",
+        "base_micro",
+        "removed_micro",
+        F.greatest(
+            F.lit(0), F.col("base_micro") - F.col("removed_micro")
+        ).alias("effect_micro"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return eff.select(
+        "channel",
+        "base_micro",
+        "removed_micro",
+        "effect_micro",
+        F.expr(
+            "CASE WHEN SUM(effect_micro) OVER () > 0 THEN"
+            " (effect_micro * 1000000) div CAST(SUM(effect_micro) OVER ()"
+            " AS BIGINT) END"
+        ).alias("share_micro"),
+    )
+
+
+# assemble the full oracle from the helpers and register it
+def _mkv_oracle() -> str:
+    rounds = "".join("," + _mkv_round_sql(r) for r in range(1, _MKV_ROUNDS + 1))
+    return f"""
+        WITH {_mkv_transitions_cte()},
+        v0 AS (SELECT variant, from_s AS s, CAST(NULL AS BIGINT) AS val
+               FROM probs WHERE 1 = 0)
+        {rounds},
+        base AS (
+            SELECT val AS base_micro FROM v{_MKV_ROUNDS}
+            WHERE variant = 'base' AND s = 'start'
+        ),
+        eff AS (
+            SELECT substr(variant, 4) AS channel,
+                   b.base_micro, val AS removed_micro,
+                   GREATEST(0, b.base_micro - val) AS effect_micro
+            FROM v{_MKV_ROUNDS} CROSS JOIN base b
+            WHERE variant <> 'base' AND s = 'start'
+        )
+        SELECT channel, base_micro, removed_micro, effect_micro,
+               CASE WHEN CAST(SUM(effect_micro) OVER () AS BIGINT) > 0 THEN
+                 CAST((effect_micro * 1000000)
+                      // CAST(SUM(effect_micro) OVER () AS BIGINT)
+                      AS BIGINT) END AS share_micro
+        FROM eff
+    """
+
+
+from flink_rc_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["q_attribution_markov"].oracle = _mkv_oracle()

@@ -101,6 +101,11 @@ NESTED_LOOP_ALLOWED = {
     #                the q_bm25 single-row-join class
     "q_embedding_rvq",  # 8/9-row codebooks broadcast against every
     #                     vector — q_kmeans' assignment shape, twice
+    "q_attribution_markov",  # ≤ 5-row variant spine / single-row base
+    #                          prob crossed onto bounded chain frames
+    "q_sample_coreset",  # the ≤ 8-row chosen set broadcast against
+    #                      every vector each greedy round — q_kmeans'
+    #                      assignment shape
 }
 
 
