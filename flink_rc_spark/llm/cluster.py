@@ -395,8 +395,10 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.dim,
                a.s // a.n AS mean_a, b.s // b.n AS mean_b,
                a.n AS n_a, b.n AS n_b,
-               a.n * a.qq - a.s * a.s AS va_n2,
-               b.n * b.qq - b.s * b.s AS vb_n2
+               CAST(a.n AS HUGEINT) * a.qq - CAST(a.s AS HUGEINT) * a.s
+                 AS va_n2,
+               CAST(b.n AS HUGEINT) * b.qq - CAST(b.s AS HUGEINT) * b.s
+                 AS vb_n2
         FROM dims a JOIN dims b USING (dim)
         WHERE a.half = 0 AND b.half = 1
     )
@@ -451,12 +453,17 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("b.s DIV b.n").alias("mean_b"),
         F.col("a.n").alias("n_a"),
         F.col("b.n").alias("n_b"),
-        (F.col("a.n") * F.col("a.qq") - F.col("a.s") * F.col("a.s")).alias(
-            "va_n2"
-        ),
-        (F.col("b.n") * F.col("b.qq") - F.col("b.s") * F.col("b.s")).alias(
-            "vb_n2"
-        ),
+        # DECIMAL(38,0) routing: n·Σq² and s² pass 9.2e18 once the
+        # per-half row count reaches ~1e4 (q ≤ 2.5e6 on the +2-offset
+        # grid) — the sf1 full-sweep caught the BIGINT overflow here
+        F.expr(
+            "CAST(a.n AS DECIMAL(20,0)) * a.qq"
+            " - CAST(a.s AS DECIMAL(20,0)) * a.s"
+        ).alias("va_n2"),
+        F.expr(
+            "CAST(b.n AS DECIMAL(20,0)) * b.qq"
+            " - CAST(b.s AS DECIMAL(20,0)) * b.s"
+        ).alias("vb_n2"),
     )
     delta = F.col("mean_b") - F.col("mean_a")
     drift = F.abs(delta).cast("double") / F.sqrt(

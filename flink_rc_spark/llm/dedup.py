@@ -1636,3 +1636,131 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flag_heavy_dup"),
         )
     )
+
+
+@register(
+    "q_join_setsim",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS s
+               FROM toks WHERE len(t) >= 3),
+        flat AS (SELECT doc_id, unnest(s) AS w FROM sh),
+        df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS dfc FROM flat GROUP BY w),
+        ranked AS (SELECT w, ROW_NUMBER() OVER (ORDER BY dfc, w) AS rnk
+                   FROM df),
+        docs AS (
+            SELECT f.doc_id, list_sort(list(r.rnk)) AS toks,
+                   CAST(COUNT(*) AS BIGINT) AS sz
+            FROM flat f JOIN ranked r ON f.w = r.w
+            GROUP BY f.doc_id
+        ), pref AS (
+            SELECT doc_id,
+                   unnest(toks[1 : CAST(sz - (2 * sz + 4) // 5 + 1 AS INT)])
+                     AS p
+            FROM docs
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pref a JOIN pref b
+              ON a.p = b.p AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) AS n_inter,
+               x.sz + y.sz - CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT)
+                 AS n_union,
+               (CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT) * 1000000)
+                 // (x.sz + y.sz
+                     - CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT))
+                 AS jaccard_micro
+        FROM cand c
+        JOIN docs x ON x.doc_id = c.doc_a
+        JOIN docs y ON y.doc_id = c.doc_b
+        WHERE 5 * CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT)
+              >= 2 * (x.sz + y.sz
+                      - CAST(len(list_intersect(x.toks, y.toks)) AS BIGINT))
+    """,
+    tags=("llm", "dedup", "join"),
+)
+def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join by PREFIX FILTERING (the
+    SSJoin/PPJoin family, Chaudhuri et al. 2006 / Xiao et al. 2008) —
+    the zero-false-negative counterpart to q_dedup_minhash's LSH, on
+    the SAME 3-gram shingle sets: shingles order rarest-first (global
+    df rank), each set keeps only its first sz − ceil(0.4·sz) + 1
+    entries as the PREFIX (J ≥ τ ⇒ |∩| ≥ ceil(τ·sz) ⇒ a shared
+    shingle falls inside both prefixes), candidates share a prefix
+    entry, and the exact Jaccard ≥ 0.4 verify is the pure-integer
+    comparison 5·|∩| ≥ 2·|∪| — no floats anywhere, and provably
+    COMPLETE (tested equal to the unfiltered inverted-index
+    enumeration; q_lsh_eval measures what LSH recall costs on exactly
+    this truth).
+
+    Plan: df rank = one shingle agg + broadcast; the prefix inverted
+    index shuffles only prefix shingles (rarest-first ordering keeps
+    prefix postings short — THE point of the technique); the exact
+    verify runs only on prefix-collided pairs. Versus LSH at 100 TB:
+    guaranteed recall 1.0, paying df-skew sensitivity (a stop-shingle
+    in a prefix explodes candidates) that rarest-first ranking
+    controls.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    flat = toks.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("w")
+    )
+    df = flat.groupBy("w").agg(F.count("*").alias("dfc"))
+    ranked = df.select(
+        "w", F.row_number().over(Window.orderBy("dfc", "w")).alias("rnk")
+    )
+    docs_t = (
+        flat.join(ranked, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("rnk")).alias("toks"),
+            F.count("*").alias("sz"),
+        )
+    )
+    pref = docs_t.select(
+        "doc_id",
+        F.explode(
+            F.expr("slice(toks, 1, CAST(sz - (2 * sz + 4) div 5 + 1 AS INT))")
+        ).alias("p"),
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), F.col("a.p") == F.col("b.p"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = docs_t.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("sz").alias("sa"),
+    )
+    y = docs_t.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("sz").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
+    union_ = F.col("sa") + F.col("sb") - inter
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(F.lit(5) * inter >= F.lit(2) * union_)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            union_.alias("n_union"),
+            F.expr(
+                "(CAST(size(array_intersect(ta, tb)) AS BIGINT) * 1000000)"
+                " div (sa + sb - CAST(size(array_intersect(ta, tb)) AS BIGINT))"
+            ).alias("jaccard_micro"),
+        )
+    )

@@ -1827,3 +1827,140 @@ def q_embedding_rvq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sim_maxsim — ColBERT-style late-interaction (MaxSim) retrieval
+# ---------------------------------------------------------------------------
+
+_MS_TOKS = 4      # token vectors per doc (64 dims -> 4 x 16)
+_MS_SUBDIM = 16
+_MS_NQ = 5        # md5-ranked query docs
+_MS_TOPK = 10
+
+_MS_QUANT_SPARK = (
+    "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)"
+    " AS BIGINT))"
+)
+_MS_QUANT_DUCK = (
+    "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)"
+    " AS BIGINT))"
+)
+
+
+def _ms_dot(tq: int, td: int, qcol: str, dcol: str, duck: bool) -> str:
+    if duck:
+        return (
+            f"list_sum(list_transform(range(1, {_MS_SUBDIM + 1}), i ->"
+            f" {qcol}[{tq * _MS_SUBDIM} + i] * {dcol}[{td * _MS_SUBDIM} + i]))"
+        )
+    return (
+        f"aggregate(sequence(1, {_MS_SUBDIM}), 0L, (acc, i) -> acc +"
+        f" element_at({qcol}, {tq * _MS_SUBDIM} + i)"
+        f" * element_at({dcol}, {td * _MS_SUBDIM} + i))"
+    )
+
+
+def _ms_score(qcol: str, dcol: str, duck: bool) -> str:
+    """MaxSim: Σ over query tokens of max over doc tokens of the
+    integer dot product — generated as 16 dots / 4 GREATESTs / 1 sum."""
+    terms = []
+    for tq in range(_MS_TOKS):
+        dots = ", ".join(
+            _ms_dot(tq, td, qcol, dcol, duck) for td in range(_MS_TOKS)
+        )
+        terms.append(f"GREATEST({dots})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q_sim_maxsim",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, {_MS_QUANT_DUCK} AS m FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, m AS qm FROM (
+            SELECT vec_id, m,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5('maxsim#' || CAST(vec_id AS VARCHAR)),
+                                vec_id) AS rn
+            FROM v
+        ) WHERE rn <= {_MS_NQ}
+    ),
+    scored AS (
+        SELECT q.q_id, d.vec_id,
+               CAST({_ms_score("q.qm", "d.m", True)} AS BIGINT) AS score
+        FROM q CROSS JOIN v d
+        WHERE d.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT q_id, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM scored
+    )
+    WHERE rn <= {_MS_TOPK}
+    ORDER BY q_id, rank
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (ColBERT's MaxSim, Khattab &
+    Zaharia 2020): each embedding splits into {_MS_TOKS} token
+    vectors of {_MS_SUBDIM} dims, and a document's score for a query
+    is Σ over QUERY tokens of the max dot product against any DOC
+    token — the multi-vector scoring that beats single-vector cosine
+    on fine-grained matches. Top-{_MS_TOPK} per query, 5 md5-ranked
+    query docs.
+
+    Integer-exact: coordinates quantize to the signed 1e-6 grid
+    (|x| < 0.5 ⇒ |m| ≤ 5·10⁵; a 16-dim dot ≤ 4·10¹² — BIGINT-safe),
+    so every dot, max, and sum is an identical integer in both
+    engines; ranking ties break on vec_id. The 16 dots / 4 maxes per
+    pair are GENERATED codegen expressions (no UDF, no Python).
+
+    Plan: the 5-query frame broadcasts against the vector scan (the
+    q_knn_label probe shape); per-query top-k is a window over each
+    query's partition. At 100 TB the same scoring rides an IVF/PQ
+    shortlist (q_ivf_pq_search) instead of the full scan — MaxSim is
+    the RE-RANK stage in production late-interaction stacks.
+    """
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(_MS_QUANT_SPARK).alias("m"))
+    q = (
+        v.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(
+                    F.md5(
+                        F.concat(
+                            F.lit("maxsim#"), F.col("vec_id").cast("string")
+                        )
+                    ),
+                    "vec_id",
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _MS_NQ)
+        .select(F.col("vec_id").alias("q_id"), F.col("m").alias("qm"))
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(_ms_score("qm", "m", False)).cast("long").alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _MS_TOPK)
+        .select("q_id", "vec_id", "score", "rank")
+        .orderBy("q_id", "rank")
+    )

@@ -106,6 +106,8 @@ NESTED_LOOP_ALLOWED = {
     "q_sample_coreset",  # the ≤ 8-row chosen set broadcast against
     #                      every vector each greedy round — q_kmeans'
     #                      assignment shape
+    "q_sim_maxsim",  # 5 query vectors broadcast against the vector
+    #                  scan — q_knn_label's probe shape
 }
 
 
