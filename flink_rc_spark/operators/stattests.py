@@ -619,3 +619,147 @@ def q_calibration_bins(spark, sf_dir):
             "pos_rate_micro"
         ),
     )
+
+
+@register(
+    "q_survival_km",
+    oracle="""
+        WITH subj AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS pts,
+                   MIN(ts) AS fts, MAX(ts) AS lts
+            FROM events GROUP BY user_id
+        ), dur AS (
+            SELECT user_id,
+                   CASE WHEN pts IS NOT NULL
+                        THEN date_diff('day', CAST(fts AS DATE),
+                                       CAST(pts AS DATE))
+                        ELSE date_diff('day', CAST(fts AS DATE),
+                                       CAST(lts AS DATE)) END AS t,
+                   CASE WHEN pts IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM subj
+        ), grp AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(ev) AS BIGINT) AS d
+            FROM dur GROUP BY t
+        ), risk AS (
+            SELECT t, d, cnt,
+                   CAST(SUM(cnt) OVER () AS BIGINT)
+                     - (CAST(SUM(cnt) OVER (ORDER BY t) AS BIGINT) - cnt)
+                     AS n_risk
+            FROM grp
+        ), terms AS (
+            SELECT t, d, n_risk, cnt - d AS censored,
+                   CASE WHEN d < n_risk
+                        THEN CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE)
+                                           / n_risk) * 1000000) AS BIGINT)
+                   END AS logterm_micro
+            FROM risk WHERE d > 0
+        )
+        SELECT t AS day, n_risk, d AS n_events, censored,
+               CASE WHEN CAST(COUNT(CASE WHEN logterm_micro IS NULL THEN 1 END)
+                             OVER (ORDER BY t) AS BIGINT) > 0
+                    THEN NULL
+                    ELSE CAST(SUM(logterm_micro) OVER (ORDER BY t) AS BIGINT)
+               END AS log_s_micro,
+               CASE WHEN CAST(COUNT(CASE WHEN logterm_micro IS NULL THEN 1 END)
+                             OVER (ORDER BY t) AS BIGINT) > 0
+                    THEN 0.0
+                    ELSE ROUND(EXP(CAST(SUM(logterm_micro) OVER (ORDER BY t)
+                                        AS DOUBLE) / 1000000), 6)
+               END AS s_hat
+        FROM terms
+    """,
+    tags=("stats", "window"),
+)
+def q_survival_km(spark, sf_dir):
+    """KAPLAN–MEIER survival estimator for time-to-first-purchase,
+    censoring users without a purchase at their last observed day —
+    the survival curve product-limit estimator, the standard
+    time-to-event readout (churn, conversion latency, reliability).
+
+    Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) computed as exp of a CUMULATIVE SUM
+    of per-timepoint ln(1 − d/n) quantized to 6-dp micro (the
+    q_cooccur_pmi idiom): the summed integers are engine-exact, the
+    final exp/round is one deterministic float op. When a timepoint
+    absorbs its whole risk set (d = n), Ŝ collapses to exactly 0 and
+    stays there (the NULL-propagating cumulative guard).
+
+    Plan: one user-keyed agg to (duration, event) subjects, a hash
+    agg to distinct durations (bounded by the day range), risk sets
+    and the cumulative product both windows over that bounded frame.
+    """
+    ev = load(spark, sf_dir, "events")
+    subj = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "pts"
+        ),
+        F.min("ts").alias("fts"),
+        F.max("ts").alias("lts"),
+    )
+    dur = subj.select(
+        F.when(
+            F.col("pts").isNotNull(),
+            F.datediff(F.col("pts").cast("date"), F.col("fts").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.col("lts").cast("date"), F.col("fts").cast("date"))
+        )
+        .alias("t"),
+        F.when(F.col("pts").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    grp = dur.groupBy("t").agg(
+        F.count("*").alias("cnt"), F.sum("ev").alias("d")
+    )
+    wall = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grp.select(
+        "t",
+        "d",
+        "cnt",
+        (
+            F.sum("cnt").over(wall)
+            - (F.sum("cnt").over(wcum) - F.col("cnt"))
+        ).alias("n_risk"),
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        (F.col("cnt") - F.col("d")).alias("censored"),
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                )
+                * 1000000
+            ).cast("long"),
+        ).alias("logterm_micro"),
+    )
+    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    dead = F.count(
+        F.when(F.col("logterm_micro").isNull(), 1)
+    ).over(wt)
+    return terms.select(
+        F.col("t").alias("day"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        "censored",
+        F.when(dead > 0, F.lit(None).cast("long"))
+        .otherwise(F.sum("logterm_micro").over(wt).cast("long"))
+        .alias("log_s_micro"),
+        F.when(dead > 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(
+                    F.sum("logterm_micro").over(wt).cast("double") / 1000000
+                ),
+                6,
+            )
+        )
+        .alias("s_hat"),
+    )
