@@ -763,3 +763,240 @@ def q_survival_km(spark, sf_dir):
         )
         .alias("s_hat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_eval_ndcg — NDCG@10 retrieval-quality evaluation
+# ---------------------------------------------------------------------------
+
+# 1e6/log2(r+1) for ranks 1..10 — precomputed literals so the runtime
+# never calls a transcendental (no cross-engine ulp risk)
+_NDCG_DISC = [
+    1000000, 630929, 500000, 430676, 386852,
+    356207, 333333, 315464, 301029, 289064,
+]
+
+
+def _disc_case(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_NDCG_DISC)
+    )
+    return f"(CASE {col} {branches} END)"
+
+
+@register(
+    "q_eval_ndcg",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   CASE WHEN lang = 'en' THEN 2 ELSE 0 END AS rel,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS r
+            FROM documents
+        ), dcg AS (
+            SELECT source,
+                   CAST(SUM(rel * {_disc_case("r")}) AS BIGINT) AS dcg_micro
+            FROM ranked WHERE r <= 10 GROUP BY source
+        ), ideal AS (
+            SELECT source,
+                   CAST(SUM(2 * {_disc_case("ir")}) AS BIGINT) AS idcg_micro
+            FROM (
+                SELECT source,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY rel DESC, doc_id) AS ir
+                FROM ranked WHERE rel > 0
+            ) WHERE ir <= 10
+            GROUP BY source
+        )
+        SELECT d.source, d.dcg_micro,
+               COALESCE(i.idcg_micro, 0) AS idcg_micro,
+               CASE WHEN i.idcg_micro > 0
+                    THEN (d.dcg_micro * 1000000) // i.idcg_micro END
+                 AS ndcg_micro
+        FROM dcg d LEFT JOIN ideal i ON d.source = i.source
+    """,
+    tags=("stats", "eval", "llm"),
+)
+def q_eval_ndcg(spark, sf_dir):
+    """NDCG@10 — the top-weighted ranking metric that complements
+    q_auc_roc's global AUC: per source, documents rank by n_chars
+    (the same toy scoring AUC evaluates) against binary-graded
+    relevance (lang='en' → 2), discounted by 1/log₂(rank+1) shipped
+    as PRECOMPUTED micro literals (ranks are bounded at 10, so no
+    transcendental ever runs — zero cross-engine ulp risk, unlike a
+    runtime log). IDCG re-ranks the relevant docs ideally;
+    ndcg = dcg/idcg floor-quantized micro; sources with no relevant
+    docs report NULL.
+
+    Plan: one per-source ranking window (parallel across sources),
+    two ≤10-row-per-source aggregates, a source-keyed join of two
+    20-row frames.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.when(F.col("lang") == "en", 2).otherwise(0).alias("rel"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+        )
+        .alias("r"),
+    )
+    dcg = (
+        ranked.filter(F.col("r") <= 10)
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("rel") * F.expr(_disc_case("r")))
+            .cast("long")
+            .alias("dcg_micro")
+        )
+    )
+    ideal = (
+        ranked.filter(F.col("rel") > 0)
+        .select(
+            "source",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.desc("rel"), "doc_id"
+                )
+            )
+            .alias("ir"),
+        )
+        .filter(F.col("ir") <= 10)
+        .groupBy("source")
+        .agg(
+            F.sum(F.lit(2) * F.expr(_disc_case("ir")))
+            .cast("long")
+            .alias("idcg_micro")
+        )
+    )
+    return (
+        dcg.join(ideal, "source", "left")
+        .select(
+            "source",
+            "dcg_micro",
+            F.coalesce(F.col("idcg_micro"), F.lit(0)).alias("idcg_micro"),
+            F.when(
+                F.col("idcg_micro") > 0,
+                F.expr("(dcg_micro * 1000000) div idcg_micro"),
+            ).alias("ndcg_micro"),
+        )
+    )
+
+
+@register(
+    "q_privacy_kanon",
+    oracle="""
+        WITH qi AS (
+            SELECT c.c_custkey,
+                   c.c_mktsegment AS seg, c.c_nationkey AS nat,
+                   (CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      + 100000000000) // 100000 - 1000000 AS bal_bucket
+            FROM customer c
+        ), sens AS (
+            SELECT o.o_custkey AS c_custkey, o.o_orderpriority AS sval,
+                   ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                                      ORDER BY COUNT(*) DESC,
+                                               o.o_orderpriority) AS rn
+            FROM orders o GROUP BY o.o_custkey, o.o_orderpriority
+        ), joined AS (
+            SELECT qi.seg, qi.nat, qi.bal_bucket,
+                   COALESCE(s.sval, 'NONE') AS sval
+            FROM qi LEFT JOIN sens s
+              ON qi.c_custkey = s.c_custkey AND s.rn = 1
+        ), cls AS (
+            SELECT seg, nat, bal_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS sz,
+                   CAST(COUNT(DISTINCT sval) AS BIGINT) AS l_div
+            FROM joined GROUP BY seg, nat, bal_bucket
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(sz) AS BIGINT) AS min_class_size,
+               CAST(SUM(CASE WHEN sz < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS classes_below_2,
+               CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS classes_below_5,
+               CAST(SUM(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT)
+                 AS rows_at_risk_2,
+               CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+                 AS rows_at_risk_5,
+               CAST(MIN(l_div) AS BIGINT) AS min_l_diversity
+        FROM cls
+    """,
+    tags=("stats", "dq", "governance"),
+)
+def q_privacy_kanon(spark, sf_dir):
+    """K-ANONYMITY / L-DIVERSITY audit (Sweeney 2002; Machanavajjhala
+    2007) — the release-gate check before sharing a customer extract:
+    quasi-identifiers (segment, nation, $1000 balance bucket) define
+    equivalence classes; the audit reports how many classes (and
+    member rows) fall below k ∈ {2, 5}, and the minimum
+    L-DIVERSITY of the sensitive attribute (each customer's dominant
+    order priority, deterministic-mode tie-broken) across classes.
+
+    Integer-exact: the signed balance bucket uses the exact-floor
+    shift idiom (acctbal can be negative — Spark div truncates,
+    DuckDB // floors); everything else is counting.
+
+    Plan: one dim scan + one orders agg for the sensitive mode
+    (user-keyed), a hash agg to the class frame, single-row reduce.
+    At 100 TB the classes frame is bounded by the QI cardinality
+    product, not the row count.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    qi = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(
+            "(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " + 100000000000L) div 100000 - 1000000"
+        ).alias("bal_bucket"),
+    )
+    sens = (
+        orders.groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderpriority").alias("sval"),
+        )
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("c_custkey").orderBy(
+                    F.desc("c"), "sval"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "sval")
+    )
+    joined = qi.join(sens, "c_custkey", "left").select(
+        "seg",
+        "nat",
+        "bal_bucket",
+        F.coalesce(F.col("sval"), F.lit("NONE")).alias("sval"),
+    )
+    cls = joined.groupBy("seg", "nat", "bal_bucket").agg(
+        F.count("*").alias("sz"),
+        F.countDistinct("sval").alias("l_div"),
+    )
+    return cls.agg(
+        F.count("*").alias("n_classes"),
+        F.min("sz").alias("min_class_size"),
+        F.sum(F.when(F.col("sz") < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_2"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_5"),
+        F.sum(F.when(F.col("sz") < 2, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk_2"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk_5"),
+        F.min("l_div").alias("min_l_diversity"),
+    )
