@@ -1000,3 +1000,169 @@ def q_privacy_kanon(spark, sf_dir):
         .alias("rows_at_risk_5"),
         F.min("l_div").alias("min_l_diversity"),
     )
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+        WITH bounds AS (
+            SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', MIN(ts)) AS DATE))
+                   + (date_diff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', MAX(ts)) AS DATE))
+                      - date_diff('day', DATE '1970-01-01',
+                                  CAST(date_trunc('day', MIN(ts)) AS DATE)))
+                     // 2 AS mid_day
+            FROM events
+        ), x AS (
+            SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                   CASE WHEN date_diff('day', DATE '1970-01-01',
+                                       CAST(date_trunc('day', ts) AS DATE))
+                             <= b.mid_day THEN 0 ELSE 1 END AS period
+            FROM events CROSS JOIN bounds b
+        ), npre AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x WHERE period = 0
+        ), edges AS (
+            SELECT c AS edge_c
+            FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn
+                  FROM x WHERE period = 0),
+                 npre, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) v(e)
+            WHERE rn = (e * npre.n + 9) // 10
+        ), vals AS (
+            SELECT c, period, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM x GROUP BY c, period
+        ), vbin AS (
+            SELECT v.c, v.period, v.cnt,
+                   1 + CAST(SUM(CASE WHEN e.edge_c < v.c THEN 1 ELSE 0 END)
+                            AS BIGINT) AS bin
+            FROM vals v CROSS JOIN edges e
+            GROUP BY v.c, v.period, v.cnt
+        ), cells AS (
+            SELECT bin,
+                   CAST(SUM(CASE WHEN period = 0 THEN cnt ELSE 0 END)
+                        AS BIGINT) AS cnt_pre,
+                   CAST(SUM(CASE WHEN period = 1 THEN cnt ELSE 0 END)
+                        AS BIGINT) AS cnt_post
+            FROM vbin GROUP BY bin
+        ), tot AS (
+            SELECT CAST(SUM(cnt_pre) AS BIGINT) AS n_pre,
+                   CAST(SUM(cnt_post) AS BIGINT) AS n_post
+            FROM cells
+        )
+        SELECT bin, cnt_pre, cnt_post,
+               CAST(((CAST(cnt_pre AS HUGEINT) * t.n_post
+                      - CAST(cnt_post AS HUGEINT) * t.n_pre) * 1000000
+                     + 1000000 * (CAST(t.n_pre AS HUGEINT) * t.n_post))
+                    // (CAST(t.n_pre AS HUGEINT) * t.n_post)
+                    - 1000000 AS BIGINT) AS dist_diff_micro,
+               CASE WHEN cnt_pre > 0 AND cnt_post > 0
+                    THEN CAST(ROUND(ln((CAST(cnt_pre AS DOUBLE) / t.n_pre)
+                                       / (CAST(cnt_post AS DOUBLE)
+                                          / t.n_post))
+                                    * 1000000) AS BIGINT) END
+                 AS ln_ratio_micro
+        FROM cells CROSS JOIN tot t
+    """,
+    tags=("stats", "monitoring"),
+)
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index components — the model-monitoring
+    drift metric (PSI = Σ_bins (p−q)·ln(p/q)): the post-period
+    event-value distribution compared against PRE-period decile bins
+    whose edges are exact order statistics of the pre sample (the
+    percentile-disc ranks) — the champion/challenger scorecard check.
+
+    Exactness: edges and counts are integers; the distribution
+    difference is an exact cross-multiplied rational floor-quantized
+    micro (signed → the exact-floor shift idiom, as q_woe_iv); the
+    log ratio quantizes one ln (the q_cooccur_pmi idiom). The two
+    reported factors are same-sign by construction, so the consumer's
+    per-bin product (the PSI contribution) is non-negative.
+
+    Plan: one scan (midpoint = ONE broadcast row); pre-period order
+    statistics run over the distinct-value frame; a 9-row edge
+    broadcast bins the distinct values (not the raw rows); 10-cell
+    rollup + single totals row.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.expr(
+            "min(datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01'))"
+            " + (max(datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01'))"
+            " - min(datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01')))"
+            " div 2"
+        ).alias("mid_day")
+    )
+    x = ev.crossJoin(F.broadcast(bounds)).select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+        F.when(
+            F.expr(
+                "datediff(CAST(date_trunc('day', ts) AS DATE),"
+                " DATE '1970-01-01') <= mid_day"
+            ),
+            0,
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    pre = x.filter(F.col("period") == 0)
+    npre = pre.agg(F.count("*").alias("n"))
+    ranked = pre.select(
+        "c", F.row_number().over(Window.orderBy("c")).alias("rn")
+    )
+    es = spark.createDataFrame([(i,) for i in range(1, 10)], "e long")
+    edges = (
+        ranked.crossJoin(F.broadcast(npre))
+        .crossJoin(F.broadcast(es))
+        .filter(F.col("rn") == F.expr("(e * n + 9) div 10"))
+        .select(F.col("c").alias("edge_c"))
+    )
+    vals = x.groupBy("c", "period").agg(F.count("*").alias("cnt"))
+    vbin = (
+        vals.crossJoin(F.broadcast(edges))
+        .groupBy("c", "period", "cnt")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(F.when(F.col("edge_c") < F.col("c"), 1).otherwise(0))
+            )
+            .cast("long")
+            .alias("bin")
+        )
+    )
+    cells = vbin.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("cnt_pre"),
+        F.sum(F.when(F.col("period") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("cnt_post"),
+    )
+    tot = cells.agg(
+        F.sum("cnt_pre").alias("n_pre"), F.sum("cnt_post").alias("n_post")
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "cnt_pre",
+            "cnt_post",
+            F.expr(
+                "CAST((CAST(cnt_pre AS DECIMAL(20,0)) * n_post"
+                " - CAST(cnt_post AS DECIMAL(20,0)) * n_pre) * 1000000"
+                " + 1000000 * (CAST(n_pre AS DECIMAL(20,0)) * n_post)"
+                " AS DECIMAL(38,0))"
+                " div (CAST(n_pre AS DECIMAL(20,0)) * n_post) - 1000000"
+            ).alias("dist_diff_micro"),
+            F.when(
+                (F.col("cnt_pre") > 0) & (F.col("cnt_post") > 0),
+                F.round(
+                    F.log(
+                        (F.col("cnt_pre").cast("double") / F.col("n_pre"))
+                        / (F.col("cnt_post").cast("double") / F.col("n_post"))
+                    )
+                    * 1000000
+                ).cast("long"),
+            ).alias("ln_ratio_micro"),
+        )
+    )

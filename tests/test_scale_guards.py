@@ -108,6 +108,9 @@ NESTED_LOOP_ALLOWED = {
     #                      assignment shape
     "q_sim_maxsim",  # 5 query vectors broadcast against the vector
     #                  scan — q_knn_label's probe shape
+    "q_psi_drift",  # single-row midpoint/totals + the 9-row decile
+    #                 edge frame broadcast onto the distinct values —
+    #                 the q_bm25 single-row-join class
 }
 
 

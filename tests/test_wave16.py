@@ -58,3 +58,31 @@ def test_kanon_audit_identities(spark, sf_dir):
     assert 1 <= row.min_l_diversity <= 5  # at most 5 priorities
     # risk rows for k=2 are exactly the singleton classes
     assert row.rows_at_risk_2 == row.classes_below_2
+
+
+def test_psi_components_sane(spark, sf_dir):
+    import math
+
+    rows = sorted(
+        REGISTRY["q_psi_drift"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(1, 11))
+    n_pre = sum(r.cnt_pre for r in rows)
+    n_post = sum(r.cnt_post for r in rows)
+    psi = 0.0
+    for r in rows:
+        dd = (r.cnt_pre / n_pre - r.cnt_post / n_post) * 1e6
+        assert abs(r.dist_diff_micro - math.floor(dd)) <= 1
+        if r.ln_ratio_micro is not None:
+            lr = math.log(
+                (r.cnt_pre / n_pre) / (r.cnt_post / n_post)
+            ) * 1e6
+            assert abs(r.ln_ratio_micro - round(lr)) <= 1
+            # same-sign factors -> non-negative contribution
+            assert r.dist_diff_micro * r.ln_ratio_micro >= -2_000_000
+            psi += (dd / 1e6) * (lr / 1e6)
+    # pre deciles are ~equal-mass: each pre bin holds ~10% of pre rows
+    for r in rows:
+        assert abs(r.cnt_pre - n_pre / 10) <= n_pre / 10 * 0.2 + 2
+    assert psi >= 0
