@@ -715,3 +715,182 @@ def q_parse_fixedwidth(spark, sf_dir):
         ).alias("yyyymmdd"),
         F.length("line").cast("long").alias("rec_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_source_partitioned / q_source_mergeschema — lakehouse layout reads
+# ---------------------------------------------------------------------------
+
+_PART_DOCS = 400  # docs materialized into the partitioned fixture
+
+
+def _partitioned_dir(spark, sf_dir: str) -> str:
+    """Hive-layout fixture: documents (doc_id < _PART_DOCS) written as
+    lang=<v>/part-0.parquet via pyarrow — the on-disk stand-in for a
+    partition-pruned lake table. Cached per (process, sf_dir) with
+    atexit cleanup (the q_source_binaryfile pattern)."""
+    import os
+
+    from flink_rc_spark.util import cached_fixture_dir
+
+    def build(d: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _PART_DOCS)
+            .select("doc_id", "lang", "n_chars")
+            .collect()
+        )
+        by_lang: dict = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append((r.doc_id, r.n_chars))
+        for lang, recs in by_lang.items():
+            recs.sort()
+            pdir = os.path.join(d, f"lang={lang}")
+            os.makedirs(pdir, exist_ok=True)
+            t = pa.table(
+                {
+                    "doc_id": pa.array([x[0] for x in recs], pa.int64()),
+                    "n_chars": pa.array([x[1] for x in recs], pa.int64()),
+                }
+            )
+            pq.write_table(t, os.path.join(pdir, "part-0.parquet"))
+
+    return cached_fixture_dir("hivepart", sf_dir.rstrip("/"), build)
+
+
+@register(
+    "q_source_partitioned",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc
+        FROM documents WHERE doc_id < {_PART_DOCS}
+        GROUP BY lang
+    """,
+    tags=("scan", "source", "layout"),
+)
+def q_source_partitioned(spark, sf_dir):
+    """HIVE-PARTITIONED discovery read: the builder materializes a
+    lang=<v>/ directory tree (real parquet via pyarrow, the
+    object-store layout every lake table uses), reads it back with
+    partition discovery — the partition column comes from DIRECTORY
+    NAMES, not file contents — and aggregates per partition. The
+    oracle recomputes from the source documents table, so the hash
+    proves the round trip through the hive layout (including the
+    inferred partition column) lossless.
+
+    Plan: partition discovery lists directories once; a lang
+    predicate on this read prunes whole directories before any IO
+    (the point of the layout — q_zonemap_prune quantifies the same
+    effect for file-level stats). The per-partition agg is
+    map-side combined.
+    """
+    d = _partitioned_dir(spark, sf_dir)
+    df = spark.read.parquet(d)
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+def _mergeschema_dir(spark, sf_dir: str) -> str:
+    """Schema-evolution fixture: an OLD-schema file (doc_id, lang) and
+    a NEW-schema file (doc_id, source, n_chars) side by side — the
+    state of a lake table mid-migration."""
+    import os
+
+    from flink_rc_spark.util import cached_fixture_dir
+
+    def build(d: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _PART_DOCS)
+            .select("doc_id", "lang", "source", "n_chars")
+            .collect()
+        )
+        rows.sort(key=lambda r: r.doc_id)
+        old = [r for r in rows if r.doc_id % 2 == 0]
+        new = [r for r in rows if r.doc_id % 2 == 1]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r.doc_id for r in old], pa.int64()),
+                    "lang": pa.array([r.lang for r in old], pa.string()),
+                }
+            ),
+            os.path.join(d, "old-schema.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r.doc_id for r in new], pa.int64()),
+                    "source": pa.array([r.source for r in new], pa.string()),
+                    "n_chars": pa.array(
+                        [r.n_chars for r in new], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(d, "new-schema.parquet"),
+        )
+
+    return cached_fixture_dir("mergeschema", sf_dir.rstrip("/"), build)
+
+
+@register(
+    "q_source_mergeschema",
+    oracle=f"""
+        WITH sub AS (SELECT * FROM documents WHERE doc_id < {_PART_DOCS}),
+        unioned AS (
+            SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+                   CAST(NULL AS BIGINT) AS n_chars
+            FROM sub WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, CAST(NULL AS VARCHAR), source, n_chars
+            FROM sub WHERE doc_id % 2 = 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(lang) AS BIGINT) AS n_lang,
+               CAST(COUNT(source) AS BIGINT) AS n_source,
+               CAST(COUNT(n_chars) AS BIGINT) AS n_nchars,
+               CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM unioned
+    """,
+    tags=("scan", "source"),
+)
+def q_source_mergeschema(spark, sf_dir):
+    """SCHEMA-EVOLUTION read (mergeSchema): one parquet file carries
+    the OLD schema (doc_id, lang), its sibling the NEW schema
+    (doc_id, source, n_chars) — the mid-migration state of a lake
+    table. `mergeSchema=true` must union the schemas and NULL-fill
+    the columns each file lacks; the audit counts per-column
+    presence so the hash pins exactly which rows carry which
+    columns. The oracle rebuilds the same union relationally.
+
+    Plan: schema merge happens at footer-read planning time (two
+    footers); the scan stays columnar with per-file projections —
+    the declared guarantee that adding a column to a 100 TB table
+    does NOT require rewriting old files.
+    """
+    d = _mergeschema_dir(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.count("lang").alias("n_lang"),
+        F.count("source").alias("n_source"),
+        F.count("n_chars").alias("n_nchars"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+        .cast("long")
+        .alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

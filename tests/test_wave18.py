@@ -1,0 +1,74 @@
+"""Semantic checks for the wave-18 lakehouse source keys: partition
+discovery pruning and schema-merge reads.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_rc_spark.registry import REGISTRY, get_queries
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    get_queries()
+
+
+def test_partitioned_read_prunes_directories(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.operators.scans import _partitioned_dir
+
+    d = _partitioned_dir(spark, sf_dir)
+    df = spark.read.parquet(d)
+    # the partition column comes from directory names
+    assert "lang" in df.columns
+    pruned = df.filter(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filters reach the scan (directory pruning, not row filter)
+    assert "PartitionFilters" in plan and "lang" in plan
+    # and the pruned read matches the unpruned aggregate
+    total = dict(
+        df.groupBy("lang").count().collect()
+    )
+
+
+def test_mergeschema_columns_null_filled(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.operators.scans import _mergeschema_dir
+
+    d = _mergeschema_dir(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"doc_id", "lang", "source", "n_chars"}
+    # old-schema rows (even doc_id) have lang, lack source/n_chars
+    bad = df.filter(
+        (F.col("doc_id") % 2 == 0)
+        & (F.col("lang").isNull() | F.col("source").isNotNull())
+    ).count()
+    assert bad == 0
+    bad = df.filter(
+        (F.col("doc_id") % 2 == 1)
+        & (F.col("source").isNull() | F.col("lang").isNotNull())
+    ).count()
+    assert bad == 0
+
+
+def test_source_audits_match_table(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.operators.scans import _PART_DOCS
+    from flink_rc_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _PART_DOCS
+    )
+    part_rows = {
+        r.lang: r.n_docs
+        for r in REGISTRY["q_source_partitioned"].builder(spark, sf_dir).collect()
+    }
+    true_rows = dict(docs.groupBy("lang").count().collect())
+    assert part_rows == true_rows
+    ms = REGISTRY["q_source_mergeschema"].builder(spark, sf_dir).collect()[0]
+    assert ms.n_rows == docs.count()
+    assert ms.n_lang + ms.n_source == ms.n_rows  # disjoint halves
