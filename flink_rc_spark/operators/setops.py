@@ -126,3 +126,77 @@ def q_unpivot(spark, sf_dir):
             " 'tax', l_tax) AS (metric, val)"
         ),
     ).orderBy("l_orderkey", "l_linenumber", "metric")
+
+
+@register(
+    "q_set_except_all",
+    oracle="""
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+        FROM (
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+            EXCEPT ALL
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        )
+        GROUP BY l_partkey
+    """,
+    tags=("setops", "sql"),
+)
+def q_set_except_all(spark, sf_dir):
+    """EXCEPT ALL — MULTISET difference (bag semantics: a part
+    surviving max(cnt_R − cnt_A, 0) times), the variant q_set_except's
+    DISTINCT flavor cannot express; the per-part multiplicity rollup
+    keeps the declared output bounded while hashing the full bag.
+
+    Plan: both engines rewrite bag-EXCEPT as a counted anti-
+    difference — one hash shuffle on the key, no row explosion; the
+    same shape at 100 TB as a grouped count join.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_setall_li")
+    return spark.sql(
+        """
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+        FROM (
+            SELECT l_partkey FROM _setall_li WHERE l_returnflag = 'R'
+            EXCEPT ALL
+            SELECT l_partkey FROM _setall_li WHERE l_returnflag = 'A'
+        )
+        GROUP BY l_partkey
+        """
+    )
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+        FROM (
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+            INTERSECT ALL
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        )
+        GROUP BY l_partkey
+    """,
+    tags=("setops", "sql"),
+)
+def q_set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — MULTISET intersection (each part kept
+    min(cnt_R, cnt_A) times), completing the bag-semantics pair with
+    q_set_except_all; multiplicity rollup bounds the output.
+
+    Plan: counted min-join on the key — one hash shuffle, identical
+    cost shape in both engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_setall_li")
+    return spark.sql(
+        """
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+        FROM (
+            SELECT l_partkey FROM _setall_li WHERE l_returnflag = 'R'
+            INTERSECT ALL
+            SELECT l_partkey FROM _setall_li WHERE l_returnflag = 'A'
+        )
+        GROUP BY l_partkey
+        """
+    )

@@ -72,3 +72,38 @@ def test_source_audits_match_table(spark, sf_dir):
     ms = REGISTRY["q_source_mergeschema"].builder(spark, sf_dir).collect()[0]
     assert ms.n_rows == docs.count()
     assert ms.n_lang + ms.n_source == ms.n_rows  # disjoint halves
+
+
+def test_multiset_ops_bag_identities(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    cnt_r = dict(
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_partkey")
+        .count()
+        .collect()
+    )
+    cnt_a = dict(
+        li.filter(F.col("l_returnflag") == "A")
+        .groupBy("l_partkey")
+        .count()
+        .collect()
+    )
+    exc = {
+        r.l_partkey: r.multiplicity
+        for r in REGISTRY["q_set_except_all"].builder(spark, sf_dir).collect()
+    }
+    inter = {
+        r.l_partkey: r.multiplicity
+        for r in REGISTRY["q_set_intersect_all"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    for k in set(cnt_r) | set(cnt_a):
+        want_exc = max(cnt_r.get(k, 0) - cnt_a.get(k, 0), 0)
+        want_int = min(cnt_r.get(k, 0), cnt_a.get(k, 0))
+        assert exc.get(k, 0) == want_exc, k
+        assert inter.get(k, 0) == want_int, k
