@@ -1166,3 +1166,200 @@ def q_psi_drift(spark, sf_dir):
             ).alias("ln_ratio_micro"),
         )
     )
+
+
+@register(
+    "q_runs_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM events GROUP BY 1
+        ), mv AS (
+            SELECT d, cents,
+                   cents - LAG(cents) OVER (ORDER BY d) AS diff
+            FROM daily
+        ), signs AS (
+            SELECT d, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s
+            FROM mv WHERE diff IS NOT NULL AND diff <> 0
+        ), runs AS (
+            SELECT s,
+                   CASE WHEN LAG(s) OVER (ORDER BY d) IS DISTINCT FROM s
+                        THEN 1 ELSE 0 END AS is_new_run
+            FROM signs
+        )
+        SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+               CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+               CAST(SUM(is_new_run) AS BIGINT) AS n_runs,
+               ROUND((CAST(SUM(is_new_run) AS DOUBLE)
+                      - (1.0 + 2.0 * SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                               * SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                               / COUNT(*)))
+                     / SQRT(2.0 * SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                            * SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                            * (2.0 * SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                               * SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                               - COUNT(*))
+                            / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)
+                               * (COUNT(*) - 1))), 4) AS z
+        FROM runs
+    """,
+    tags=("stats", "window"),
+)
+def q_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz RUNS TEST for randomness of the daily-revenue
+    direction sequence (up/down moves; zero-diffs excluded, the
+    standard treatment): runs counted exactly over the ordered sign
+    sequence, and the normal-approximation z computed as ONE fixed
+    IEEE expression over exact integer counts (the q_ab_ztest
+    float policy), rounded once.
+
+    Plan: daily rollup crushes to the bounded day frame; two lag
+    windows over it; single-row reduce. The trend/seasonality this
+    test flags on real revenue is exactly what q_ts_decompose then
+    separates.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wd = Window.orderBy("d")
+    mv = daily.select(
+        "d", (F.col("cents") - F.lag("cents").over(wd)).alias("diff")
+    )
+    signs = mv.filter(
+        F.col("diff").isNotNull() & (F.col("diff") != 0)
+    ).select("d", F.when(F.col("diff") > 0, 1).otherwise(-1).alias("s"))
+    runs = signs.select(
+        "s",
+        F.when(
+            ~F.lag("s").over(wd).eqNullSafe(F.col("s")), 1
+        )
+        .otherwise(0)
+        .alias("is_new_run"),
+    )
+    n_up = F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+    n_dn = F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+    n = F.count("*")
+    r = F.sum("is_new_run")
+    mu = F.lit(1.0) + 2.0 * n_up * n_dn / n
+    var = (
+        2.0
+        * n_up
+        * n_dn
+        * (2.0 * n_up * n_dn - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return runs.agg(
+        n_up.cast("long").alias("n_up"),
+        n_dn.cast("long").alias("n_down"),
+        r.cast("long").alias("n_runs"),
+        F.round((r.cast("double") - mu) / F.sqrt(var), 4).alias("z"),
+    )
+
+
+@register(
+    "q_kruskal_wallis",
+    oracle="""
+        WITH p AS (
+            SELECT value, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY value, event_type
+        ), vtot AS (
+            SELECT value, CAST(SUM(c) AS BIGINT) AS cv FROM p GROUP BY value
+        ), r AS (
+            SELECT p.value, p.event_type, p.c,
+                   CAST(SUM(v2.cv) AS BIGINT) - MAX(vt.cv) AS before_cnt,
+                   MAX(vt.cv) AS cv
+            FROM p
+            JOIN vtot vt ON vt.value = p.value
+            JOIN vtot v2 ON v2.value <= p.value
+            GROUP BY p.value, p.event_type, p.c
+        ), grp AS (
+            SELECT event_type,
+                   CAST(SUM(c) AS BIGINT) AS n_j,
+                   CAST(SUM(c * (2 * before_cnt + cv + 1)) AS BIGINT) AS s2_j
+            FROM r GROUP BY event_type
+        ), tot AS (
+            SELECT CAST(SUM(n_j) AS BIGINT) AS n FROM grp
+        ), terms AS (
+            SELECT event_type, n_j, s2_j,
+                   (CAST(s2_j AS HUGEINT) * s2_j) // n_j AS t_j
+            FROM grp
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               MAX(t.n) AS n,
+               CAST((3000000 * CAST(SUM(t_j) AS HUGEINT))
+                    // (CAST(MAX(t.n) AS HUGEINT) * (MAX(t.n) + 1))
+                    - CAST(3 AS HUGEINT) * (MAX(t.n) + 1) * 1000000
+                    AS BIGINT) AS h_micro
+        FROM terms CROSS JOIN tot t
+    """,
+    tags=("stats", "window"),
+)
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis H (the k-sample extension of q_mw_utest): do
+    the five event types draw `value` from the same distribution?
+    H = 12/(N(N+1)) Σ R_j²/n_j − 3(N+1) with midrank ties — computed
+    ENTIRELY on integers via doubled rank sums S_j = 2·R_j:
+    H = 3/(N(N+1)) Σ S_j²/n_j − 3(N+1), each S_j² div n_j
+    floor-quantized, the ratio scaled 1e6 at the END (uncorrected for
+    the tie factor, documented — the correction divides by
+    1−Σ(t³−t)/(N³−N), a consumer-side exact rational). The per-term
+    floor runs in DECIMAL via the mod-subtract identity (Spark's div
+    casts to LONG, which t_j outgrows at sf1); DECIMAL(38,0)/HUGEINT
+    headroom sized for sf100 (S_j² ≈ 1.6e31 at N = 10⁸).
+
+    Plan: the pooled midranks come from the distinct-(value) frame
+    exactly as q_mw_utest (one re-agg + cumulative counts — spelled
+    as a bounded self-join in the oracle, a cumulative window in
+    Spark), then a 5-group reduce and one single-row combine.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.groupBy("value", "event_type").agg(F.count("*").alias("c"))
+    vtot = p.groupBy("value").agg(F.sum("c").alias("cv"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    vrank = vtot.select(
+        "value", "cv", (F.sum("cv").over(wv) - F.col("cv")).alias("before_cnt")
+    )
+    r = p.join(vrank, "value")
+    grp = r.groupBy("event_type").agg(
+        F.sum("c").alias("n_j"),
+        F.sum(
+            F.col("c")
+            * (F.lit(2) * F.col("before_cnt") + F.col("cv") + F.lit(1))
+        )
+        .cast("long")
+        .alias("s2_j"),
+    )
+    tot = grp.agg(F.sum("n_j").alias("n"))
+    # exact floor of DECIMAL/long WITHOUT div's long cast (t_j passes
+    # 9.2e18 at sf1): subtract the exact decimal remainder, then the
+    # division is exact (numerator divisible by n_j)
+    terms = grp.select(
+        "event_type",
+        "n_j",
+        F.expr(
+            "CAST((CAST(CAST(s2_j AS DECIMAL(19,0)) * s2_j AS DECIMAL(38,0))"
+            " - CAST(CAST(s2_j AS DECIMAL(19,0)) * s2_j AS DECIMAL(38,0))"
+            " % n_j) / n_j AS DECIMAL(38,0))"
+        ).alias("t_j"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").alias("k_groups"),
+            F.max("n").alias("n"),
+            F.expr(
+                "CAST(CAST(3000000 AS DECIMAL(20,0)) * SUM(t_j)"
+                " AS DECIMAL(38,0))"
+                " div (CAST(MAX(n) AS DECIMAL(20,0)) * (MAX(n) + 1))"
+                " - 3 * (MAX(n) + 1) * 1000000"
+            ).cast("long").alias("h_micro"),
+        )
+    )

@@ -111,6 +111,8 @@ NESTED_LOOP_ALLOWED = {
     "q_psi_drift",  # single-row midpoint/totals + the 9-row decile
     #                 edge frame broadcast onto the distinct values —
     #                 the q_bm25 single-row-join class
+    "q_kruskal_wallis",  # ONE total-N row crossed onto the 5-group
+    #                      term frame — the q_bm25 class
 }
 
 

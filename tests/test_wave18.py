@@ -107,3 +107,76 @@ def test_multiset_ops_bag_identities(spark, sf_dir):
         want_int = min(cnt_r.get(k, 0), cnt_a.get(k, 0))
         assert exc.get(k, 0) == want_exc, k
         assert inter.get(k, 0) == want_int, k
+
+
+def test_kruskal_wallis_matches_scipy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.sources.tables import load
+
+    row = REGISTRY["q_kruskal_wallis"].builder(spark, sf_dir).collect()[0]
+    assert row.k_groups == 5
+    try:
+        from scipy import stats as ss
+    except ImportError:
+        ss = None
+    ev = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(r.value)
+    if ss is not None:
+        h, _ = ss.kruskal(*groups.values())
+        # scipy applies the tie correction; ours is uncorrected, ties are
+        # vanishingly rare on 2-decimal values -> agree to ~1e-2
+        assert abs(row.h_micro / 1e6 - h) < 0.05
+    else:
+        # fallback: brute midrank H
+        import itertools
+
+        pooled = sorted(
+            itertools.chain.from_iterable(groups.values())
+        )
+        from collections import Counter
+
+        cnt = Counter(pooled)
+        start = {}
+        run = 0
+        for v in sorted(cnt):
+            start[v] = run
+            run += cnt[v]
+        n = len(pooled)
+        h = -3 * (n + 1)
+        for vals in groups.values():
+            s2 = sum(2 * start[v] + cnt[v] + 1 for v in vals)
+            h += 3 * (s2 * s2 / len(vals)) / (n * (n + 1))
+        assert abs(row.h_micro / 1e6 - h) < 1e-3
+
+
+def test_runs_test_brute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.sources.tables import load
+
+    row = REGISTRY["q_runs_test"].builder(spark, sf_dir).collect()[0]
+    daily = sorted(
+        (
+            r.d,
+            r.c,
+        )
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("c")
+        )
+        .collect()
+    )
+    signs = []
+    for (d0, c0), (d1, c1) in zip(daily, daily[1:]):
+        if c1 != c0:
+            signs.append(1 if c1 > c0 else -1)
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert row.n_up == signs.count(1)
+    assert row.n_down == signs.count(-1)
+    assert row.n_runs == runs
