@@ -1363,3 +1363,91 @@ def q_kruskal_wallis(spark, sf_dir):
             ).cast("long").alias("h_micro"),
         )
     )
+
+
+@register(
+    "q_anova_oneway",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_j,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS s_j,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)
+                            * CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                   AS BIGINT)) AS BIGINT) AS q_j
+            FROM events GROUP BY event_type
+        ), t AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_j) AS BIGINT) AS n,
+                   CAST(SUM(s_j) AS BIGINT) AS s,
+                   CAST(SUM(q_j) AS BIGINT) AS q,
+                   CAST(SUM((CAST(s_j AS HUGEINT) * s_j) // n_j) AS HUGEINT)
+                     AS t_sum
+            FROM g
+        )
+        SELECT k, n,
+               CAST(t_sum - (CAST(s AS HUGEINT) * s) // n AS BIGINT)
+                 AS ssb_c2,
+               CAST(CAST(q AS HUGEINT) - t_sum AS BIGINT) AS ssw_c2,
+               ROUND((CAST(t_sum - (CAST(s AS HUGEINT) * s) // n AS DOUBLE)
+                      / (k - 1))
+                     / (CAST(CAST(q AS HUGEINT) - t_sum AS DOUBLE)
+                        / (n - k)), 4) AS f_stat
+        FROM t
+    """,
+    tags=("stats", "agg"),
+)
+def q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA of event value across the five event types — the
+    parametric sibling of q_kruskal_wallis: between-group and
+    within-group sums of squares computed ENTIRELY on integer cents
+    (SSB = Σ s_j²/n_j − S²/N and SSW = Σx² − Σ s_j²/n_j, each
+    s²-over-n floor-quantized to whole cents² — the Kruskal–Wallis
+    mod-free spelling works here because the s_j² div n_j quotients
+    stay under 9.2e18 through sf1; the F statistic is one fixed IEEE
+    expression over those integers, rounded once (the q_ab_ztest
+    float policy).
+
+    Plan: ONE map-side-combined hash agg to the 5-group moment frame,
+    then a single-row reduce — variance decomposition at 100 TB costs
+    exactly one scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_j"),
+        F.sum(cents).cast("long").alias("s_j"),
+        F.sum(cents * cents).cast("long").alias("q_j"),
+    )
+    t = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_j").alias("n"),
+        F.sum("s_j").alias("s"),
+        F.sum("q_j").alias("q"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(s_j AS DECIMAL(19,0)) * s_j"
+                " - CAST(s_j AS DECIMAL(19,0)) * s_j % n_j) / n_j"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("t_sum"),
+    )
+    ssb = F.expr(
+        "CAST(t_sum - CAST((CAST(s AS DECIMAL(19,0)) * s"
+        " - CAST(s AS DECIMAL(19,0)) * s % n) / n AS DECIMAL(38,0))"
+        " AS BIGINT)"
+    )
+    ssw = F.expr("CAST(CAST(q AS DECIMAL(38,0)) - t_sum AS BIGINT)")
+    return t.select(
+        "k",
+        "n",
+        ssb.alias("ssb_c2"),
+        ssw.alias("ssw_c2"),
+        F.round(
+            (ssb.cast("double") / (F.col("k") - 1))
+            / (ssw.cast("double") / (F.col("n") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+    )

@@ -180,3 +180,32 @@ def test_runs_test_brute(spark, sf_dir):
     assert row.n_up == signs.count(1)
     assert row.n_down == signs.count(-1)
     assert row.n_runs == runs
+
+
+def test_anova_matches_scipy(spark, sf_dir):
+    from flink_rc_spark.sources.tables import load
+
+    row = REGISTRY["q_anova_oneway"].builder(spark, sf_dir).collect()[0]
+    assert row.k == 5 and row.ssb_c2 >= 0 and row.ssw_c2 > 0
+    try:
+        from scipy import stats as ss
+    except ImportError:
+        ss = None
+    ev = load(spark, sf_dir, "events").select("event_type", "value").collect()
+    groups = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(round(r.value * 100))
+    if ss is not None:
+        f, _ = ss.f_oneway(*groups.values())
+        assert abs(row.f_stat - f) < 1e-3
+    else:
+        # brute SSB/SSW on integer cents
+        all_vals = [v for g in groups.values() for v in g]
+        n = len(all_vals)
+        s = sum(all_vals)
+        q = sum(v * v for v in all_vals)
+        t_sum = sum(
+            (sum(g) * sum(g)) // len(g) for g in groups.values()
+        )
+        assert row.ssb_c2 == t_sum - (s * s) // n
+        assert row.ssw_c2 == q - t_sum
