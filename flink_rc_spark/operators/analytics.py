@@ -2077,6 +2077,14 @@ def q_ab_cuped(spark, sf_dir):
     the signed exact-floor shift (K = 1e9 bounds |θ_micro|), ρ² is a
     positive exact rational floor-quantized micro.
 
+    Documented precondition (the theta_micro-style bound): ρ² squares
+    cov_n2 inside DECIMAL(38,0)/HUGEINT, so var_reduction_micro is
+    exact only while |cov_n2| ≤ ~1.2e16 (cov_n2² × 1e6 < 10³⁸).
+    Dollar-floored per-user sums keep sf100 well inside that (the
+    moments themselves bound at ~1e13); past it Spark (non-ANSI)
+    would NULL silently while DuckDB errors — re-quantize the metric
+    unit (cents→dollars→k$) before that scale, do not widen the type.
+
     Plan: one scan → one user-keyed agg (the midpoint is ONE
     broadcast row) → single-row moment reduce. The whole CUPED fit —
     the thing platforms run per-metric per-experiment — costs one

@@ -382,11 +382,20 @@ def q_target_encode(spark, sf_dir):
             "y",
             "n_seg",
             "pos_seg",
-            # DECIMAL(38,0) headroom: the dividend nears BIGINT max at sf1
+            # DECIMAL(38,0) headroom: the dividend nears BIGINT max at
+            # sf1. Sign-safe by construction (the q_woe_iv exact-floor
+            # shift: +1e6·divisor, div, −1e6): for y = 1 with
+            # pos_seg = 0 the raw dividend goes negative, where Spark
+            # div truncates toward zero but DuckDB // floors — the
+            # shift makes the dividend nonnegative so truncation IS
+            # floor, with no reachable-data precondition.
             F.expr(
                 "CAST((CAST(pos_seg - y AS DECIMAL(20,0)) * n_g + 20 * pos_g)"
-                " * 1000000 AS DECIMAL(38,0))"
+                " * 1000000"
+                " + 1000000 * (CAST(n_seg - 1 + 20 AS DECIMAL(20,0)) * n_g)"
+                " AS DECIMAL(38,0))"
                 " div (CAST(n_seg - 1 + 20 AS DECIMAL(20,0)) * n_g)"
+                " - 1000000"
             ).alias("loo_enc_micro"),
         )
     )

@@ -765,7 +765,15 @@ def _cep_kernel(key, pdf_iter, state):
             run_len = 0
         else:
             run_len = 0
-    state.update((first_id, first_ts, run_len))
+    # Only users with an OPEN V+ run occupy the state store: a closed
+    # or never-opened run removes (or never writes) the entry, so
+    # state footprint tracks open runs, not the stream's lifetime
+    # distinct-user count (NoTimeout has no eviction path otherwise).
+    if run_len == 0:
+        if state.exists:
+            state.remove()
+    else:
+        state.update((first_id, first_ts, run_len))
     if out:
         yield pd.DataFrame(
             out,

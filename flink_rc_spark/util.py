@@ -66,8 +66,13 @@ def scan_sorted_groups(
         out_buf.append(out)
     yield from flush_out()
 
+import threading as _threading
+
 _FIXTURE_DIRS: dict[str, str] = {}
-_FIXTURE_LOCK = None  # created lazily to keep import cost zero
+# Created eagerly at import: lazy creation was itself a race (two
+# threads could each mint a distinct lock and double-build the same
+# fixture, leaking one of the two dirs) and a Lock costs nothing.
+_FIXTURE_LOCK = _threading.Lock()
 _FIXTURE_ATEXIT = False
 
 
@@ -79,11 +84,8 @@ def cached_fixture_dir(namespace: str, key: str, build: Callable[[str], None]) -
     mkdtemp per sf_dir). Builders that raise leave no cache entry, so
     a retry rebuilds cleanly.
     """
-    global _FIXTURE_LOCK, _FIXTURE_ATEXIT
-    import threading
+    global _FIXTURE_ATEXIT
 
-    if _FIXTURE_LOCK is None:
-        _FIXTURE_LOCK = threading.Lock()
     cache_key = f"{namespace}::{key}"
     with _FIXTURE_LOCK:
         if cache_key in _FIXTURE_DIRS:
