@@ -165,37 +165,71 @@ def test_ivf_recall_and_multiprobe_monotone(spark, sf_dir):
     assert r1 <= r4, (r1, r4)
 
 
-def test_dedup_embedding_full_exact_verify_and_recall(spark, sf_dir):
-    """q_dedup_embedding_full is exact-oracled (round 5); this adds
-    the numpy-independent bounds a hash can't express: (a) every
-    emitted pair genuinely has cosine >= 0.35 (recomputed with a
-    different summation order), (b) recall vs the brute-force
-    threshold set is >= 0.8 (measured 0.92-1.0 at sf0.001/sf0.01)."""
+def test_dedup_embedding_full_exact_verify_and_bounds(spark, sf_dir):
+    """q_dedup_embedding_full is exact-oracled; this adds the
+    numpy-independent bounds a hash can't express for the r7 bounded
+    canonical contract: (a) every emitted (vec_id, dup_of) genuinely
+    has cosine >= 0.35 (recomputed with a different summation order)
+    and dup_of < vec_id, (b) output is at most one row per vector —
+    the Omega(pairs) blowup is structurally gone."""
     import numpy as np
 
     from flink_rc_spark.sources.tables import load
 
     rows = _run(spark, sf_dir, "q_dedup_embedding_full").collect()
+    assert rows, "canonical dedup emitted nothing — vacuous"
     emb = {
         r.vec_id: np.array(r.embedding, dtype=float)
         for r in load(spark, sf_dir, "embeddings").collect()
     }
     unit = {k: v / np.linalg.norm(v) for k, v in emb.items()}
-    got = set()
+    seen = set()
     for r in rows:
-        c = float(unit[r.vec_a] @ unit[r.vec_b])
+        assert r.dup_of < r.vec_id, r
+        c = float(unit[r.vec_id] @ unit[r.dup_of])
         assert c >= 0.35 - 1e-9, (r, c)
-        got.add((r.vec_a, r.vec_b))
-    ids = sorted(unit)
-    truth = {
-        (a, b)
-        for i, a in enumerate(ids)
-        for b in ids[i + 1 :]
-        if float(unit[a] @ unit[b]) >= 0.35
-    }
-    assert truth, "threshold set empty — test would be vacuous"
-    recall = len(got & truth) / len(truth)
-    assert recall >= 0.8, f"full-table near-dup recall too low: {recall}"
+        assert r.vec_id not in seen, f"duplicate output row for {r.vec_id}"
+        seen.add(r.vec_id)
+    assert len(rows) <= len(unit)
+
+
+def test_dedup_embedding_full_planted_recall(spark, sf_dir):
+    """RECALL on the workload the key exists for: plant exact copies
+    of 300 vectors (vec_id + 1_000_000) into the corpus and require
+    every planted copy to be flagged as a duplicate (measured 1.0 at
+    sf0.001/sf0.01 — a copy collides with its source in >= 1 of 16
+    bands w.p. ~1 and the 8-plane buckets keep anchors cluster-local).
+    Also checks candidate-volume linearity: the star shape emits at
+    most n_bands candidates per vector."""
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.llm.similarity import (
+        _BANDED_NB,
+        _NORM_SPARK,
+        embedding_canonical_dedup,
+    )
+    from flink_rc_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 300).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "label", "embedding"
+    )
+    n_planted = planted.count()
+    assert n_planted > 0
+    both = emb.select("vec_id", "label", "embedding").unionByName(planted)
+    n = both.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).withColumn("nrm", F.expr(_NORM_SPARK))
+    out = embedding_canonical_dedup(n)
+    flagged = {r.vec_id for r in out.collect()}
+    hits = sum(1 for v in flagged if v >= 1_000_000)
+    recall = hits / n_planted
+    assert recall >= 0.95, f"planted-copy recall too low: {recall}"
+    # bounded output: at most one row per vector, and the total can
+    # never exceed the corpus size (the r5 pair emission could)
+    assert len(flagged) <= both.count()
+    assert _BANDED_NB == 16
 
 
 def test_ann_bucket_occupancy_bounded(spark, sf_dir):
