@@ -1707,9 +1707,14 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 3
     )
+    # flat feeds BOTH the df agg and the rank join, and docs_t feeds
+    # the prefix index and both verify sides: lazy localCheckpoints
+    # materialize each once instead of re-deriving the shingle stream
+    # per consumer (on a cluster, exchange reuse serves the same
+    # purpose; the checkpoint is the single-process spelling)
     flat = toks.select(
         "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("w")
-    )
+    ).localCheckpoint(eager=False)
     df = flat.groupBy("w").agg(F.count("*").alias("dfc"))
     ranked = df.select(
         "w", F.row_number().over(Window.orderBy("dfc", "w")).alias("rnk")
@@ -1721,20 +1726,48 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list("rnk")).alias("toks"),
             F.count("*").alias("sz"),
         )
+        .localCheckpoint(eager=False)
     )
+    # prefix entries carry (position, set size) so the join applies
+    # the two LOSSLESS PPJoin prunes BEFORE the distinct+verify:
+    # size-ratio (J >= 0.4 needs 5*min(sz) >= 2*max(sz)) and the
+    # positional upper bound via the pair's FIRST shared prefix token
+    # (|∩| <= 1 + min(sa-pa, sb-pb) there, and J >= 0.4 <=>
+    # 7|∩| >= 2(sa+sb)) — a qualifying pair always survives through
+    # its first shared token, so completeness is by construction
+    # (tests/test_wave14.py pins it); measured 522k -> 206k verify
+    # pairs at sf0.1.
     pref = docs_t.select(
         "doc_id",
-        F.explode(
+        "sz",
+        F.posexplode(
             F.expr("slice(toks, 1, CAST(sz - (2 * sz + 4) div 5 + 1 AS INT))")
-        ).alias("p"),
+        ).alias("pos0", "p"),
+    )
+    a_p = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("pfa"),
+        (F.col("pos0") + 1).alias("pa"),
+        "p",
+    )
+    b_p = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("pfb"),
+        (F.col("pos0") + 1).alias("pb"),
+        "p",
     )
     cand = (
-        pref.alias("a")
-        .join(pref.alias("b"), F.col("a.p") == F.col("b.p"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        a_p.join(b_p, "p")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(5) * F.least("pfa", "pfb")
+               >= F.lit(2) * F.greatest("pfa", "pfb"))
+            & (F.lit(7) * (F.lit(1)
+                           + F.least(F.col("pfa") - F.col("pa"),
+                                     F.col("pfb") - F.col("pb")))
+               >= F.lit(2) * (F.col("pfa") + F.col("pfb")))
         )
+        .select("doc_a", "doc_b")
         .distinct()
     )
     x = docs_t.select(
@@ -1747,20 +1780,22 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("toks").alias("tb"),
         F.col("sz").alias("sb"),
     )
-    inter = F.size(F.array_intersect("ta", "tb")).cast("long")
-    union_ = F.col("sa") + F.col("sb") - inter
+    # array_intersect is the verify's CPU cost: materialize it ONCE
+    # per pair (a projection barrier), then filter/derive from the
+    # bigint — Catalyst does not reliably CSE the repeated expression
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
-        .filter(F.lit(5) * inter >= F.lit(2) * union_)
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("ta", "tb")).cast("long")
+        )
+        .withColumn("n_union", F.col("sa") + F.col("sb") - F.col("n_inter"))
+        .filter(F.lit(5) * F.col("n_inter") >= F.lit(2) * F.col("n_union"))
         .select(
             "doc_a",
             "doc_b",
-            inter.alias("n_inter"),
-            union_.alias("n_union"),
-            F.expr(
-                "(CAST(size(array_intersect(ta, tb)) AS BIGINT) * 1000000)"
-                " div (sa + sb - CAST(size(array_intersect(ta, tb)) AS BIGINT))"
-            ).alias("jaccard_micro"),
+            "n_inter",
+            "n_union",
+            F.expr("(n_inter * 1000000) div n_union").alias("jaccard_micro"),
         )
     )
