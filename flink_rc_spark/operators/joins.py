@@ -424,7 +424,33 @@ def q_join_interval(spark, sf_dir):
     ).orderBy("cust", "key_a", "key_b")
 
 
-_JOIN_SALT = 8
+def diagnose_salt_factor(fact, key_col: str, parts: int = 32) -> int:
+    """q_skew_stats' salt_factor for a fact frame's heaviest join key
+    — the diagnosis WIRED to the remedy (r7, VERDICT r6 item 5):
+    ceil(max_key_rows * parts / total), floored at 1 and capped at
+    parts (splitting a key across more reducers than the shuffle has
+    partitions buys nothing).
+
+    Cost: one map-side-combinable hash agg over the fact keyed by the
+    join key, reduced to a single (max, total) row — the same
+    pre-flight a 100 TB pipeline runs before shuffling on a key (AQE's
+    skewedJoin makes the equivalent measurement from shuffle stats at
+    runtime; this is the explicit, deterministic spelling). The
+    collect is one 2-column row: driver-safe.
+    """
+    row = (
+        fact.groupBy(key_col)
+        .agg(F.count("*").alias("n_rows"))
+        .agg(
+            F.max("n_rows").cast("bigint").alias("mx"),
+            F.sum("n_rows").cast("bigint").alias("total"),
+        )
+        .first()
+    )
+    if not row or not row["total"]:
+        return 1
+    factor = (row["mx"] * parts + row["total"] - 1) // row["total"]
+    return int(max(1, min(parts, factor)))
 
 
 @register(
@@ -456,9 +482,13 @@ def q_join_salted(spark, sf_dir):
     the query (30% of orders collapse onto key 0 — a hot-user /
     null-key / default-value shape every real fact table has); a plain
     shuffle join would put 30% of the table in ONE reducer. The
-    declared plan salts: the fact adds salt = pmod(orderkey, 8), the
-    dim side replicates ×8 via explode, and the join runs on
-    (key, salt) — the hot key's rows spread over 8 reducers. A merge
+    declared plan salts — with the fan-out CHOSEN BY MEASUREMENT, not
+    hardcoded (r7): diagnose_salt_factor computes q_skew_stats'
+    recommended factor for this fact's heaviest key (~10 for the 30%
+    hot key on a 32-partition shuffle), the fact adds
+    salt = pmod(orderkey, factor), the dim side replicates ×factor
+    via explode, and the join runs on (key, salt) — the hot key's
+    rows spread over `factor` reducers. A merge
     hint pins the shuffled SMJ path so the salted exchange is really
     exercised (broadcast would hide the skew — and is the right fix
     ONLY while the dim fits in memory; salting is for when it
@@ -474,12 +504,21 @@ def q_join_salted(spark, sf_dir):
     hash joins and pre-AQE engines.
     """
     o = load(spark, sf_dir, "orders")
-    fact = o.select(
+    keyed = o.select(
         F.when(F.col("o_custkey") % 10 < 3, F.lit(0).cast("bigint"))
         .otherwise(F.col("o_custkey"))
         .alias("hk"),
         "o_totalprice",
-        F.pmod(F.col("o_orderkey"), F.lit(_JOIN_SALT)).alias("salt"),
+        "o_orderkey",
+    )
+    # the measured remedy: q_skew_stats' salt factor for THIS fact's
+    # hot key decides the fan-out (salting never changes the result,
+    # so the data-dependent-but-deterministic factor is oracle-safe)
+    salt_n = diagnose_salt_factor(keyed, "hk", parts=32)
+    fact = keyed.select(
+        "hk",
+        "o_totalprice",
+        F.pmod(F.col("o_orderkey"), F.lit(salt_n)).alias("salt"),
     )
     dim = (
         fact.select("hk")
@@ -489,7 +528,7 @@ def q_join_salted(spark, sf_dir):
     dim_exp = dim.select(
         "hk",
         "grp",
-        F.explode(F.expr(f"sequence(0, {_JOIN_SALT - 1})")).alias("salt"),
+        F.explode(F.expr(f"sequence(0, {salt_n - 1})")).alias("salt"),
     )
     joined = fact.join(dim_exp.hint("merge"), ["hk", "salt"])
     return (

