@@ -187,7 +187,9 @@ def main() -> None:
     # verbose record is a superset of the compact tail line, and a
     # consumer doing json.load() on the file must not break.
     try:
-        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+        out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+        )
         with open(out_path, "w") as f:
             f.write(line + "\n")
     except OSError:

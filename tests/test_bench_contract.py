@@ -1,0 +1,47 @@
+"""Driver-artifact insurance (VERDICT r6 item 10): the grading driver
+keeps only the LAST ~2000 chars of bench stdout, so the FINAL printed
+line must always be one parseable compact JSON object — this pins the
+print ordering against future edits."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+
+def test_bench_stdout_final_line_is_compact_json():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_BENCH_HEADLINE_ONLY"] = "1"
+    env.setdefault("SPARK_GRAFT_CPUS", "8")
+    out_json = os.path.join(tempfile.mkdtemp(prefix="bench_contract_"),
+                            "bench_out.json")
+    env["SPARK_GRAFT_BENCH_OUT"] = out_json  # keep the committed artifact
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=repo,
+        timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert lines, "bench printed nothing"
+    final = json.loads(lines[-1])  # must parse — the driver's tail slice
+    assert final.get("compact") is True, final
+    assert final["metric"] == "headline_queries_wall_clock"
+    assert final["unit"] == "sec"
+    assert isinstance(final["value"], (int, float)) and final["value"] > 0
+    # the verbose record (line before) must also be standalone JSON and
+    # a superset of the compact one
+    verbose = json.loads(lines[-2])
+    assert verbose["value"] == final["value"]
+    assert verbose["queries"], "verbose record lost per-key timings"
+    # bench_out.json stays ONE parseable object (ADVICE r5)
+    with open(out_json) as f:
+        json.load(f)
