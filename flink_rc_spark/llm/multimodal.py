@@ -765,3 +765,115 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_image_stats_batches, _IMG_STATS_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mime_sniff — container-format detection by magic bytes
+# ---------------------------------------------------------------------------
+
+_SNIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sniffed", T.StringType()),
+        T.StructField("family", T.StringType()),
+    ]
+)
+
+_SNIFF_FORMATS = ("bmp", "png", "jpeg", "wav", "avi")
+
+
+def sniff_container(payload: bytes) -> tuple[str, str]:
+    """(format, family) from leading magic bytes ONLY — the ingestion
+    gate a binary lake runs before routing payloads to per-format
+    decoders. RIFF containers need the bytes-8..12 form tag; nothing
+    reads past byte 12."""
+    if payload[:2] == b"BM":
+        return "bmp", "native"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", "native"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg", "native"
+    if payload[:4] == b"RIFF":
+        tag = payload[8:12]
+        if tag == b"WAVE":
+            return "wav", "riff"
+        if tag == b"AVI ":
+            return "avi", "riff"
+        return "riff-unknown", "riff"
+    return "unknown", "unknown"
+
+
+def _sniff_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Build each doc's payload in the container chosen by
+    doc_id % 5 (all five real encoders), then sniff it back from the
+    BYTES ALONE — the hash proves construct → sniff lands exactly."""
+    from flink_rc_spark.llm.audio import encode_wav
+    from flink_rc_spark.llm.jpeg import encode_jpeg
+    from flink_rc_spark.llm.video import encode_avi
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = []
+        for doc_id, px in zip(pdf["doc_id"], pdf["px"]):
+            raw = np.frombuffer(bytes(px), dtype=np.uint8)
+            arr = raw[:12].reshape(2, 2, 3)
+            fmt = _SNIFF_FORMATS[int(doc_id) % 5]
+            if fmt == "bmp":
+                payload = encode_bmp(arr)
+            elif fmt == "png":
+                payload = encode_png(arr)
+            elif fmt == "jpeg":
+                payload = encode_jpeg(arr, quality=98)
+            elif fmt == "wav":
+                samples = (raw.astype(np.int16) - 128) * 16
+                payload = encode_wav(samples, sample_rate=8000)
+            else:
+                payload = encode_avi([arr])
+            sniffed, family = sniff_container(payload)
+            rows.append((int(doc_id), sniffed, family))
+        yield pd.DataFrame(rows, columns=["doc_id", "sniffed", "family"])
+
+
+@register(
+    "q_mime_sniff",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav'
+                           ELSE 'avi' END AS sniffed,
+           CASE WHEN doc_id % 5 IN (3, 4) THEN 'riff'
+                ELSE 'native' END AS family
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME/container sniffing over a mixed binary corpus: each doc's
+    payload is built by one of the five REAL encoders (BMP, PNG,
+    baseline JPEG, RIFF/WAVE, RIFF/AVI — doc_id % 5 picks), and the
+    kernel detects the format from leading magic bytes only (RIFF
+    disambiguated by the form tag at bytes 8..12) — the first gate of
+    any multimodal ingestion pipeline, which must route payloads
+    BEFORE paying a full decode. The oracle knows the construction
+    choice per doc_id, so the hash proves the full
+    encode → magic-sniff round trip for every format.
+
+    Scale: the q_multimodal_decode shape — Arrow-batched mapInPandas
+    over a pruned 2-column scan, one small row out per document, no
+    shuffle; sniffing reads ≤ 12 bytes per payload regardless of
+    object size (at 100 TB the payloads come from binaryFile sources
+    and the sniff cost stays per-object-constant).
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id", F.unhex(F.substring(F.md5("text"), 1, 24)).alias("px")
+    )
+    # single-file local scan -> one split; spread the Python encode
+    # across cores (see q_multimodal_formats' note — same economics)
+    src = src.repartition(spark.sparkContext.defaultParallelism)
+    return src.mapInPandas(_sniff_batches, _SNIFF_SCHEMA)

@@ -1451,3 +1451,227 @@ def q_anova_oneway(spark, sf_dir):
             4,
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_welch_ttest — unequal-variance two-sample t (Welch) on integer cents
+# ---------------------------------------------------------------------------
+
+# The shared double pipeline (identical token-for-token in both
+# engines): means in cents, unbiased per-group variance from exact
+# bigint moments (n·Σx² − (Σx)² computed in DOUBLE — the bigint product
+# overflows past ~sf1, and both engines run the same IEEE sequence), the
+# Welch statistic, and the Welch–Satterthwaite df.
+_WELCH_EXPR = """
+    CASE WHEN n_a > 1 AND n_b > 1 THEN
+        ROUND((CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b)
+              / sqrt(((CAST(n_a AS DOUBLE) * sxx_a
+                       - CAST(sx_a AS DOUBLE) * sx_a)
+                      / (CAST(n_a AS DOUBLE) * (n_a - 1.0))) / n_a
+                     + ((CAST(n_b AS DOUBLE) * sxx_b
+                         - CAST(sx_b AS DOUBLE) * sx_b)
+                        / (CAST(n_b AS DOUBLE) * (n_b - 1.0))) / n_b),
+              4)
+    END
+"""
+# squares are spelled as explicit products (the _PQ_DIST precedent):
+# pow() is libm-dependent and not guaranteed bit-identical across
+# engines, while x*x is one IEEE multiply in both
+_SE_A = (
+    "(((CAST(n_a AS DOUBLE) * sxx_a - CAST(sx_a AS DOUBLE) * sx_a)"
+    " / (CAST(n_a AS DOUBLE) * (n_a - 1.0))) / n_a)"
+)
+_SE_B = (
+    "(((CAST(n_b AS DOUBLE) * sxx_b - CAST(sx_b AS DOUBLE) * sx_b)"
+    " / (CAST(n_b AS DOUBLE) * (n_b - 1.0))) / n_b)"
+)
+_WELCH_DF_EXPR = f"""
+    CASE WHEN n_a > 1 AND n_b > 1 THEN
+        ROUND(({_SE_A} + {_SE_B}) * ({_SE_A} + {_SE_B})
+              / ({_SE_A} * {_SE_A} / (n_a - 1.0)
+                 + {_SE_B} * {_SE_B} / (n_b - 1.0)),
+              2)
+    END
+"""
+
+
+@register(
+    "q_welch_ttest",
+    oracle=f"""
+        WITH x AS (
+            SELECT event_type,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS sx_a,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT) AS sx_b,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN c * c ELSE 0 END) AS BIGINT) AS sxx_a,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END) AS BIGINT) AS sxx_b
+            FROM x
+        )
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 THEN ROUND(CAST(sx_a AS DOUBLE) / n_a / 100, 4) END AS mean_a,
+               CASE WHEN n_b > 0 THEN ROUND(CAST(sx_b AS DOUBLE) / n_b / 100, 4) END AS mean_b,
+               {_WELCH_EXPR} AS t_welch,
+               {_WELCH_DF_EXPR} AS df_ws
+        FROM s
+    """,
+    tags=("stats", "agg"),
+)
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance two-sample t-test on event value
+    (purchase vs click), with the Welch–Satterthwaite degrees of
+    freedom — the default two-sample mean comparison when variances
+    differ (pairs with q_ab_ztest's proportion z and q_mw_utest's
+    rank alternative; q_anova_oneway covers k > 2).
+
+    Determinism: the six moments are exact integer cents; every mean,
+    variance, the t, and the df are ONE shared double expression text
+    evaluated on those integers — the same IEEE sequence in Spark and
+    DuckDB (the q_ab_ztest precedent), rounded once. The n·Σx² − (Σx)²
+    variance runs in DOUBLE by design: the bigint product overflows
+    past ~sf1, and exactness here lives in the moments, not the
+    statistic.
+
+    100 TB: one scan with a 2-value IN filter, one global
+    partial+final aggregate of six counters; all statistics on one row.
+    """
+    ev = load(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    a = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    b = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    s = x.agg(
+        F.sum(a).cast("long").alias("n_a"),
+        F.sum(b).cast("long").alias("n_b"),
+        F.sum(a * F.col("c")).cast("long").alias("sx_a"),
+        F.sum(b * F.col("c")).cast("long").alias("sx_b"),
+        F.sum(a * F.col("c") * F.col("c")).cast("long").alias("sxx_a"),
+        F.sum(b * F.col("c") * F.col("c")).cast("long").alias("sxx_b"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "CASE WHEN n_a > 0 THEN ROUND(CAST(sx_a AS DOUBLE) / n_a / 100, 4) END"
+        ).alias("mean_a"),
+        F.expr(
+            "CASE WHEN n_b > 0 THEN ROUND(CAST(sx_b AS DOUBLE) / n_b / 100, 4) END"
+        ).alias("mean_b"),
+        F.expr(_WELCH_EXPR).alias("t_welch"),
+        F.expr(_WELCH_DF_EXPR).alias("df_ws"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_effect_size — Cohen's d / Hedges' g for the hash-armed A/B metric
+# ---------------------------------------------------------------------------
+
+_ARM_DUCK = (
+    "CAST(((strpos('0123456789abcdef', substr(md5(concat('e',"
+    " CAST(event_id AS VARCHAR))), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(concat('e',"
+    " CAST(event_id AS VARCHAR))), 2, 1)) - 1) % 2 AS BIGINT)"
+)
+_ARM_SPARK = (
+    "CAST(((instr('0123456789abcdef', substr(md5(concat('e',"
+    " CAST(event_id AS STRING))), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(concat('e',"
+    " CAST(event_id AS STRING))), 2, 1)) - 1) % 2 AS BIGINT)"
+)
+
+# pooled-variance effect size from the same six exact moments; sp² uses
+# the (n−1)-weighted pooled estimator, g applies the small-sample
+# correction 1 − 3/(4N − 9)
+_EFFECT_D_EXPR = """
+    CASE WHEN n_a > 1 AND n_b > 1 THEN
+        ROUND((CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b)
+              / sqrt(((CAST(n_a AS DOUBLE) * sxx_a
+                       - CAST(sx_a AS DOUBLE) * sx_a)
+                      / (CAST(n_a AS DOUBLE) * (n_a - 1.0)) * (n_a - 1.0)
+                      + (CAST(n_b AS DOUBLE) * sxx_b
+                         - CAST(sx_b AS DOUBLE) * sx_b)
+                      / (CAST(n_b AS DOUBLE) * (n_b - 1.0)) * (n_b - 1.0))
+                     / (n_a + n_b - 2.0)),
+              6)
+    END
+"""
+
+
+@register(
+    "q_effect_size",
+    oracle=f"""
+        WITH armed AS (
+            SELECT {_ARM_DUCK} AS arm,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS sx_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS sx_b,
+                   CAST(SUM(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS sxx_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS sxx_b
+            FROM armed
+        )
+        SELECT n_a, n_b,
+               {_EFFECT_D_EXPR} AS cohen_d,
+               CASE WHEN n_a > 1 AND n_b > 1 THEN
+                   ROUND({_EFFECT_D_EXPR}
+                         * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 6)
+               END AS hedges_g
+        FROM s
+    """,
+    tags=("stats", "agg"),
+)
+def q_effect_size(spark, sf_dir):
+    """Standardized effect size of the hash-armed A/B split on event
+    value: Cohen's d from the (n−1)-weighted pooled variance, plus
+    Hedges' g (the small-sample bias correction) — the number an
+    experimentation platform reports NEXT TO q_ab_ztest's
+    significance, because with millions of exposures everything is
+    significant and only the effect size says whether it matters.
+
+    Arms are the same md5-parity assignment as q_ab_ztest
+    (reproducible, partition-independent); moments are exact integer
+    cents; d and g are one shared double expression text on those
+    integers (rounded once) — and since the md5 arms are a genuinely
+    random split of the same population, the measured d is a
+    near-zero A/A reading, which is itself the honest calibration
+    check a platform runs before trusting the pipeline.
+
+    100 TB: one scan, one global partial+final aggregate of six
+    counters; all statistics on one row.
+    """
+    ev = load(spark, sf_dir, "events")
+    armed = ev.select(
+        F.expr(_ARM_SPARK).alias("arm"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    a = F.when(F.col("arm") == 0, 1).otherwise(0)
+    b = F.when(F.col("arm") == 1, 1).otherwise(0)
+    s = armed.agg(
+        F.sum(a).cast("long").alias("n_a"),
+        F.sum(b).cast("long").alias("n_b"),
+        F.sum(a * F.col("c")).cast("long").alias("sx_a"),
+        F.sum(b * F.col("c")).cast("long").alias("sx_b"),
+        F.sum(a * F.col("c") * F.col("c")).cast("long").alias("sxx_a"),
+        F.sum(b * F.col("c") * F.col("c")).cast("long").alias("sxx_b"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        F.expr(_EFFECT_D_EXPR).alias("cohen_d"),
+        F.expr(
+            f"""CASE WHEN n_a > 1 AND n_b > 1 THEN
+                ROUND({_EFFECT_D_EXPR}
+                      * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 6)
+            END"""
+        ).alias("hedges_g"),
+    )
