@@ -1675,3 +1675,764 @@ def q_effect_size(spark, sf_dir):
             END"""
         ).alias("hedges_g"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_corr_spearman — Spearman rank correlation (tied-rank exact)
+# ---------------------------------------------------------------------------
+
+# Pearson on DOUBLED midranks (doubling both variables leaves r
+# invariant and keeps every rank an exact integer — the q_mw_utest
+# tie idiom). The final r is ONE shared double expression over the
+# decimal moments, rounded once.
+_SPEARMAN_R_EXPR = """
+    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+"""
+
+
+@register(
+    "q_corr_spearman",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT o.o_orderkey,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+                   CAST(COUNT(*) AS BIGINT) AS yc
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        rx AS (
+            SELECT xc,
+                   2 * (CAST(SUM(COUNT(*)) OVER (ORDER BY xc) AS BIGINT)
+                        - COUNT(*)) + COUNT(*) + 1 AS rx2
+            FROM pairs GROUP BY xc
+        ),
+        ry AS (
+            SELECT yc,
+                   2 * (CAST(SUM(COUNT(*)) OVER (ORDER BY yc) AS BIGINT)
+                        - COUNT(*)) + COUNT(*) + 1 AS ry2
+            FROM pairs GROUP BY yc
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(rx2 AS HUGEINT)) AS HUGEINT) AS sx,
+                   CAST(SUM(CAST(ry2 AS HUGEINT)) AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy,
+                   CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy
+            FROM pairs JOIN rx USING (xc) JOIN ry USING (yc)
+        )
+        SELECT n, {_SPEARMAN_R_EXPR} AS rho
+        FROM m
+    """,
+    tags=("stats", "window", "join"),
+)
+def q_corr_spearman(spark, sf_dir):
+    """Spearman rank correlation between an order's total price and
+    its line count — the monotone-association reading that survives
+    outliers where Pearson doesn't. Midrank ties are handled exactly
+    by ranking the DISTINCT-value frame (2·before + cnt + 1 doubled
+    ranks, the q_mw_utest / q_kruskal_wallis idiom) and Pearson is
+    computed on those integer doubled ranks — doubling is an affine
+    map, so rho is unchanged while every moment stays exact
+    (DECIMAL(38,0); Σrx·ry ≈ 1.4e19 at sf1 exceeds BIGINT). The final
+    rho is one shared double expression, rounded once.
+
+    Plan at 100 TB: one fact-side groupBy(orderkey) for the line
+    counts, two distinct-VALUE rank frames (cardinality = distinct
+    prices / distinct counts, not rows) joined back by value, then
+    one six-counter global aggregate. The global rank windows upgrade
+    to the two-pass range-partitioned prefix sum at true scale, same
+    as q_ks_test.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count("*").alias("yc"))
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("xc"),
+            F.col("yc").cast("long").alias("yc"),
+        )
+    )
+    def ranked(df, col, out):
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        g = df.groupBy(col).agg(F.count("*").alias("cnt"))
+        return g.select(
+            col,
+            (
+                F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(out),
+        )
+    rx = ranked(pairs, "xc", "rx2")
+    ry = ranked(pairs, "yc", "ry2")
+    m = (
+        pairs.join(rx, "xc")
+        .join(ry, "yc")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("rx2").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("ry2").cast("decimal(38,0)")).alias("sy"),
+            F.sum(
+                F.col("rx2").cast("decimal(19,0)") * F.col("rx2")
+            ).alias("sxx"),
+            F.sum(
+                F.col("ry2").cast("decimal(19,0)") * F.col("ry2")
+            ).alias("syy"),
+            F.sum(
+                F.col("rx2").cast("decimal(19,0)") * F.col("ry2")
+            ).alias("sxy"),
+        )
+    )
+    return m.select("n", F.expr(_SPEARMAN_R_EXPR).alias("rho"))
+
+
+# ---------------------------------------------------------------------------
+# q_cramers_v — Cramér's V over event_type × day-of-week
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cramers_v",
+    oracle="""
+        WITH cell AS (
+            SELECT event_type,
+                   (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, dow, o,
+                   CAST(SUM(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+                   CAST(SUM(o) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+                   CAST(SUM(o) OVER () AS BIGINT) AS n
+            FROM cell
+        )
+        SELECT MAX(n) AS n,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r_levels,
+               CAST(COUNT(DISTINCT dow) AS BIGINT) AS c_levels,
+               CAST(SUM((o * o * 100000) // (rt * ct)) AS BIGINT) AS sum_term_e5,
+               ROUND(sqrt((CAST(CAST(SUM((o * o * 100000) // (rt * ct))
+                                     AS BIGINT) AS DOUBLE) / 100000.0 - 1.0)
+                          / (LEAST(COUNT(DISTINCT event_type),
+                                   COUNT(DISTINCT dow)) - 1.0)), 6) AS cramers_v
+        FROM tot
+    """,
+    tags=("stats", "agg"),
+)
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V — the [0,1]-normalized strength of association for
+    the event_type × day-of-week contingency (q_chi2_test reports the
+    statistic; V is the effect size a platform actually thresholds
+    on). Day-of-week is epoch-day mod 7, an engine-neutral integer
+    (named dow functions disagree on Sunday across engines).
+
+    Exactness: the χ² kernel reuses q_chi2_test's floor-quantized
+    Σ o²/(rt·ct) at 1e5 — and in V = sqrt(χ²/(N·min(r−1,c−1))) the N
+    cancels against χ² = N·(Σ−1), so V is one double expression over
+    the quantized integer alone, rounded once.
+
+    Plan: one scan → 5×7 contingency hash agg → three windows over a
+    35-row broadcast-size frame → single-row reduce.
+    """
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) % 7).alias(
+            "dow"
+        ),
+    ).agg(F.count("*").alias("o"))
+    tot = cell.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("ct"),
+        F.sum("o")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    term_e5 = F.expr(
+        "CAST(CAST(o AS DECIMAL(20,0)) * o * 100000 AS DECIMAL(38,0))"
+        " div (rt * ct)"
+    )
+    return tot.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").alias("r_levels"),
+        F.countDistinct("dow").alias("c_levels"),
+        F.sum(term_e5).cast("long").alias("sum_term_e5"),
+        F.round(
+            F.sqrt(
+                (F.sum(term_e5).cast("long").cast("double") / 100000.0 - 1.0)
+                / (
+                    F.least(
+                        F.countDistinct("event_type"), F.countDistinct("dow")
+                    )
+                    - 1.0
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_levene_bf — Brown–Forsythe variance-equality test (median-centered)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_levene_bf",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events
+        ), med AS (
+            SELECT event_type,
+                   CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2
+            FROM c GROUP BY event_type
+        ), dev AS (
+            SELECT c.event_type, abs(2 * c.c - m.med2) AS z
+            FROM c JOIN med m USING (event_type)
+        ), g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_j,
+                   CAST(SUM(z) AS BIGINT) AS s_j,
+                   CAST(SUM(z * z) AS BIGINT) AS q_j
+            FROM dev GROUP BY event_type
+        ), t AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_j) AS BIGINT) AS n,
+                   CAST(SUM(q_j) AS BIGINT) AS q,
+                   CAST(SUM(s_j) AS BIGINT) AS s,
+                   CAST(SUM((CAST(s_j AS HUGEINT) * s_j) // n_j) AS HUGEINT)
+                     AS t_sum
+            FROM g
+        )
+        SELECT k, n,
+               CAST(t_sum - (CAST(s AS HUGEINT) * s) // n AS BIGINT)
+                 AS ssb_z2,
+               CAST(CAST(q AS HUGEINT) - t_sum AS BIGINT) AS ssw_z2,
+               ROUND((CAST(t_sum - (CAST(s AS HUGEINT) * s) // n AS DOUBLE)
+                      / (k - 1))
+                     / (CAST(CAST(q AS HUGEINT) - t_sum AS DOUBLE)
+                        / (n - k)), 4) AS bf_stat
+        FROM t
+    """,
+    tags=("stats", "agg", "join"),
+)
+def q_levene_bf(spark, sf_dir):
+    """Brown–Forsythe test (Levene with MEDIAN centers — the robust
+    default): do the five event types have equal value spread? The
+    ANOVA that q_anova_oneway runs on means is rerun on absolute
+    deviations from each group's median, which is what makes the test
+    robust to heavy tails.
+
+    Exactness: per-group medians interpolate integer cents with the
+    shared (n−1)·q convention (Spark `percentile` ≡ DuckDB
+    `quantile_cont`), so 2·median is an EXACT integer and every
+    deviation z = |2c − med2| is a bigint; the F statistic then
+    reuses q_anova_oneway's integer sum-of-squares decomposition
+    verbatim (s_j²/n_j floor-quantized, one rounded double at the
+    end). z² ≤ 4e10 · 1e7 rows ≈ 4e17 stays in BIGINT through sf10;
+    the documented sf100 upgrade is DECIMAL(38,0) sums.
+
+    Plan: one scan for the 5 exact medians (per-group percentile is a
+    single hash agg), broadcast the 5-row median table back onto the
+    fact scan, then the same one-pass moment aggregate as ANOVA.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    med = c.groupBy("event_type").agg(
+        (F.expr("percentile(c, 0.5)") * 2).cast("long").alias("med2")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("c") - F.col("med2")).alias("z")
+    )
+    g = dev.groupBy("event_type").agg(
+        F.count("*").alias("n_j"),
+        F.sum("z").cast("long").alias("s_j"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("q_j"),
+    )
+    t = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_j").alias("n"),
+        F.sum("q_j").alias("q"),
+        F.sum("s_j").alias("s"),
+        F.sum(
+            F.expr(
+                "CAST((CAST(s_j AS DECIMAL(19,0)) * s_j"
+                " - CAST(s_j AS DECIMAL(19,0)) * s_j % n_j) / n_j"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("t_sum"),
+    )
+    ssb = F.expr(
+        "CAST(t_sum - CAST((CAST(s AS DECIMAL(19,0)) * s"
+        " - CAST(s AS DECIMAL(19,0)) * s % n) / n AS DECIMAL(38,0))"
+        " AS BIGINT)"
+    )
+    ssw = F.expr("CAST(CAST(q AS DECIMAL(38,0)) - t_sum AS BIGINT)")
+    return t.select(
+        "k",
+        "n",
+        ssb.alias("ssb_z2"),
+        ssw.alias("ssw_z2"),
+        F.round(
+            (ssb.cast("double") / (F.col("k") - 1))
+            / (ssw.cast("double") / (F.col("n") - F.col("k"))),
+            4,
+        ).alias("bf_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_odds_ratio — 2×2 odds ratio with Haldane–Anscombe CI
+# ---------------------------------------------------------------------------
+
+# ln via the atanh series: ln(x) = 2·t·Σ t^{2k}/(2k+1), t=(x−1)/(x+1),
+# truncated at k=7 (Horner over u=t²). Pure +,*,/ arithmetic — the SAME
+# IEEE sequence in both engines, unlike libm ln which is 1-ulp
+# engine-dependent and flipped a ROUND boundary in testing. For
+# OR ∈ [1/4, 4] (|t| ≤ 0.6) the truncation error < 6e-6·t¹⁷ — far
+# below the 1e-6 quantum for any OR this contingency can produce; the
+# truncated series IS the key's defined statistic (documented).
+# every literal is spelled in e0 scientific notation: bare `1.0` is a
+# DECIMAL literal in Spark SQL (and DuckDB), which would silently turn
+# the whole expression into decimal arithmetic — `1e0` is DOUBLE in both
+_OR_T = "((orr - 1e0) / (orr + 1e0))"
+_OR_U = f"({_OR_T} * {_OR_T})"
+_OR_LOG_EXPR = (
+    f"(2e0 * {_OR_T} * ((((((({_OR_U} * (1e0/15e0) + (1e0/13e0))"
+    f" * {_OR_U} + (1e0/11e0)) * {_OR_U} + (1e0/9e0)) * {_OR_U}"
+    f" + (1e0/7e0)) * {_OR_U} + (1e0/5e0)) * {_OR_U} + (1e0/3e0))"
+    f" * {_OR_U} + 1e0))"
+)
+_OR_SE_EXPR = """
+    sqrt(1e0 / (a + 5e-1) + 1e0 / (b + 5e-1)
+         + 1e0 / (c + 5e-1) + 1e0 / (d + 5e-1))
+"""
+
+
+@register(
+    "q_odds_ratio",
+    oracle=f"""
+        WITH x AS (
+            SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS e,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+            FROM orders
+        ), t AS (
+            SELECT CAST(SUM(e * y) AS BIGINT) AS a,
+                   CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+                   CAST(SUM((1 - e) * y) AS BIGINT) AS c,
+                   CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d
+            FROM x
+        ), t2 AS (
+            SELECT a, b, c, d,
+                   ((a + 5e-1) * (d + 5e-1)) / ((b + 5e-1) * (c + 5e-1)) AS orr
+            FROM t
+        )
+        SELECT a, b, c, d,
+               CAST((CAST(a AS HUGEINT) * d * 1000000) // (CAST(b AS HUGEINT) * c)
+                    AS BIGINT) AS or_micro,
+               ROUND({_OR_LOG_EXPR}, 6) AS log_or,
+               ROUND({_OR_SE_EXPR}, 6) AS se_log_or,
+               ROUND({_OR_LOG_EXPR} - 196e-2 * {_OR_SE_EXPR}, 6) AS ci_lo_log,
+               ROUND({_OR_LOG_EXPR} + 196e-2 * {_OR_SE_EXPR}, 6) AS ci_hi_log
+        FROM t2
+    """,
+    tags=("stats", "agg"),
+)
+def q_odds_ratio(spark, sf_dir):
+    """2×2 odds ratio of (urgent priority) × (order fully shipped)
+    with the Haldane–Anscombe +0.5 continuity correction and the Wald
+    confidence interval reported in LOG space — the epidemiology /
+    A-B readout that complements q_ab_ztest's difference-of-
+    proportions with a multiplicative effect.
+
+    Exactness: the four cells are exact integers from one aggregate;
+    or_micro is the exact floor of the integer cross-ratio (HUGEINT /
+    DECIMAL(38,0) cross-multiplication — no division drift); log-OR is
+    NOT libm ln (which proved 1-ulp engine-dependent and flipped a
+    ROUND boundary) but the defined 8-term atanh-series statistic
+    (_OR_LOG_EXPR) — pure +,*,/ on the staged orr double, the same
+    IEEE sequence in both engines, truncation ≪ 1e-6 for
+    OR ∈ [1/4, 4]; SE and CI bounds are shared double expressions
+    (sqrt is IEEE-exact), each rounded once.
+
+    Plan: one scan, one 4-counter partial+final aggregate, all
+    statistics on one row.
+    """
+    o = load(spark, sf_dir, "orders")
+    e = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    t = o.agg(
+        F.sum(e * y).cast("long").alias("a"),
+        F.sum(e * (1 - y)).cast("long").alias("b"),
+        F.sum((1 - e) * y).cast("long").alias("c"),
+        F.sum((1 - e) * (1 - y)).cast("long").alias("d"),
+    ).withColumn(
+        "orr",
+        F.expr("((a + 5e-1) * (d + 5e-1)) / ((b + 5e-1) * (c + 5e-1))"),
+    )
+    return t.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "CAST(CAST(CAST(a AS DECIMAL(19,0)) * d * 1000000 AS DECIMAL(38,0))"
+            " div (CAST(b AS DECIMAL(19,0)) * c) AS BIGINT)"
+        ).alias("or_micro"),
+        F.round(F.expr(_OR_LOG_EXPR), 6).alias("log_or"),
+        F.round(F.expr(_OR_SE_EXPR), 6).alias("se_log_or"),
+        F.round(F.expr(f"{_OR_LOG_EXPR} - 196e-2 * {_OR_SE_EXPR}"), 6).alias(
+            "ci_lo_log"
+        ),
+        F.round(F.expr(f"{_OR_LOG_EXPR} + 196e-2 * {_OR_SE_EXPR}"), 6).alias(
+            "ci_hi_log"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_kendall_tau — Kendall τ-b on the bounded nation-level frame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_kendall_tau",
+    oracle="""
+        WITH cust AS (
+            SELECT c_nationkey AS k,
+                   CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer GROUP BY c_nationkey
+        ), supp AS (
+            SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS y
+            FROM supplier GROUP BY s_nationkey
+        ), g AS (
+            SELECT cust.k, cust.s, cust.n, supp.y
+            FROM cust JOIN supp USING (k)
+        ), p AS (
+            SELECT CAST(g1.s AS HUGEINT) * g2.n
+                     - CAST(g2.s AS HUGEINT) * g1.n AS dx,
+                   g1.y - g2.y AS dy
+            FROM g g1 JOIN g g2 ON g2.k > g1.k
+        ), agg AS (
+            SELECT CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS k_items,
+                   CAST(COUNT(*) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN (dx > 0 AND dy > 0)
+                                   OR (dx < 0 AND dy < 0)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c_pairs,
+                   CAST(SUM(CASE WHEN (dx > 0 AND dy < 0)
+                                   OR (dx < 0 AND dy > 0)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d_pairs,
+                   CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS tx_pairs,
+                   CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS ty_pairs
+            FROM p
+        )
+        SELECT k_items, n0, c_pairs, d_pairs, tx_pairs, ty_pairs,
+               CASE WHEN n0 > tx_pairs AND n0 > ty_pairs THEN
+                   ROUND(CAST(c_pairs - d_pairs AS DOUBLE)
+                         / sqrt(CAST(n0 - tx_pairs AS DOUBLE)
+                                * CAST(n0 - ty_pairs AS DOUBLE)), 6)
+               END AS tau_b
+        FROM agg
+    """,
+    tags=("stats", "agg", "join"),
+)
+def q_kendall_tau(spark, sf_dir):
+    """Kendall τ-b between a nation's mean customer account balance
+    and its supplier count — the rank-concordance reading on the
+    25-row nation rollup (the bounded-dimension sibling of
+    q_corr_spearman, which ranks the full fact table).
+
+    Exactness: the mean comparison never divides — xi vs xj is the
+    cross-multiplied sign of s_i·n_j − s_j·n_i, exact in
+    BIGINT/HUGEINT through sf100 (s ≤ 2.4e12 cents · n ≤ 2.4e6); the
+    concordant / discordant / tied counts are integers, and τ-b is
+    one shared double expression over them, rounded once.
+
+    Plan at 100 TB: two fact-side hash aggs reduce everything to the
+    K-row dimension rollup; pair enumeration then runs INSIDE one
+    collected array row via higher-order functions (K² work on a
+    bounded K — no join operator, no shuffle; the oracle spells the
+    same pairs as a self-join). A thousand-level dimension costs ~5e5
+    array ops on one executor — still sub-second.
+    """
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    cg = cust.groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.sum(cents).cast("long").alias("s"), F.count("*").alias("n")
+    )
+    sg = supp.groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count("*").alias("y")
+    )
+    g = cg.join(sg, "k")
+    arr = g.agg(
+        F.collect_list(F.struct("k", "s", "n", "y")).alias("a"),
+        F.count("*").alias("k_items"),
+    )
+    _dx = "(CAST(xi.s AS DECIMAL(38,0)) * xj.n - CAST(xj.s AS DECIMAL(38,0)) * xi.n)"
+    _dy = "(xi.y - xj.y)"
+
+    def pair_count(cond: str):
+        return F.expr(
+            "aggregate(transform(a, xi -> CAST(size(filter(a, xj -> "
+            f"xj.k > xi.k AND ({cond}))) AS BIGINT)), 0L, (acc, v) -> acc + v)"
+        )
+
+    out = arr.select(
+        "k_items",
+        (F.col("k_items") * (F.col("k_items") - 1) / 2)
+        .cast("long")
+        .alias("n0"),
+        pair_count(
+            f"({_dx} > 0 AND {_dy} > 0) OR ({_dx} < 0 AND {_dy} < 0)"
+        ).alias("c_pairs"),
+        pair_count(
+            f"({_dx} > 0 AND {_dy} < 0) OR ({_dx} < 0 AND {_dy} > 0)"
+        ).alias("d_pairs"),
+        pair_count(f"{_dx} = 0").alias("tx_pairs"),
+        pair_count(f"{_dy} = 0").alias("ty_pairs"),
+    )
+    return out.select(
+        "k_items",
+        "n0",
+        "c_pairs",
+        "d_pairs",
+        "tx_pairs",
+        "ty_pairs",
+        F.when(
+            (F.col("n0") > F.col("tx_pairs"))
+            & (F.col("n0") > F.col("ty_pairs")),
+            F.round(
+                (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+                / F.sqrt(
+                    (F.col("n0") - F.col("tx_pairs")).cast("double")
+                    * (F.col("n0") - F.col("ty_pairs")).cast("double")
+                ),
+                6,
+            ),
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mann_kendall — monotone-trend test on the bounded daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mann_kendall",
+    oracle="""
+        WITH daily AS (
+            SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), p AS (
+            SELECT CASE WHEN d2.x > d1.x THEN 1
+                        WHEN d2.x < d1.x THEN -1 ELSE 0 END AS sgn
+            FROM daily d1 JOIN daily d2 ON d2.d > d1.d
+        ), ties AS (
+            SELECT CAST(SUM(2 * cnt * cnt + 7 * cnt) AS BIGINT) AS tie_term
+            FROM (
+                SELECT CAST(COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT)
+                         AS cnt
+                FROM daily
+            )
+        ), agg AS (
+            SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+                   CAST(SUM(sgn) AS BIGINT) AS s_stat
+            FROM p
+        )
+        SELECT n_days, s_stat,
+               CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                    - tie_term AS BIGINT) AS var18,
+               ROUND(CASE WHEN s_stat > 0 THEN
+                            CAST(s_stat - 1 AS DOUBLE)
+                            / sqrt(CAST(n_days * (n_days - 1)
+                                        * (2 * n_days + 5) - tie_term
+                                        AS DOUBLE) / 18e0)
+                          WHEN s_stat < 0 THEN
+                            CAST(s_stat + 1 AS DOUBLE)
+                            / sqrt(CAST(n_days * (n_days - 1)
+                                        * (2 * n_days + 5) - tie_term
+                                        AS DOUBLE) / 18e0)
+                          ELSE 0e0 END, 4) AS z_mk
+        FROM agg CROSS JOIN ties
+    """,
+    tags=("stats", "timeseries", "agg"),
+)
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall monotone-trend test on daily purchase revenue —
+    the nonparametric "is this metric drifting?" check a platform
+    runs on every KPI series. S = Σ_{i<j} sign(x_j − x_i) with the
+    tie-corrected variance Var = (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18
+    and the continuity-corrected Z.
+
+    Exactness: daily totals are exact integer cents from one hash
+    agg; S and the tie term are integers (the per-group t(t−1)(2t+5)
+    is re-expressed per ELEMENT as 2·cnt² + 7·cnt with
+    cnt = group size − 1, so the array pass needs no group-by);
+    Z is one shared double expression, rounded once.
+
+    Plan at 100 TB: the fact scan reduces to the bounded daily frame
+    (30 rows here; a decade of days is still ~3.7k), pair work runs
+    inside one collected array row (HOFs, no join) — O(days²) on a
+    broadcast-size series, exactly like q_kendall_tau.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+                "d"
+            )
+        )
+        .agg(F.sum(cents).cast("long").alias("x"))
+    )
+    arr = daily.agg(
+        F.collect_list(F.struct("d", "x")).alias("a"),
+        F.count("*").alias("n_days"),
+    )
+    s_stat = F.expr(
+        "aggregate(transform(a, xi -> "
+        "CAST(size(filter(a, xj -> xj.d > xi.d AND xj.x > xi.x)) AS BIGINT)"
+        " - CAST(size(filter(a, xj -> xj.d > xi.d AND xj.x < xi.x)) AS BIGINT)"
+        "), 0L, (acc, v) -> acc + v)"
+    )
+    tie_term = F.expr(
+        "aggregate(transform(a, xi -> "
+        "CAST(size(filter(a, xj -> xj.x = xi.x)) - 1 AS BIGINT)), 0L, "
+        "(acc, v) -> acc + 2 * v * v + 7 * v)"
+    )
+    out = arr.select(
+        "n_days",
+        s_stat.alias("s_stat"),
+        (
+            F.col("n_days")
+            * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5)
+            - tie_term
+        )
+        .cast("long")
+        .alias("var18"),
+    )
+    z = F.expr(
+        """CASE WHEN s_stat > 0 THEN
+               CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18e0)
+             WHEN s_stat < 0 THEN
+               CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18e0)
+             ELSE 0e0 END"""
+    )
+    return out.select(
+        "n_days", "s_stat", "var18", F.round(z, 4).alias("z_mk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_theil_sen — robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_theil_sen",
+    oracle="""
+        WITH daily AS (
+            SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS x
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), slopes AS (
+            SELECT CAST(d2.x - d1.x AS DOUBLE) / (d2.d - d1.d) AS sl
+            FROM daily d1 JOIN daily d2 ON d2.d > d1.d
+        ), ranked AS (
+            SELECT sl, ROW_NUMBER() OVER (ORDER BY sl) AS rn,
+                   COUNT(*) OVER () AS n0
+            FROM slopes
+        )
+        SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+               CAST(MAX(n0) AS BIGINT) AS n_pairs,
+               ROUND((SUM(CASE WHEN rn = (n0 + 1) // 2 THEN sl ELSE 0e0 END)
+                      + SUM(CASE WHEN rn = (n0 + 2) // 2 THEN sl ELSE 0e0 END))
+                     / 2e0, 6) AS slope_cpd
+        FROM ranked
+    """,
+    tags=("stats", "timeseries", "agg"),
+)
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen estimator for the daily purchase-revenue trend: the
+    MEDIAN of all pairwise slopes (x_j − x_i)/(d_j − d_i) — the
+    robust companion to q_regr_fit's least-squares slope (up to ~29%
+    corrupted days cannot move it), reported in cents/day.
+
+    Exactness: every slope is one integer-difference division — the
+    identical IEEE divide in both engines; the median picks the two
+    middle elements BY POSITION from the sorted slope multiset
+    ((lo+hi)/2, exact when n_pairs is odd) — position among equal
+    doubles is value-identical, so the result is deterministic.
+
+    Plan at 100 TB: same shape as q_mann_kendall — fact scan → 30-row
+    daily frame → array pair enumeration in one row (O(days²) on a
+    bounded series), sort of a 435-element array. The oracle spells
+    the identical multiset via a self-join + ROW_NUMBER.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+                "d"
+            )
+        )
+        .agg(F.sum(cents).cast("long").alias("x"))
+    )
+    arr = daily.agg(
+        F.collect_list(F.struct("d", "x")).alias("a"),
+        F.count("*").alias("n_days"),
+    )
+    slopes = F.expr(
+        "array_sort(flatten(transform(a, xi -> "
+        "transform(filter(a, xj -> xj.d > xi.d), xj -> "
+        "CAST(xj.x - xi.x AS DOUBLE) / (xj.d - xi.d)))))"
+    )
+    out = arr.select(
+        "n_days", slopes.alias("sl"), F.size(slopes).cast("long").alias("n_pairs")
+    )
+    return out.select(
+        "n_days",
+        "n_pairs",
+        F.round(
+            (
+                F.expr("element_at(sl, CAST((n_pairs + 1) div 2 AS INT))")
+                + F.expr("element_at(sl, CAST((n_pairs + 2) div 2 AS INT))")
+            )
+            / F.lit(2.0),
+            6,
+        ).alias("slope_cpd"),
+    )
