@@ -1194,3 +1194,203 @@ def q_keyword_rake(spark, sf_dir):
         .orderBy(F.desc("score_micro"), "phrase")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_phonetic_key — consonant-skeleton phonetic blocking key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_phonetic_key",
+    oracle="""
+        WITH occ AS (
+            SELECT t.tok AS token, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> ''
+            GROUP BY t.tok
+        ), catalog AS (
+            SELECT token, n_occ FROM occ
+            UNION
+            SELECT regexp_replace(token, '([aeiou])', '\\1\\1', 'g')
+                     AS token,
+                   CAST(0 AS BIGINT) AS n_occ
+            FROM occ
+            WHERE regexp_replace(token, '([aeiou])', '\\1\\1', 'g')
+                  NOT IN (SELECT token FROM occ)
+        ), keyed AS (
+            SELECT token, n_occ,
+                   substr(token, 1, 1)
+                     || regexp_replace(substr(token, 2),
+                                       '[aeiouy]', '', 'g') AS pkey
+            FROM catalog
+        )
+        SELECT pkey,
+               CAST(COUNT(*) AS BIGINT) AS n_forms,
+               CAST(SUM(n_occ) AS BIGINT) AS n_occ,
+               string_agg(token, ',' ORDER BY token) AS forms
+        FROM keyed
+        GROUP BY pkey
+        HAVING COUNT(*) > 1
+        ORDER BY pkey
+    """,
+    tags=("llm", "strings", "dedup"),
+)
+def q_phonetic_key(spark, sf_dir):
+    """Phonetic blocking key for entity resolution: first letter +
+    the consonant skeleton of the rest (vowels and y dropped) — the
+    deterministic, engine-neutral cousin of Soundex (which Spark
+    ships but DuckDB does not; the skeleton is the DEFINED key). The
+    candidate catalog is the corpus vocabulary PLUS one deterministic
+    OCR-noise variant per token (every vowel doubled — the
+    q_mime_sniff construction-aware pattern: this 31-word synthetic
+    vocabulary has no natural phonetic collisions, so the variants
+    make the blocking behavior testable), and the output is every key
+    where more than one distinct form collides, with corpus
+    occurrence mass and the sorted collision set — the blocking table
+    a fuzzy-matching pipeline feeds its pairwise verifier.
+
+    Exactness: pure string ops; collision lists are sort-then-join;
+    counts are integers (variants carry n_occ = 0 — dictionary
+    entries, not corpus mass).
+
+    Plan at 100 TB: tokenize-explode is the scan; the rollup shuffles
+    (token) once at distinct-VOCABULARY cardinality, then (pkey) at
+    key cardinality — both tiny next to the corpus. The blocking key
+    is exactly the LSH-bucket shape: pairwise work downstream is
+    bounded per bucket.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    occ = toks.groupBy("token").agg(F.count("*").alias("n_occ"))
+    variants = (
+        occ.select(
+            F.regexp_replace("token", "([aeiou])", "$1$1").alias("token"),
+            F.lit(0).cast("long").alias("n_occ"),
+        )
+        .join(occ.select("token"), "token", "left_anti")
+        .distinct()
+    )
+    catalog = occ.select("token", F.col("n_occ").cast("long")).unionByName(
+        variants
+    )
+    keyed = catalog.select(
+        "token",
+        "n_occ",
+        F.concat(
+            F.substring("token", 1, 1),
+            F.regexp_replace(F.expr("substr(token, 2)"), "[aeiouy]", ""),
+        ).alias("pkey"),
+    )
+    return (
+        keyed.groupBy("pkey")
+        .agg(
+            F.count("*").alias("n_forms"),
+            F.sum("n_occ").cast("long").alias("n_occ"),
+            F.array_join(F.array_sort(F.collect_list("token")), ",").alias(
+                "forms"
+            ),
+        )
+        .filter(F.col("n_forms") > 1)
+        .orderBy("pkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_str_ngram_sim — character-trigram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_str_ngram_sim",
+    oracle="""
+        WITH names AS (
+            SELECT DISTINCT p_name AS name FROM part
+            WHERE length(p_name) >= 3
+        ), grams AS (
+            SELECT DISTINCT name, substr(name, g.g, 3) AS gram
+            FROM names,
+                 unnest(generate_series(1, length(name) - 2)) AS g(g)
+        ), sizes AS (
+            SELECT name, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM grams GROUP BY name
+        ), shared AS (
+            SELECT a.name AS name1, b.name AS name2,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM grams a JOIN grams b
+              ON a.gram = b.gram AND a.name < b.name
+            GROUP BY a.name, b.name
+        )
+        SELECT s.name1, s.name2, s.shared, s1.sz AS sz1, s2.sz AS sz2,
+               CAST((s.shared * 1000000)
+                    // (s1.sz + s2.sz - s.shared) AS BIGINT) AS jac_micro
+        FROM shared s
+        JOIN sizes s1 ON s1.name = s.name1
+        JOIN sizes s2 ON s2.name = s.name2
+        WHERE (s.shared * 1000000) // (s1.sz + s2.sz - s.shared) >= 300000
+        ORDER BY jac_micro DESC, name1, name2
+    """,
+    tags=("llm", "strings", "join", "dedup"),
+)
+def q_str_ngram_sim(spark, sf_dir):
+    """Character-trigram Jaccard similarity self-join over distinct
+    part names (threshold 0.30) — the string-level near-match join
+    (typo/variant detection) that complements token-level
+    q_dedup_ngram_jaccard: candidate pairs come from an INVERTED
+    INDEX on trigrams (equi-join on the gram), never an all-pairs
+    distance pass, and the Jaccard is exact set algebra on integer
+    gram counts, floor-quantized to micro.
+
+    Plan at 100 TB: dedup to distinct names first (names repeat —
+    the join runs on the name CATALOG, orders of magnitude smaller
+    than the fact), explode each name into ≤ len−2 trigrams, shuffle
+    on the gram key (bucket occupancy bounds the pairwise work,
+    exactly the LSH-band shape of q_dedup_minhash), then two
+    broadcast-size joins for the set sizes. Hot grams (stopword-like
+    trigrams) are the documented salting candidate.
+    """
+    part = load(spark, sf_dir, "part")
+    names = (
+        part.select(F.col("p_name").alias("name"))
+        .filter(F.length("name") >= 3)
+        .distinct()
+    )
+    grams = names.select(
+        "name",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, length(name) - 2),"
+                " i -> substr(name, i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("name").agg(F.count("*").alias("sz"))
+    g2 = grams.select(
+        F.col("name").alias("name2"), F.col("gram").alias("gram")
+    )
+    shared = (
+        grams.join(g2, "gram")
+        .filter(F.col("name") < F.col("name2"))
+        .groupBy(F.col("name").alias("name1"), "name2")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("name", "name1").withColumnRenamed("sz", "sz1"), "name1")
+        .join(sizes.withColumnRenamed("name", "name2").withColumnRenamed("sz", "sz2"), "name2")
+        .select(
+            "name1",
+            "name2",
+            "shared",
+            "sz1",
+            "sz2",
+            F.expr(
+                "CAST(CAST(shared AS DECIMAL(19,0)) * 1000000 AS DECIMAL(38,0))"
+                " div (sz1 + sz2 - shared)"
+            ).cast("long").alias("jac_micro"),
+        )
+        .filter(F.col("jac_micro") >= 300000)
+        .orderBy(F.desc("jac_micro"), "name1", "name2")
+    )
+    return out
