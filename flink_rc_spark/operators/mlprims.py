@@ -484,3 +484,432 @@ def q_woe_iv(spark, sf_dir):
             ).alias("dist_diff_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_confusion_matrix — multi-class precision/recall/F1 readout
+# ---------------------------------------------------------------------------
+
+# deterministic rule classifier: predict order priority from total
+# price (cents) by fixed thresholds — the point is the EVALUATION
+# algebra, so the model is a transparent rule both engines can spell
+_PRED_DUCK = """
+    CASE WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              > 20000000 THEN '1-URGENT'
+         WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              > 15000000 THEN '2-HIGH'
+         WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              > 10000000 THEN '3-MEDIUM'
+         WHEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              > 5000000 THEN '4-NOT SPECIFIED'
+         ELSE '5-LOW' END
+"""
+
+
+@register(
+    "q_confusion_matrix",
+    oracle=f"""
+        WITH scored AS (
+            SELECT o_orderpriority AS label, {_PRED_DUCK} AS pred
+            FROM orders
+        ), classes AS (
+            SELECT label AS cls FROM scored
+            UNION
+            SELECT pred AS cls FROM scored
+        ), per AS (
+            SELECT c.cls,
+                   CAST(SUM(CASE WHEN s.label = c.cls AND s.pred = c.cls
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN s.label <> c.cls AND s.pred = c.cls
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN s.label = c.cls AND s.pred <> c.cls
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+            FROM classes c CROSS JOIN scored s
+            GROUP BY c.cls
+        )
+        SELECT cls, tp, fp, fn,
+               CASE WHEN tp + fp > 0 THEN
+                   ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision_,
+               CASE WHEN tp + fn > 0 THEN
+                   ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall_,
+               CASE WHEN 2 * tp + fp + fn > 0 THEN
+                   ROUND(2e0 * tp / (2 * tp + fp + fn), 6) END AS f1
+        FROM per
+        ORDER BY cls
+    """,
+    tags=("ml", "stats", "agg"),
+)
+def q_confusion_matrix(spark, sf_dir):
+    """Per-class precision / recall / F1 for a deterministic rule
+    classifier (price-threshold → priority) against the true order
+    priority — the multi-class evaluation readout every model
+    pipeline ends with (q_auc_roc covers the ranking view; this is
+    the hard-decision view).
+
+    Exactness: tp/fp/fn are exact integers from ONE pass over the
+    scored frame re-aggregated per class; each ratio is one shared
+    double expression rounded once, NULL-guarded for empty
+    denominators.
+
+    Plan at 100 TB: the classifier is a zero-shuffle codegen map; the
+    per-(label, pred) contingency is one tiny hash agg (K² cells),
+    and the per-class tp/fp/fn derive from that bounded frame — the
+    oracle's class×row cross join is spelled as the contingency
+    rollup in Spark, so the fact is scanned exactly once.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    scored = o.select(
+        F.col("o_orderpriority").alias("label"),
+        F.when(cents > 20000000, "1-URGENT")
+        .when(cents > 15000000, "2-HIGH")
+        .when(cents > 10000000, "3-MEDIUM")
+        .when(cents > 5000000, "4-NOT SPECIFIED")
+        .otherwise("5-LOW")
+        .alias("pred"),
+    )
+    cell = scored.groupBy("label", "pred").agg(F.count("*").alias("n"))
+    tp = cell.filter(F.col("label") == F.col("pred")).select(
+        F.col("label").alias("cls"), F.col("n").alias("tp")
+    )
+    fp = (
+        cell.filter(F.col("label") != F.col("pred"))
+        .groupBy(F.col("pred").alias("cls"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        cell.filter(F.col("label") != F.col("pred"))
+        .groupBy(F.col("label").alias("cls"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    classes = (
+        cell.select(F.col("label").alias("cls"))
+        .union(cell.select(F.col("pred").alias("cls")))
+        .distinct()
+    )
+    per = (
+        classes.join(tp, "cls", "left")
+        .join(fp, "cls", "left")
+        .join(fn, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("long").alias("fn"),
+        )
+    )
+    return per.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision_"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6),
+        ).alias("recall_"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.round(
+                F.expr("2e0 * tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                6,
+            ),
+        ).alias("f1"),
+    ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# q_crossval_folds — k-fold cross-validation of the mean predictor
+# ---------------------------------------------------------------------------
+
+_FOLD_DUCK = (
+    "((strpos('0123456789abcdef', substr(md5('o' ||"
+    " CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5('o' ||"
+    " CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) % 5"
+)
+_FOLD_SPARK = (
+    "((instr('0123456789abcdef', substr(md5(concat('o',"
+    " CAST(o_orderkey AS STRING))), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(concat('o',"
+    " CAST(o_orderkey AS STRING))), 2, 1)) - 1) % 5"
+)
+# test MSE of the train-mean predictor, expanded so it needs only the
+# fold moments: MSE = q/n − 2·m·(s/n) + m², m = (S−s)/(N−n) train mean
+_CV_MSE_EXPR = """
+    ROUND((CAST(q_f AS DOUBLE) / n_f
+           - 2e0 * ((CAST(s_t AS DOUBLE) - s_f) / (n_t - n_f))
+                 * (CAST(s_f AS DOUBLE) / n_f)
+           + ((CAST(s_t AS DOUBLE) - s_f) / (n_t - n_f))
+             * ((CAST(s_t AS DOUBLE) - s_f) / (n_t - n_f))) / 1e8, 4)
+"""
+
+
+@register(
+    "q_crossval_folds",
+    oracle=f"""
+        WITH x AS (
+            SELECT {_FOLD_DUCK} AS fold,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS c
+            FROM orders
+        ), g AS (
+            SELECT fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_f,
+                   CAST(SUM(c) AS BIGINT) AS s_f,
+                   CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q_f
+            FROM x GROUP BY fold
+        ), t AS (
+            SELECT CAST(SUM(n_f) AS BIGINT) AS n_t,
+                   CAST(SUM(s_f) AS BIGINT) AS s_t
+            FROM g
+        )
+        SELECT fold,
+               CAST(n_t - n_f AS BIGINT) AS n_train,
+               n_f AS n_test,
+               ROUND((CAST(s_t AS DOUBLE) - s_f) / (n_t - n_f) / 100, 4)
+                 AS train_mean,
+               {_CV_MSE_EXPR} AS test_mse
+        FROM g CROSS JOIN t
+        ORDER BY fold
+    """,
+    tags=("ml", "stats", "agg"),
+)
+def q_crossval_folds(spark, sf_dir):
+    """5-fold cross-validation machinery: md5-hashed fold assignment
+    (reproducible, partition-independent — the q_split_assign
+    idiom), per-fold train/test split, and the held-out MSE of the
+    train-mean predictor per fold — the smallest honest model that
+    exercises the full k-fold plumbing (fold hashing, train-side
+    moments excluding the test fold, test-side scoring).
+
+    Exactness: per-fold moments are exact integers (Σc² in
+    HUGEINT/DECIMAL — cents² passes 9.2e18 past sf1); the MSE is
+    algebraically expanded to need ONLY those moments
+    (q/n − 2·m·s/n + m², m = train mean), evaluated as one shared
+    double expression (reported in dollars², /1e8) rounded once.
+
+    Plan at 100 TB: one scan → 5-row fold-moment agg; every fold's
+    train statistics derive from totals minus the fold row (no
+    second scan, no per-fold pass); single-row totals broadcast.
+    """
+    o = load(spark, sf_dir, "orders")
+    x = o.select(
+        F.expr(_FOLD_SPARK).alias("fold"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    g = x.groupBy("fold").agg(
+        F.count("*").alias("n_f"),
+        F.sum("c").cast("long").alias("s_f"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("q_f"),
+    )
+    t = g.agg(
+        F.sum("n_f").alias("n_t"), F.sum("s_f").cast("long").alias("s_t")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "fold",
+            (F.col("n_t") - F.col("n_f")).cast("long").alias("n_train"),
+            F.col("n_f").alias("n_test"),
+            F.round(
+                (F.col("s_t").cast("double") - F.col("s_f"))
+                / (F.col("n_t") - F.col("n_f"))
+                / 100,
+                4,
+            ).alias("train_mean"),
+            F.expr(_CV_MSE_EXPR).alias("test_mse"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_feature_hashing — hashing-trick buckets with collision audit
+# ---------------------------------------------------------------------------
+
+_FH_DUCK = (
+    "((strpos('0123456789abcdef', substr(md5('f' || token), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5('f' || token), 2, 1)) - 1) % 64"
+)
+_FH_SPARK = (
+    "((instr('0123456789abcdef', substr(md5(concat('f', token)), 1, 1)) - 1)"
+    " * 16"
+    " + instr('0123456789abcdef', substr(md5(concat('f', token)), 2, 1)) - 1)"
+    " % 64"
+)
+
+
+@register(
+    "q_feature_hashing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT t.tok AS token
+            FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+            WHERE t.tok <> ''
+        ), bucketed AS (
+            SELECT token, {_FH_DUCK} AS bucket FROM toks
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
+               MIN(token) AS first_token
+        FROM bucketed
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    tags=("ml", "llm", "agg"),
+)
+def q_feature_hashing(spark, sf_dir):
+    """The hashing trick: every token maps to one of 64 feature
+    buckets by md5 (the fixed-width, vocabulary-free featurization
+    linear models use at corpus scale), with the per-bucket collision
+    audit (distinct tokens sharing a bucket) that tells you whether
+    the width is adequate.
+
+    Exactness: md5 is identical in both engines; all outputs are
+    integer counts plus an order-insensitive MIN example.
+
+    Plan at 100 TB: tokenize + hash are zero-shuffle codegen maps;
+    the rollup is one 64-group hash agg (partial aggregation makes
+    the shuffle carry 64×partitions rows), distinct-token counts via
+    the standard two-level distinct. The feature VECTOR per doc is a
+    local array op — this key audits the global bucket health.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    bucketed = toks.select("token", F.expr(_FH_SPARK).alias("bucket"))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("token").alias("n_tokens"),
+            F.min("token").alias("first_token"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ridge_cf — closed-form ridge regression (2 features + intercept)
+# ---------------------------------------------------------------------------
+
+_RIDGE_L = "1000e0"  # λ, applied to all three diagonal entries (documented)
+
+
+def _det3(m) -> str:
+    """3×3 determinant as shared SQL text over named double columns."""
+    ((a, b, c), (d, e, f), (g, h, i)) = m
+    return (
+        f"({a} * ({e} * {i} - {f} * {h})"
+        f" - {b} * ({d} * {i} - {f} * {g})"
+        f" + {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+# staged double names: the normal-equation matrix and rhs
+_RIDGE_A = [
+    [f"(nn + {_RIDGE_L})", "a1", "a2"],
+    ["a1", f"(a11 + {_RIDGE_L})", "a12"],
+    ["a2", "a12", f"(a22 + {_RIDGE_L})"],
+]
+_RIDGE_B = ["by", "b1y", "b2y"]
+
+
+def _ridge_beta(i: int) -> str:
+    m = [row[:] for row in _RIDGE_A]
+    for r in range(3):
+        m[r][i] = _RIDGE_B[r]
+    return f"ROUND({_det3(m)} / {_det3(_RIDGE_A)}, 6)"
+
+
+_RIDGE_STAGE_DUCK = """
+    SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+           CAST(SUM(x1) AS DOUBLE) AS a1,
+           CAST(SUM(x2) AS DOUBLE) AS a2,
+           CAST(SUM(x1 * x1) AS DOUBLE) AS a11,
+           CAST(SUM(x1 * x2) AS DOUBLE) AS a12,
+           CAST(SUM(x2 * x2) AS DOUBLE) AS a22,
+           CAST(SUM(y) AS DOUBLE) AS by,
+           CAST(SUM(x1 * y) AS DOUBLE) AS b1y,
+           CAST(SUM(x2 * y) AS DOUBLE) AS b2y,
+           CAST(COUNT(*) AS BIGINT) AS n
+"""
+
+
+@register(
+    "q_ridge_cf",
+    oracle=f"""
+        WITH x AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x1,
+                   CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     AS x2,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS y
+            FROM lineitem
+        ), m AS (
+            {_RIDGE_STAGE_DUCK}
+            FROM x
+        )
+        SELECT n,
+               {_ridge_beta(0)} AS beta0,
+               {_ridge_beta(1)} AS beta1,
+               {_ridge_beta(2)} AS beta2
+        FROM m
+    """,
+    tags=("ml", "agg"),
+)
+def q_ridge_cf(spark, sf_dir):
+    """Closed-form ridge regression of line price (cents) on quantity
+    and discount (cents): the 3×3 regularized normal equations
+    (λ = 1000 on every diagonal entry, intercept included —
+    documented choice) solved by Cramer's rule — the distributed
+    GLM-fitting shape: ONE pass accumulates the exact Gram moments,
+    the solve is driver-free single-row arithmetic
+    (q_regr_fit's big sibling; rc/readout.py runs the same
+    Gram-then-solve shape for the ESN readout).
+
+    Exactness: all nine moments are exact BIGINT sums (Σx2·y ≤ 6e16
+    at sf1; sf100 upgrades to DECIMAL(38,0), documented); the solve
+    is ONE shared double expression text — the same determinant
+    arithmetic token-for-token in both engines — rounded once per
+    coefficient.
+
+    Plan at 100 TB: one map-combined scan to 9 counters; no shuffle
+    beyond the single-row final combine; the solve is O(1).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    m = x.agg(
+        F.count("*").cast("double").alias("nn"),
+        F.sum("x1").cast("double").alias("a1"),
+        F.sum("x2").cast("double").alias("a2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("a11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("a12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("a22"),
+        F.sum("y").cast("double").alias("by"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("b1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("b2y"),
+        F.count("*").alias("n"),
+    )
+    return m.select(
+        "n",
+        F.expr(_ridge_beta(0)).alias("beta0"),
+        F.expr(_ridge_beta(1)).alias("beta1"),
+        F.expr(_ridge_beta(2)).alias("beta2"),
+    )

@@ -113,6 +113,15 @@ NESTED_LOOP_ALLOWED = {
     #                 the q_bm25 single-row-join class
     "q_kruskal_wallis",  # ONE total-N row crossed onto the 5-group
     #                      term frame — the q_bm25 class
+    "q_geo_knn",  # the supplier dimension collapsed to ONE array row
+    #               and broadcast; each customer folds an exact argmin
+    #               over it — q_kmeans' assignment shape with K in an
+    #               array instead of K rows
+    "q_crossval_folds",  # ONE totals row (N, S) onto the 5-fold moment
+    #                      frame — the q_bm25 single-row-join class
+    "q_mann_kendall",  # single-row S/tie aggregates combined — the
+    #                    q_dq_checks single-row-join class (oracle
+    #                    side; the Spark plan is one array row)
 }
 
 
