@@ -930,3 +930,201 @@ def q_ts_outlier_mad(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_holt — Holt linear (double-exponential) smoothing, struct-fold
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_holt",
+    oracle="""
+        WITH RECURSIVE d0 AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS DOUBLE) AS x,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY (CAST(ts AS DATE) - DATE '1970-01-01')
+                   ) AS idx
+            FROM events
+            GROUP BY event_type, (CAST(ts AS DATE) - DATE '1970-01-01')
+        ), nn AS (
+            SELECT event_type, CAST(MAX(idx) AS BIGINT) AS n_days
+            FROM d0 GROUP BY event_type
+        ), r AS (
+            SELECT d1.event_type, CAST(1 AS BIGINT) AS idx,
+                   d1.x AS l, d2.x - d1.x AS b
+            FROM d0 d1
+            JOIN d0 d2 ON d2.event_type = d1.event_type AND d2.idx = 2
+            WHERE d1.idx = 1
+            UNION ALL
+            SELECT r.event_type, r.idx + 1,
+                   5e-1 * ((d.x + r.l) + r.b),
+                   5e-1 * (5e-1 * ((d.x + r.l) + r.b) - r.l) + 5e-1 * r.b
+            FROM r JOIN d0 d
+              ON d.event_type = r.event_type AND d.idx = r.idx + 1
+        )
+        SELECT r.event_type, nn.n_days,
+               ROUND(r.l, 4) AS level_c,
+               ROUND(r.b, 4) AS trend_c,
+               ROUND(r.l + 7e0 * r.b, 4) AS fcst7_c
+        FROM r JOIN nn ON nn.event_type = r.event_type
+        WHERE r.idx = nn.n_days
+        ORDER BY r.event_type
+    """,
+    tags=("timeseries", "hof", "agg"),
+)
+def q_ts_holt(spark, sf_dir):
+    """Holt linear-trend (double-exponential) smoothing of each event
+    type's daily revenue, α = β = 0.5, seeded l₁ = x₁, b₁ = x₂ − x₁:
+    final level, trend, and the 7-day-ahead forecast l + 7b — the
+    first-line trending forecast next to q_ts_ewma's level-only
+    smoothing (q_ts_forecast_eval scores this family).
+
+    Determinism: TWO-variable recurrences fold exactly like EWMA's
+    scalar one — the accumulator is a struct. 0.5 multiplies are
+    exact halvings; every add/subtract is spelled in the SAME
+    association ((x + l) + b) in the Spark fold lambda and the
+    oracle's recursive CTE, so each intermediate double is
+    BIT-IDENTICAL cross-engine and only the reported values round.
+    Spark folds a per-series array (pure JVM — vector state needs
+    Python, struct state does not); DuckDB iterates the same steps
+    recursively.
+
+    Plan at 100 TB: daily hash agg crushes the fact to |types|×|days|;
+    the fold is O(days) per series inside one row. Millions of
+    independent series parallelize as rows; only horizon-length state
+    lives at once.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("d"),
+    ).agg(F.sum(cents).cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, x))), s -> s.x)")
+        .alias("xv"),
+        F.count("*").alias("n_days"),
+    )
+    fold = F.expr(
+        "aggregate(slice(xv, 2, size(xv) - 1),"
+        " named_struct('l', element_at(xv, 1),"
+        "              'b', element_at(xv, 2) - element_at(xv, 1)),"
+        " (acc, x) -> named_struct("
+        "   'l', 5e-1 * ((x + acc.l) + acc.b),"
+        "   'b', 5e-1 * (5e-1 * ((x + acc.l) + acc.b) - acc.l)"
+        "        + 5e-1 * acc.b))"
+    )
+    return (
+        series.filter(F.col("n_days") >= 2)
+        .select("event_type", "n_days", fold.alias("st"))
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("st.l"), 4).alias("level_c"),
+            F.round(F.col("st.b"), 4).alias("trend_c"),
+            F.round(F.col("st.l") + F.expr("7e0") * F.col("st.b"), 4).alias(
+                "fcst7_c"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_cross_corr — lagged cross-correlation between two daily series
+# ---------------------------------------------------------------------------
+
+_XC_R_EXPR = """
+    CASE WHEN n > 1
+          AND n * sxx - sx * sx > 0
+          AND n * syy - sy * sy > 0 THEN
+        ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+              6)
+    END
+"""
+
+
+@register(
+    "q_ts_cross_corr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ), lags AS (
+            SELECT CAST(t.range AS BIGINT) AS lg FROM range(0, 8) t
+        ), pairs AS (
+            SELECT l.lg, a.x, b.y
+            FROM lags l
+            JOIN daily a ON TRUE
+            JOIN daily b ON b.d = a.d + l.lg
+        ), m AS (
+            SELECT lg,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pairs GROUP BY lg
+        )
+        SELECT lg, n, {_XC_R_EXPR} AS r_xy
+        FROM m
+        ORDER BY lg
+    """,
+    tags=("timeseries", "stats", "join"),
+)
+def q_ts_cross_corr(spark, sf_dir):
+    """Lagged cross-correlation (lags 0–7 days) between daily click
+    volume and daily purchase volume — "do clicks lead purchases, and
+    by how many days?", the lead-lag diagnostic behind attribution
+    windows (q_ts_acf is the self-correlation sibling).
+
+    Exactness: daily counts are integers; per-lag Pearson moments are
+    exact BIGINT sums over the (30 − lag)-pair frame; r is one shared
+    double expression rounded once, NULL-guarded for degenerate
+    variance.
+
+    Plan at 100 TB: the fact collapses to the 30-row daily frame in
+    one hash agg; the lag join is an equi-join on (d + lag) over
+    8 × 30 bounded rows. At a decade of days this is still thousands
+    of rows — the lag sweep never touches the fact twice.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    lags = spark.range(0, 8).select(F.col("id").alias("lg"))
+    a = daily.select(F.col("d").alias("da"), "x")
+    b = daily.select(F.col("d").alias("db"), "y")
+    pairs = (
+        lags.join(F.broadcast(a), F.lit(True))
+        .join(b, F.col("db") == F.col("da") + F.col("lg"))
+    )
+    m = pairs.groupBy("lg").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return m.select("lg", "n", F.expr(_XC_R_EXPR).alias("r_xy")).orderBy(
+        "lg"
+    )

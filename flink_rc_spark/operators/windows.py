@@ -494,3 +494,69 @@ def q_win_median(spark, sf_dir):
         n.cast("bigint").alias("n_win"),
         ((a + b) / F.lit(200.0)).alias("moving_median"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q_win_count_distinct — COUNT(DISTINCT) OVER via max(dense_rank)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_win_count_distinct",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_id, user_id, event_type, ts,
+                   DENSE_RANK() OVER (
+                       PARTITION BY user_id ORDER BY event_type
+                   ) AS dr
+            FROM events
+        ), counted AS (
+            SELECT event_id, user_id, event_type, ts,
+                   MAX(dr) OVER (PARTITION BY user_id) AS n_types_user
+            FROM ranked
+        )
+        SELECT event_id, user_id, event_type,
+               CAST(n_types_user AS BIGINT) AS n_types_user
+        FROM counted
+        WHERE event_id % 97 = 0
+        ORDER BY event_id
+    """,
+    tags=("window",),
+)
+def q_win_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT event_type) OVER (PARTITION BY user) attached to
+    every row WITHOUT collapsing the frame — the windowed distinct
+    count SQL engines (Spark included) reject syntactically, rewritten
+    as the standard max-of-dense_rank identity:
+    dense_rank ranks the distinct values 1..K within the partition, so
+    MAX(dense_rank) OVER the partition IS the distinct count. Emitted
+    for the deterministic ~1% probe set (the q_scd2_lookup idiom) so
+    the output stays bounded while the window runs over the full
+    partition.
+
+    Exactness: pure integer ranking — nothing to round.
+
+    Plan at 100 TB: ONE shuffle on user_id serves both windows (same
+    partition key; the second window has no ORDER BY so it is a
+    partition-frame max over already-sorted data). The rewrite is
+    what engines' optimizers do internally for windowed distinct
+    counts — spelled explicitly, it works on any engine.
+    """
+    ev = load(spark, sf_dir, "events")
+    w_rank = W.partitionBy("user_id").orderBy("event_type")
+    w_all = W.partitionBy("user_id")
+    counted = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.dense_rank().over(w_rank).alias("dr"),
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.max("dr").over(w_all).cast("long").alias("n_types_user"),
+    )
+    return (
+        counted.filter(F.col("event_id") % 97 == 0)
+        .orderBy("event_id")
+    )

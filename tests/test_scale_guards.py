@@ -122,6 +122,9 @@ NESTED_LOOP_ALLOWED = {
     "q_mann_kendall",  # single-row S/tie aggregates combined — the
     #                    q_dq_checks single-row-join class (oracle
     #                    side; the Spark plan is one array row)
+    "q_ts_cross_corr",  # 8-row lag spine crossed onto the 30-row
+    #                     daily frame — the q_ts_resample tiny-spine
+    #                     class; the fact is never in the cross
 }
 
 
