@@ -1,0 +1,583 @@
+"""Agreement / concentration / dependence statistics (wave 24).
+
+Six classical readouts a data-quality or experimentation team runs on
+warehouse facts: McNemar's paired test, Cohen's and Fleiss' kappa,
+Lorenz/Gini inequality, the Herfindahl-Hirschman concentration index,
+and mutual information between two categorical columns.
+
+Determinism policy (SURVEY.md §4.2): every statistic is derived from
+EXACT integer/decimal moments aggregated engine-side; the final
+floating expression is ONE shared text evaluated on those integers in
+both Spark and DuckDB (the q_welch_ttest precedent), rounded once.
+The mutual-information total additionally needs a SUM of ~120 double
+terms — doubles are summed by an explicit sorted left-fold
+(sort_array + aggregate in Spark, list_sort + list_reduce in DuckDB)
+so both engines add in the identical sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_rc_spark.registry import register
+from flink_rc_spark.sources.tables import load
+
+# ---------------------------------------------------------------------------
+# q_mcnemar — paired-binary marginal-homogeneity test (Edwards correction)
+# ---------------------------------------------------------------------------
+
+# Edwards continuity-corrected McNemar statistic (|b-c|-1)^2/(b+c) on
+# the two discordant counts; squares as explicit products (pow() is
+# libm-dependent, x*x is one IEEE multiply in both engines)
+_MCNEMAR_EXPR = """
+    CASE WHEN n10 + n01 > 0 THEN
+        ROUND((CAST(abs(n10 - n01) AS DOUBLE) - 1.0)
+              * (CAST(abs(n10 - n01) AS DOUBLE) - 1.0)
+              / (n10 + n01), 6)
+    END
+"""
+
+
+@register(
+    "q_mcnemar",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+            FROM events GROUP BY user_id
+        ),
+        s AS (
+            SELECT COUNT(*) AS n_users,
+                   CAST(SUM(x * y) AS BIGINT) AS n11,
+                   CAST(SUM(x * (1 - y)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - x) * y) AS BIGINT) AS n01,
+                   CAST(SUM((1 - x) * (1 - y)) AS BIGINT) AS n00
+            FROM pairs
+        )
+        SELECT n_users, n11, n10, n01, n00,
+               {_MCNEMAR_EXPR} AS chi2_mcnemar
+        FROM s
+    """,
+    tags=("stats", "agg"),
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired binary outcomes: per user, (ever
+    clicked) x (ever purchased). The discordant counts b=n10, c=n01
+    drive the Edwards continuity-corrected statistic
+    (|b-c|-1)^2/(b+c) — the paired sibling of the chi-square test
+    (q_chi2_test treats the table as unpaired).
+
+    Exactness: the four contingency cells are exact integer counts
+    (per-user MAX then SUM); the statistic is one shared double
+    expression text on those integers, rounded once.
+
+    100 TB: one hash agg keyed on user_id (partial MAX map-side) then
+    a single global 4-counter fold — no shuffle beyond the user agg,
+    all statistics on one row.
+    """
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    s = pairs.agg(
+        F.count("*").alias("n_users"),
+        F.sum(x * y).cast("long").alias("n11"),
+        F.sum(x * (1 - y)).cast("long").alias("n10"),
+        F.sum((1 - x) * y).cast("long").alias("n01"),
+        F.sum((1 - x) * (1 - y)).cast("long").alias("n00"),
+    )
+    return s.select(
+        "n_users", "n11", "n10", "n01", "n00",
+        F.expr(_MCNEMAR_EXPR).alias("chi2_mcnemar"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cohen_kappa — two-rater chance-corrected agreement
+# ---------------------------------------------------------------------------
+
+# kappa = (n*(n11+n00) - pe_num) / (n*n - pe_num) where
+# pe_num = a1*b1 + a0*b0 (expected-agreement numerator, exact BIGINT).
+# n*n stays inside BIGINT through sf100 (n=1.5e8 -> 2.25e16 << 9.2e18);
+# past n ~ 3e9 route the moments through DECIMAL(38,0).
+_KAPPA_EXPR = """
+    CASE WHEN n * n > pe_num THEN
+        ROUND(CAST(n * (n11 + n00) - pe_num AS DOUBLE)
+              / CAST(n * n - pe_num AS DOUBLE), 6)
+    END
+"""
+
+
+@register(
+    "q_cohen_kappa",
+    oracle=f"""
+        WITH r AS (
+            SELECT CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS a,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS b
+            FROM orders
+        ),
+        s AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(a * b) AS BIGINT) AS n11,
+                   CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                   CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+            FROM r
+        ),
+        m AS (
+            SELECT n, n11, n10, n01, n00,
+                   (n11 + n10) * (n11 + n01)
+                       + (n01 + n00) * (n10 + n00) AS pe_num
+            FROM s
+        )
+        SELECT n, n11, n10, n01, n00,
+               ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+               ROUND(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+               {_KAPPA_EXPR} AS kappa
+        FROM m
+    """,
+    tags=("stats", "agg"),
+)
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic "raters" of each order —
+    rater A: high-value (o_totalprice >= 150000); rater B: urgent-ish
+    priority (1-URGENT / 2-HIGH) — the chance-corrected agreement
+    readout used for labeling-quality audits of annotation pipelines.
+
+    kappa = (po - pe)/(1 - pe) is computed as the exactly-equivalent
+    integer-moment ratio (n*(n11+n00) - pe_num)/(n*n - pe_num): one
+    double division on exact BIGINTs, shared text, rounded once.
+
+    100 TB: single scan, 5-counter global partial+final aggregate;
+    the marginal products are driver-free scalar arithmetic on one row.
+    """
+    o = load(spark, sf_dir, "orders")
+    r = o.select(
+        F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0).alias("a"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    s = r.agg(
+        F.count("*").alias("n"),
+        F.sum(a * b).cast("long").alias("n11"),
+        F.sum(a * (1 - b)).cast("long").alias("n10"),
+        F.sum((1 - a) * b).cast("long").alias("n01"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("n00"),
+    )
+    m = s.withColumn(
+        "pe_num",
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00")),
+    )
+    return m.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.expr("ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6)").alias("po"),
+        F.expr(
+            "ROUND(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)"
+        ).alias("pe"),
+        F.expr(_KAPPA_EXPR).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_fleiss_kappa — m-rater agreement (m=4 lineitem "votes" per order)
+# ---------------------------------------------------------------------------
+
+# P-bar = (s2 - N*m)/(N*m*(m-1)), Pe-bar = ss/(N*m)^2, kappa =
+# (P-bar - Pe-bar)/(1 - Pe-bar); m=4 inlined. All moments exact
+# BIGINT (s2 <= 16N, ss <= (4N)^2 — inside BIGINT through sf1000).
+_FLEISS_EXPR = """
+    CASE WHEN n_items > 0 AND ss < 16 * n_items * n_items THEN
+        ROUND(((CAST(s2 - n_items * 4 AS DOUBLE)
+                / (CAST(n_items AS DOUBLE) * 12.0))
+               - (CAST(ss AS DOUBLE)
+                  / (CAST(n_items AS DOUBLE) * 4.0
+                     * CAST(n_items AS DOUBLE) * 4.0)))
+              / (1.0 - (CAST(ss AS DOUBLE)
+                        / (CAST(n_items AS DOUBLE) * 4.0
+                           * CAST(n_items AS DOUBLE) * 4.0))), 6)
+    END
+"""
+
+
+@register(
+    "q_fleiss_kappa",
+    oracle=f"""
+        WITH m4 AS (
+            SELECT l_orderkey
+            FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) = 4
+        ),
+        votes AS (
+            SELECT l.l_orderkey, l.l_returnflag, COUNT(*) AS n_ij
+            FROM lineitem l JOIN m4 USING (l_orderkey)
+            GROUP BY l.l_orderkey, l.l_returnflag
+        ),
+        per_item AS (
+            SELECT l_orderkey, SUM(n_ij * n_ij) AS sq_i
+            FROM votes GROUP BY l_orderkey
+        ),
+        per_cat AS (
+            SELECT l_returnflag, SUM(n_ij) AS s_j FROM votes
+            GROUP BY l_returnflag
+        ),
+        s AS (
+            SELECT (SELECT COUNT(*) FROM m4) AS n_items,
+                   (SELECT CAST(SUM(sq_i) AS BIGINT) FROM per_item) AS s2,
+                   (SELECT CAST(SUM(s_j * s_j) AS BIGINT) FROM per_cat) AS ss
+        )
+        SELECT n_items, s2, ss,
+               {_FLEISS_EXPR} AS kappa_fleiss
+        FROM s
+    """,
+    tags=("stats", "agg", "join"),
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa treating each 4-lineitem order as an item rated by
+    m=4 "raters" voting a return-flag category — the multi-annotator
+    agreement statistic (is return behavior consistent within an
+    order?), the m-rater generalization of q_cohen_kappa.
+
+    Moments: s2 = sum over items of sum_j n_ij^2 and ss = sum_j S_j^2
+    are exact BIGINTs; the kappa is one shared double expression
+    (P-bar, Pe-bar, ratio) on them, guarded against the degenerate
+    all-one-category table (Pe-bar = 1), rounded once.
+
+    100 TB: the m=4 filter and the vote counts are two hash aggs on
+    the same l_orderkey key (one exchange, reused); per-category sums
+    collapse to 3 rows. No window, no join wider than the key agg.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    m4 = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") == 4)
+        .select("l_orderkey")
+    )
+    votes = (
+        li.join(m4, "l_orderkey")
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(F.count("*").alias("n_ij"))
+    )
+    per_item = votes.groupBy("l_orderkey").agg(
+        F.sum(F.col("n_ij") * F.col("n_ij")).alias("sq_i")
+    )
+    per_cat = votes.groupBy("l_returnflag").agg(F.sum("n_ij").alias("s_j"))
+    s = (
+        per_item.agg(
+            F.count("*").alias("n_items"),
+            F.sum("sq_i").cast("long").alias("s2"),
+        )
+        .crossJoin(
+            per_cat.agg(
+                F.sum(F.col("s_j") * F.col("s_j")).cast("long").alias("ss")
+            )
+        )
+    )
+    return s.select(
+        "n_items", "s2", "ss", F.expr(_FLEISS_EXPR).alias("kappa_fleiss")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_lorenz_gini — Gini coefficient of customer spend
+# ---------------------------------------------------------------------------
+
+# G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), x ascending; the
+# rank-weighted sum runs in DECIMAL(38,0) (BIGINT would overflow past
+# ~sf1: n^2/2 * mean-cents ~ 3e17 at sf1, 100x that at sf10).
+_GINI_EXPR = """
+    CASE WHEN n > 0 AND st > 0 THEN
+        ROUND((2.0 * CAST(sw AS DOUBLE)
+               - (CAST(n AS DOUBLE) + 1.0) * CAST(st AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(st AS DOUBLE)), 6)
+    END
+"""
+
+
+@register(
+    "q_lorenz_gini",
+    oracle=f"""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+                   COUNT(*) OVER () AS n
+            FROM cust
+        ),
+        s AS (
+            SELECT MAX(n) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS st,
+                   SUM(CAST(i AS DECIMAL(19,0))
+                       * CAST(cents AS DECIMAL(19,0))) AS sw,
+                   CAST(SUM(CASE WHEN i * 5 > 4 * n THEN cents ELSE 0 END)
+                        AS BIGINT) AS t20
+            FROM ranked
+        )
+        SELECT n AS n_customers, st AS total_cents,
+               {_GINI_EXPR} AS gini,
+               CASE WHEN st > 0 THEN
+                   ROUND(CAST(t20 AS DOUBLE) / CAST(st AS DOUBLE), 6)
+               END AS share_top20
+        FROM s
+    """,
+    tags=("stats", "window", "agg"),
+)
+def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer lifetime spend (exact integer
+    cents) plus the top-quintile revenue share — the inequality /
+    whale-concentration readout behind "20% of customers drive X% of
+    revenue" (the Lorenz-curve summary; q_pareto_abc bins the same
+    curve, this key integrates it).
+
+    Exactness: spend is exact DECIMAL cents; the rank-weighted sum
+    sum(i * x_i) runs in DECIMAL(38,0); the Gini is one shared double
+    expression on (n, st, sw), rounded once. Ties in cents are
+    rank-invariant for the statistic (swapping equal x leaves
+    sum(i*x_i) unchanged), so the custkey tiebreak is cosmetic.
+
+    Scale: ranking customer totals is a dimension-sized single-key
+    window (customers, not facts — 15M rows at sf100, fine for one
+    sort); the fact-sized work is only the per-customer hash agg. A
+    1000x-customer deployment would swap the exact rank for the
+    2-pass histogram CDF of q_quantile_2pass.
+    """
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = cust.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    s = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum("cents").cast("long").alias("st"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("sw"),
+        F.sum(
+            F.when(F.col("i") * 5 > 4 * F.col("n"), F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("t20"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("st").alias("total_cents"),
+        F.expr(_GINI_EXPR).alias("gini"),
+        F.expr(
+            """CASE WHEN st > 0 THEN
+                   ROUND(CAST(t20 AS DOUBLE) / CAST(st AS DOUBLE), 6)
+               END"""
+        ).alias("share_top20"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_herfindahl — per-nation supplier revenue concentration (HHI)
+# ---------------------------------------------------------------------------
+
+# HHI = sum(share_i^2) = ssq / st^2 with ssq = sum(rev_i^2) in
+# DECIMAL(38,0) (rev^2 ~ 3e16 cents^2 per supplier at sf1; the
+# per-nation sum tops BIGINT around sf1, so squares are decimal);
+# n_equivalent = 1/HHI is the "equivalent equal-size firms" readout.
+_HHI_EXPR = """
+    CASE WHEN st > 0 THEN
+        ROUND(CAST(ssq AS DOUBLE)
+              / (CAST(st AS DOUBLE) * CAST(st AS DOUBLE)), 6)
+    END
+"""
+_NEQ_EXPR = """
+    CASE WHEN ssq > 0 THEN
+        ROUND(CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+              / CAST(ssq AS DOUBLE), 4)
+    END
+"""
+
+
+@register(
+    "q_herfindahl",
+    oracle=f"""
+        WITH rev AS (
+            SELECT s.s_nationkey, l.l_suppkey,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100
+                        AS BIGINT) AS cents
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey, l.l_suppkey
+        ),
+        hhi AS (
+            SELECT s_nationkey,
+                   COUNT(*) AS n_suppliers,
+                   CAST(SUM(cents) AS BIGINT) AS st,
+                   SUM(CAST(cents AS DECIMAL(19,0))
+                       * CAST(cents AS DECIMAL(19,0))) AS ssq
+            FROM rev GROUP BY s_nationkey
+        )
+        SELECT n.n_name AS nation, h.n_suppliers,
+               {_HHI_EXPR} AS hhi,
+               {_NEQ_EXPR} AS n_equivalent
+        FROM hhi h JOIN nation n ON h.s_nationkey = n.n_nationkey
+        ORDER BY nation
+    """,
+    tags=("stats", "agg", "join"),
+)
+def q_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation: HHI = sum over suppliers of (revenue share)^2, plus
+    the equivalent-firm count 1/HHI — the antitrust / supply-risk
+    readout ("how concentrated is our supply base per region?").
+
+    Exactness: revenue is exact DECIMAL cents; shares are never
+    materialized — HHI = sum(rev^2)/(sum(rev))^2 with the squares in
+    DECIMAL(38,0), one shared double expression per nation.
+
+    100 TB: fact-side hash agg on (nationkey, suppkey) after a
+    broadcast join to the supplier dim; the per-nation reduction is
+    25 rows. No window, no shuffle beyond the supplier-key agg.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    hhi = rev.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("cents").cast("long").alias("st"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("ssq"),
+    )
+    return (
+        hhi.join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            hhi.s_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.expr(_HHI_EXPR).alias("hhi"),
+            F.expr(_NEQ_EXPR).alias("n_equivalent"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mutual_info — MI between event_type and hour-of-day
+# ---------------------------------------------------------------------------
+
+# per-cell contribution (n_xy/N) * ln(n_xy*N / (n_x*n_y)) — counts are
+# exact BIGINTs, ln runs once per cell on the exact rational (the
+# q_cooccur_pmi policy); the <=120-term total is summed by an explicit
+# sorted left-fold so both engines add in the identical order.
+_MI_TERM = """
+    (CAST(n_xy AS DOUBLE) / nn)
+        * ln(CAST(n_xy AS DOUBLE) * nn
+             / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
+"""
+
+
+@register(
+    "q_mutual_info",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type AS x, hour(ts) AS y, COUNT(*) AS n_xy
+            FROM events GROUP BY 1, 2
+        ),
+        mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cells GROUP BY x),
+        my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cells GROUP BY y),
+        tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS nn FROM cells),
+        terms AS (
+            SELECT c.x, c.y,
+                   CAST({_MI_TERM} AS DOUBLE) AS t
+            FROM cells c
+            JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+        )
+        SELECT (SELECT COUNT(*) FROM cells) AS n_cells,
+               (SELECT nn FROM tot) AS n_events,
+               ROUND(list_reduce(
+                   list_prepend(
+                       CAST(0.0 AS DOUBLE),
+                       list_transform(
+                           list_sort(list({{'x': x, 'y': y, 't': t}})),
+                           s -> s.t)),
+                   (a, b) -> a + b), 6) AS mi_nats
+        FROM terms
+    """,
+    tags=("stats", "agg", "join"),
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event_type and hour-of-day —
+    the dependence strength behind "is activity type time-of-day
+    driven?", the summed generalization of q_cooccur_pmi's per-pair
+    PMI (MI = expectation of PMI over the joint).
+
+    Determinism: cell/marginal counts are exact BIGINTs; each of the
+    <= |types| x 24 terms evaluates ln once on the exact rational;
+    the total is an explicit sorted left-fold (sort_array + aggregate
+    here, list_sort + list_reduce in DuckDB) so both engines sum the
+    identical IEEE sequence, rounded once at the end.
+
+    100 TB: one fact-side hash agg to <= 120 cells; marginals and the
+    fold are driver-scale. The joins to the marginals are broadcasts
+    of tiny frames.
+    """
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("x"), F.hour("ts").alias("y")
+    ).agg(F.count("*").alias("n_xy"))
+    mx = cells.groupBy("x").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    tot = cells.agg(F.sum("n_xy").cast("long").alias("nn"))
+    terms = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x", "y", F.expr(f"CAST({_MI_TERM} AS DOUBLE)").alias("t")
+        )
+    )
+    n_cells = terms.agg(
+        F.count("*").alias("n_cells")
+    )
+    folded = terms.agg(
+        F.expr(
+            """ROUND(aggregate(
+                   sort_array(collect_list(struct(x, y, t))),
+                   CAST(0.0 AS DOUBLE),
+                   (a, s) -> a + s.t), 6)"""
+        ).alias("mi_nats")
+    )
+    return (
+        n_cells.crossJoin(folded)
+        .crossJoin(tot)
+        .select("n_cells", F.col("nn").alias("n_events"), "mi_nats")
+    )

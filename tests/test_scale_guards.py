@@ -125,6 +125,12 @@ NESTED_LOOP_ALLOWED = {
     "q_ts_cross_corr",  # 8-row lag spine crossed onto the 30-row
     #                     daily frame — the q_ts_resample tiny-spine
     #                     class; the fact is never in the cross
+    "q_fleiss_kappa",  # combining the single-row (n_items, s2) and
+    #                    single-row ss aggregates — the q_dq_checks
+    #                    single-row-join class
+    "q_mutual_info",  # single-row N broadcast onto the ≤120-cell
+    #                   frame + combining three single-row reductions
+    #                   — the q_bm25 single-row-join class
 }
 
 
