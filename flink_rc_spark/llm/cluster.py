@@ -168,13 +168,14 @@ def _recenter(assign: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_rounds(
     spark: SparkSession, sf_dir: str, k: int | None = None
-) -> DataFrame:
-    """The final Lloyd assignment (vec_id, m, c_id, dist) — the Spark
-    twin of kmeans_cte()'s assign{ROUNDS}. Shared by q_kmeans (fixed
-    k={K}) and the SemDeDup key (corpus-scaled k). ``k=None`` keeps
-    the fixed default."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(vec, cent_final, assign): the quantized vectors, the centroid
+    table the LAST assignment round used (cent{ROUNDS-1} in the
+    oracle CTE), and the final assignment. Shared by kmeans_assign and
+    the silhouette key (which needs per-vector distances to EVERY
+    final centroid, not just the argmin)."""
     emb = load(spark, sf_dir, "embeddings")
     vec = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("m")).localCheckpoint(
         eager=True
@@ -193,7 +194,17 @@ def kmeans_assign(
         assign = _assign(vec, cent)
         if r < ROUNDS:
             cent = _recenter(assign, cent).localCheckpoint(eager=True)
-    return assign
+    return vec, cent, assign
+
+
+def kmeans_assign(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
+    """The final Lloyd assignment (vec_id, m, c_id, dist) — the Spark
+    twin of kmeans_cte()'s assign{ROUNDS}. Shared by q_kmeans (fixed
+    k={K}) and the SemDeDup key (corpus-scaled k). ``k=None`` keeps
+    the fixed default."""
+    return kmeans_rounds(spark, sf_dir, k)[2]
 
 
 @register(
@@ -481,3 +492,102 @@ def q_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.alias("delta"),
         drift.alias("drift_z"),
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# q_silhouette — simplified (centroid-based) silhouette per cluster
+# ---------------------------------------------------------------------------
+
+# s_micro = floor(1e6 * (b - a) / b) on exact integer squared
+# distances (a = own-centroid, b = nearest-other; b >= a by argmin, so
+# s in [0, 1e6)); 1e6*(b-a) tops BIGINT (dist <= 64e12), so the floor
+# runs in DECIMAL via the mod-subtract identity (the q_kruskal_wallis
+# precedent).
+_SIL_MICRO = """
+    CASE WHEN b > 0 THEN
+        CAST(CAST((CAST(CAST(1000000 AS DECIMAL(19,0)) * (b - a)
+                        AS DECIMAL(38,0))
+                   - CAST(CAST(1000000 AS DECIMAL(19,0)) * (b - a)
+                          AS DECIMAL(38,0)) % b) / b
+             AS DECIMAL(38,0)) AS BIGINT)
+    ELSE CAST(0 AS BIGINT) END
+"""
+
+
+def _silhouette_oracle() -> str:
+    return f"""WITH {kmeans_cte()},
+    alld AS (
+        SELECT vec_id, c_id, {_DIST_DUCK} AS dist
+        FROM vec CROSS JOIN cent{ROUNDS - 1}
+    ),
+    ranked AS (
+        SELECT vec_id, c_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, c_id) AS rk
+        FROM alld
+    ),
+    ab AS (
+        SELECT r1.vec_id, r1.c_id AS own, r1.dist AS a, r2.dist AS b
+        FROM ranked r1 JOIN ranked r2
+          ON r1.vec_id = r2.vec_id AND r1.rk = 1 AND r2.rk = 2
+    ),
+    sm AS (SELECT own, {_SIL_MICRO} AS s_micro FROM ab)
+    SELECT own AS c_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+               AS avg_silhouette
+    FROM sm GROUP BY own ORDER BY c_id"""
+
+
+@register(
+    "q_silhouette",
+    tags=("llm", "cluster", "ml"),
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette of the q_kmeans
+    clustering: per vector, a = squared distance to its own (final)
+    centroid, b = squared distance to the nearest OTHER centroid,
+    s = (b - a)/b; reported as the per-cluster mean — the
+    cluster-quality readout ML platforms print next to inertia
+    (sklearn's silhouette on the centroid approximation; exact
+    pairwise silhouette is O(n^2) and is precisely what a 100 TB
+    deployment replaces with this form).
+
+    Exactness: distances are the integer fixed-point grid of q_kmeans
+    (hash-verified); s is micro-quantized by exact DECIMAL floor
+    division, so the per-cluster mean is a ratio of exact integers.
+
+    100 TB: ONE broadcast of the k-row centroid table against the
+    vector scan (the q_kmeans assignment shape — vectors never
+    shuffle), per-vector top-2 via a k-element in-row sort, then a
+    k-row hash aggregate.
+    """
+    vec, cent, _ = kmeans_rounds(spark, sf_dir)
+    j = vec.crossJoin(F.broadcast(cent)).withColumn(
+        "dist", F.expr(_DIST_SPARK)
+    )
+    per = j.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list(F.struct("dist", "c_id"))).alias("ds")
+    )
+    ab = per.select(
+        F.col("ds")[0]["c_id"].alias("own"),
+        F.col("ds")[0]["dist"].alias("a"),
+        F.col("ds")[1]["dist"].alias("b"),
+    )
+    sm = ab.select("own", F.expr(_SIL_MICRO).alias("s_micro"))
+    return (
+        sm.groupBy("own")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.expr(
+                "ROUND(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 6)"
+            ).alias("avg_silhouette"),
+        )
+        .select(F.col("own").alias("c_id"), "n_members", "avg_silhouette")
+        .orderBy("c_id")
+    )
+
+
+from flink_rc_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["q_silhouette"].oracle = _silhouette_oracle()

@@ -877,3 +877,160 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across cores (see q_multimodal_formats' note — same economics)
     src = src.repartition(spark.sparkContext.defaultParallelism)
     return src.mapInPandas(_sniff_batches, _SNIFF_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# q_image_dhash — gradient-hash (dHash) image dedup over REAL decodes
+# ---------------------------------------------------------------------------
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas dHash kernel — the difference hash, all integer:
+    REAL decode, per-pixel gray = (r+g+b) DIV 3; bits 0-11 horizontal
+    (bit 3y+x set iff gray(y,x+1) > gray(y,x)), bits 12-23 vertical
+    (bit 12+4y+x set iff gray(y+1,x) > gray(y,x)) — 24 bits on the
+    4x4 grid so the hash space stays sparse at corpus scale (a 12-bit
+    horizontal-only hash measured ~n^2/4096 colliding pairs)."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        hashes = []
+        for payload in pdf["payload"]:
+            arr = decode_image(bytes(payload)).astype(np.int64)
+            gray = arr.sum(axis=2) // 3
+            hbits = (gray[:, 1:] > gray[:, :-1]).reshape(-1).astype(np.int64)
+            vbits = (gray[1:, :] > gray[:-1, :]).reshape(-1).astype(np.int64)
+            bits = np.concatenate([hbits, vbits])
+            hashes.append(int((bits << np.arange(bits.size)).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "dhash": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+
+@register(
+    "q_image_dhash",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+        SELECT doc_id,
+               md5(text) || md5(text || 'g') || md5(text || 'h') AS hx
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), i -> {_DUCK_GRAY}) AS grays
+        FROM h
+    ),
+    hsh AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 12), i ->
+                   CASE WHEN grays[4*(i//3) + (i%3) + 2]
+                             > grays[4*(i//3) + (i%3) + 1]
+                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+                   + list_sum(list_transform(range(0, 12), i ->
+                   CASE WHEN grays[4*(i//4) + (i%4) + 5]
+                             > grays[4*(i//4) + (i%4) + 1]
+                        THEN (CAST(1 AS BIGINT) << (i + 12)) ELSE 0 END))
+                   AS BIGINT) AS dhash
+        FROM g
+    ),
+    bands AS (
+        SELECT doc_id, dhash, b.band_id,
+               CASE b.band_id WHEN 0 THEN dhash & 4095
+                              ELSE (dhash >> 12) & 4095 END AS bv
+        FROM hsh, (VALUES (0), (1)) b(band_id)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.dhash AS ha, b.dhash AS hb
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.bv = b.bv
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 1
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "multimodal", "dedup"),
+)
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADIENT-HASH IMAGE DEDUP — difference hash (dHash) over real
+    BMP payloads, banded pairing at Hamming <= 1: completes the
+    classic perceptual-hash pair next to q_image_ahash. dHash encodes
+    horizontal gradient SIGNS, so it is invariant to global
+    brightness/contrast shifts that flip aHash's mean threshold —
+    the two keys catch different near-dup classes, which is why
+    curation pipelines run both and union the candidates.
+
+    Pipeline: the q_image_ahash playbook with the gradient kernel —
+    Arrow-batched real decode, integer grays, 24 gradient bits
+    (0-11 horizontal: 3y+x set iff gray(y,x+1) > gray(y,x); 12-23
+    vertical: 12+4y+x set iff gray(y+1,x) > gray(y,x) — the vertical
+    half keeps the hash space sparse at corpus scale); a 2-band
+    (12+12) pigeonhole is LOSSLESS for Hamming <= 1 (one differing
+    bit touches one band), exact bit_count(xor) verifies. The oracle
+    regenerates pixels from the md5 recurrence (bottom-up row
+    un-mapping included) and never parses a BMP.
+
+    100 TB: identical shape/costs to q_image_ahash — per-image
+    Arrow map, one shuffle on (band_id, value), bucket-scoped pairs;
+    production is 64-bit dHash on 9x8 downsamples, same plan.
+    """
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = load(spark, sf_dir, "documents")
+    media = with_ahash_media(docs).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hashes = media.mapInPandas(_dhash_batches, _DHASH_SCHEMA)
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.col("dhash").bitwiseAND(F.lit(4095)).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.shiftright("dhash", 12).bitwiseAND(F.lit(4095)).alias("bv"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "dhash", "b.band_id", "b.bv")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(hamming <= 1)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -304,3 +304,213 @@ def q_geo_path_length(spark, sf_dir):
         .orderBy(F.desc("path_cd"), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dbscan — grid-bucketed exact DBSCAN over clustered derived points
+# ---------------------------------------------------------------------------
+
+# Clustered coordinate derivation: 50x50 site grid (sites 360/720 cd
+# apart) with +-80 cd jitter, so eps=100 connects within-site points
+# and can never bridge sites — real cluster structure with integer
+# determinism (the uniform _LAT/_LON derivation never reaches DBSCAN
+# density at test scale).
+_DB_LAT = "((user_id % 50) * 360 + (event_id * 17 + user_id * 37) % 80)"
+_DB_LON = "(((user_id * 7) % 50) * 720 + (event_id * 29 + user_id * 53) % 80)"
+_DB_SAMPLE = 23     # event_id % 23 == 0 point sample
+_DB_EPS = 100       # centidegrees; cell size = eps -> 3x3 neighborhood
+_DB_MINPTS = 5      # core iff |N_eps(p)| >= 5, self included
+
+
+@register(
+    "q_dbscan",
+    oracle=f"""
+        WITH RECURSIVE pts AS (
+            SELECT event_id AS id,
+                   CAST({_DB_LAT} AS BIGINT) AS lat,
+                   CAST({_DB_LON} AS BIGINT) AS lon
+            FROM events WHERE event_id % {_DB_SAMPLE} = 0
+        ),
+        cells AS (
+            SELECT id, lat, lon,
+                   lat // {_DB_EPS} AS cl, lon // {_DB_EPS} AS co
+            FROM pts
+        ),
+        probe AS (
+            SELECT c.id, c.lat, c.lon,
+                   c.cl + dla AS ncl, c.co + dlo AS nco
+            FROM cells c,
+                 (SELECT CAST(a AS BIGINT) - 1 AS dla FROM range(3) r(a)),
+                 (SELECT CAST(o AS BIGINT) - 1 AS dlo FROM range(3) s(o))
+        ),
+        nbr AS (
+            SELECT a.id AS u, b.id AS v
+            FROM probe a
+            JOIN cells b ON b.cl = a.ncl AND b.co = a.nco AND a.id <> b.id
+            WHERE (a.lat - b.lat) * (a.lat - b.lat)
+                  + (a.lon - b.lon) * (a.lon - b.lon)
+                  <= {_DB_EPS * _DB_EPS}
+        ),
+        ncnt AS (
+            SELECT p.id, COUNT(n.v) + 1 AS n_eps
+            FROM pts p LEFT JOIN nbr n ON n.u = p.id
+            GROUP BY p.id
+        ),
+        core AS (SELECT id FROM ncnt WHERE n_eps >= {_DB_MINPTS}),
+        cedge AS (
+            SELECT n.u, n.v FROM nbr n
+            JOIN core a ON a.id = n.u JOIN core b ON b.id = n.v
+        ),
+        reach(v, lbl) AS (
+            SELECT id, id FROM core
+            UNION
+            SELECT e.v, r.lbl FROM cedge e JOIN reach r ON r.v = e.u
+        ),
+        clab AS (SELECT v AS id, MIN(lbl) AS label FROM reach GROUP BY v),
+        blab AS (
+            SELECT n.u AS id, MIN(c.label) AS label
+            FROM nbr n JOIN clab c ON c.id = n.v
+            WHERE n.u NOT IN (SELECT id FROM core)
+            GROUP BY n.u
+        )
+        SELECT p.id,
+               CAST(cl.id IS NOT NULL AS INT) AS is_core,
+               CAST(COALESCE(cl2.label, b.label, -1) AS BIGINT) AS label
+        FROM pts p
+        LEFT JOIN core cl ON cl.id = p.id
+        LEFT JOIN clab cl2 ON cl2.id = p.id
+        LEFT JOIN blab b ON b.id = p.id
+        ORDER BY p.id
+    """,
+    tags=("geo", "graph", "ml"),
+)
+def q_dbscan(spark, sf_dir):
+    """EXACT distributed DBSCAN over the clustered derived points:
+    eps-neighborhoods from the grid-cell equi-join (cell = eps, 3x3
+    probe — the q_geo_radius_join candidate generator), core points by
+    exact neighbor count (|N_eps| >= minPts, self included), clusters
+    as connected components of the core-core graph (min-label
+    fixpoint, the q_dedup_components discipline), border points
+    attached to their minimum-labeled core neighbor, everything else
+    noise (-1). Label = component-minimum core id, so the whole
+    labeling is deterministic and hash-verifiable — no "first visited"
+    order dependence of textbook sequential DBSCAN.
+
+    100 TB: this IS the published parallel-DBSCAN recipe (cell
+    partition -> local candidates -> union-find merge): the
+    neighborhood join shuffles on cell keys whose occupancy bounds
+    pairwise work; the fixpoint loop is bounded by cluster diameter
+    in hops; skewed mega-cells are the documented salting candidate.
+    Dense-blob degeneracy (per-cell pair blowup past ~sf10 here)
+    is handled in production by minPts-sampling inside over-occupied
+    cells — the documented refinement, same candidate frame.
+    """
+    ev = load(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("event_id") % _DB_SAMPLE == 0)
+        .select(
+            F.col("event_id").alias("id"),
+            F.expr(f"CAST({_DB_LAT} AS BIGINT)").alias("lat"),
+            F.expr(f"CAST({_DB_LON} AS BIGINT)").alias("lon"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cells = pts.withColumn(
+        "cl", (F.col("lat") / _DB_EPS).cast("bigint")
+    ).withColumn("co", (F.col("lon") / _DB_EPS).cast("bigint"))
+    offsets = F.expr(
+        "flatten(transform(sequence(-1, 1), a ->"
+        " transform(sequence(-1, 1), o -> struct(a AS dla, o AS dlo))))"
+    )
+    probe = cells.select(
+        F.col("id").alias("u"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        "cl",
+        "co",
+        F.explode(offsets).alias("d"),
+    ).select(
+        "u",
+        "lat_a",
+        "lon_a",
+        (F.col("cl") + F.col("d.dla")).alias("ncl"),
+        (F.col("co") + F.col("d.dlo")).alias("nco"),
+    )
+    b = cells.select(
+        F.col("id").alias("v"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cl").alias("bcl"),
+        F.col("co").alias("bco"),
+    )
+    d2 = (F.col("lat_a") - F.col("lat_b")) * (
+        F.col("lat_a") - F.col("lat_b")
+    ) + (F.col("lon_a") - F.col("lon_b")) * (F.col("lon_a") - F.col("lon_b"))
+    nbr = (
+        probe.join(
+            b,
+            (F.col("ncl") == F.col("bcl"))
+            & (F.col("nco") == F.col("bco"))
+            & (F.col("u") != F.col("v")),
+        )
+        .filter(d2 <= _DB_EPS * _DB_EPS)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    ncnt = (
+        pts.join(nbr, pts.id == nbr.u, "left")
+        .groupBy("id")
+        .agg((F.count("v") + 1).alias("n_eps"))
+    )
+    core = ncnt.filter(F.col("n_eps") >= _DB_MINPTS).select("id")
+    core = core.localCheckpoint(eager=True)
+    cedge = (
+        nbr.join(core.select(F.col("id").alias("u")), "u")
+        .join(core.select(F.col("id").alias("v")), "v")
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    labels = core.select(F.col("id").alias("nv"), F.col("id").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(20):
+        msgs = cedge.join(labels, cedge.u == labels.nv).select(
+            F.col("v").alias("nv"), F.col("lbl")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("nv")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "nv")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("q_dbscan: no fixpoint in 20 rounds")
+    clab = labels.select(F.col("nv").alias("id"), F.col("lbl").alias("label"))
+    blab = (
+        nbr.join(core.select(F.col("id").alias("u")), "u", "left_anti")
+        .join(clab.select(F.col("id").alias("v"), "label"), "v")
+        .groupBy(F.col("u").alias("id"))
+        .agg(F.min("label").alias("blabel"))
+    )
+    return (
+        pts.select("id")
+        .join(core.select("id", F.lit(1).alias("is_core_")), "id", "left")
+        .join(clab.withColumnRenamed("label", "clabel"), "id", "left")
+        .join(blab, "id", "left")
+        .select(
+            "id",
+            F.coalesce("is_core_", F.lit(0)).cast("int").alias("is_core"),
+            F.coalesce("clabel", "blabel", F.lit(-1))
+            .cast("bigint")
+            .alias("label"),
+        )
+        .orderBy("id")
+    )

@@ -565,3 +565,198 @@ def q_graph_kcore(spark, sf_dir):
 from flink_rc_spark.registry import REGISTRY as _REG2  # noqa: E402
 
 _REG2["q_graph_kcore"].oracle = _kcore_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_graph_cluster_coeff — per-node local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_cluster_coeff",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs),
+    sym AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    degs AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_nodes AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ),
+    tcnt AS (SELECT node, COUNT(*) AS n_tri FROM tri_nodes GROUP BY node)
+    SELECT d.node AS doc_id,
+           CAST(d.d AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(t.n_tri, 0)
+                 / (CAST(d.d AS DOUBLE) * (d.d - 1.0)), 6) AS lcc
+    FROM degs d LEFT JOIN tcnt t USING (node)
+    WHERE d.d >= 2
+    ORDER BY doc_id
+    """,
+    tags=("graph", "dedup", "join"),
+)
+def q_graph_cluster_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NODE local clustering coefficient of the MinHash candidate
+    graph: lcc(v) = 2*T(v) / (d(v)*(d(v)-1)) for nodes with degree >= 2
+    — the node-resolution refinement of q_graph_triangles' single
+    global coefficient. Dedup reading: a doc whose neighborhood closes
+    (lcc ~ 1) sits inside a duplicate clique; low-lcc high-degree docs
+    are hash-collision hubs joining unrelated clusters — exactly the
+    nodes a curation pipeline audits before transitive-closure dedup.
+
+    Exactness: triangles enumerate once in sorted orientation
+    (a<b ⋈ b<c, probe (a,c) — each an equi-shuffle on a vertex key)
+    and explode to their 3 corners; degrees and triangle counts are
+    exact integers, lcc is one double division rounded once.
+
+    100 TB: same joins as q_graph_triangles (the a<b orientation
+    bounds wedge fan-out); the corner explode is 3x triangle count;
+    both aggregates hash-partition on the node key.
+    """
+    docs = load(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs(docs).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.select(F.col("a").alias("node")).unionByName(
+        edges.select(F.col("b").alias("node"))
+    )
+    degs = sym.groupBy("node").agg(F.count("*").alias("d"))
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = (
+        e1.join(e2, e1.b == F.col("a2"))
+        .join(e3, (e1.a == F.col("a3")) & (F.col("b2") == F.col("b3")))
+        .select(F.col("a").alias("x"), F.col("b").alias("y"), F.col("b2").alias("z"))
+    )
+    tri_nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    tcnt = tri_nodes.groupBy("node").agg(F.count("*").alias("n_tri"))
+    return (
+        degs.join(tcnt, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("n_tri", F.lit(0))
+                / (F.col("d").cast("double") * (F.col("d") - F.lit(1.0))),
+                6,
+            ).alias("lcc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_graph_jaccard_neighbors — neighbor-set Jaccard link scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_jaccard_neighbors",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs),
+    sym AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    degs AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+    cn AS (
+        SELECT e1.v AS u, e2.v AS v, COUNT(*) AS n_common
+        FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+        GROUP BY e1.v, e2.v
+    ),
+    scored AS (
+        SELECT c.u, c.v, c.n_common,
+               CAST(du.d + dv.d - c.n_common AS BIGINT) AS n_union,
+               CAST(c.n_common * 1000000
+                    // (du.d + dv.d - c.n_common) AS BIGINT) AS jacc_micro
+        FROM cn c
+        JOIN degs du ON du.node = c.u
+        JOIN degs dv ON dv.node = c.v
+    )
+    SELECT u AS doc_a, v AS doc_b, n_common, n_union,
+           ROUND(CAST(jacc_micro AS DOUBLE) / 1000000, 6) AS jaccard
+    FROM scored
+    ORDER BY jacc_micro DESC, u, v
+    LIMIT 20
+    """,
+    tags=("graph", "dedup", "join"),
+)
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity on the MinHash candidate graph:
+    for every pair sharing >= 1 common neighbor, J = |N(u) cap N(v)| /
+    |N(u) cup N(v)| — the structural-equivalence link score (the
+    common-neighbor sibling of q_link_predict's resource-allocation
+    index, on the doc graph instead of the co-purchase graph). Top-20
+    by the exact micro-quantized score, ties on (u, v).
+
+    Exactness: common-neighbor counts come from the wedge equi-join on
+    the shared endpoint; the union size is du + dv - cn (inclusion-
+    exclusion on exact degrees); ranking compares the exact integer
+    floor(1e6 * cn / union) so the order never rests on a double.
+
+    100 TB: wedge enumeration on the bounded candidate graph (the
+    q_graph_triangles shape); degree joins after the pair aggregate;
+    TakeOrdered(20) instead of a global sort.
+    """
+    docs = load(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs(docs).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).toDF("u", "v")
+    degs = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    e1 = sym.select(F.col("u").alias("x"), F.col("v").alias("p"))
+    e2 = sym.select(F.col("u").alias("x"), F.col("v").alias("q"))
+    cn = (
+        e1.join(e2, "x")
+        .filter(F.col("p") < F.col("q"))
+        .groupBy(F.col("p").alias("u"), F.col("q").alias("v"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    du = degs.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = degs.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        cn.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            (F.col("du") + F.col("dv") - F.col("n_common"))
+            .cast("bigint")
+            .alias("n_union"),
+            F.expr("CAST(n_common * 1000000 DIV (du + dv - n_common) AS BIGINT)")
+            .alias("jacc_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("jacc_micro"), "u", "v")
+        .limit(20)
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            "n_common",
+            "n_union",
+            F.round(F.col("jacc_micro").cast("double") / 1000000, 6).alias(
+                "jaccard"
+            ),
+        )
+    )

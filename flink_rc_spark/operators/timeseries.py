@@ -1128,3 +1128,393 @@ def q_ts_cross_corr(spark, sf_dir):
     return m.select("lg", "n", F.expr(_XC_R_EXPR).alias("r_xy")).orderBy(
         "lg"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_sax — SAX symbolization of the daily revenue series
+# ---------------------------------------------------------------------------
+
+# z-score pipeline shared by both engines, evaluated on exact integer
+# moments (sx BIGINT, sxx DECIMAL(38,0) — daily-cents squares pass
+# BIGINT near sf10): population sigma, one sqrt (IEEE-exact), and the
+# Gaussian quartile breakpoints +-0.6745 for the 4-letter alphabet.
+_SAX_Z = """
+    (CAST(paa_num AS DOUBLE) / paa_den - CAST(sx AS DOUBLE) / n)
+        / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n)
+"""
+_SAX_SYMBOL = f"""
+    CASE WHEN {_SAX_Z} < -0.6745 THEN 'a'
+         WHEN {_SAX_Z} < 0.0 THEN 'b'
+         WHEN {_SAX_Z} < 0.6745 THEN 'c'
+         ELSE 'd' END
+"""
+_SAX_W = 8  # PAA segments per series
+
+
+@register(
+    "q_ts_sax",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1
+                       AS i,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM daily
+        ),
+        mom AS (
+            SELECT event_type, MAX(n) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sx,
+                   SUM(CAST(cents AS DECIMAL(19,0))
+                       * CAST(cents AS DECIMAL(19,0))) AS sxx
+            FROM idx GROUP BY event_type
+        ),
+        seg AS (
+            SELECT event_type,
+                   CAST(i * {_SAX_W} // n AS BIGINT) AS seg,
+                   CAST(SUM(cents) AS BIGINT) AS paa_num,
+                   COUNT(*) AS paa_den
+            FROM idx
+            WHERE n >= {_SAX_W}
+            GROUP BY event_type, i * {_SAX_W} // n
+        )
+        SELECT s.event_type, s.seg, s.paa_den AS n_days,
+               ROUND({_SAX_Z}, 4) AS paa_z,
+               {_SAX_SYMBOL} AS symbol
+        FROM seg s JOIN mom m USING (event_type)
+        ORDER BY s.event_type, s.seg
+    """,
+    tags=("timeseries", "window", "agg"),
+)
+def q_ts_sax(spark, sf_dir):
+    """SAX (Symbolic Aggregate approXimation) of each event type's
+    daily-revenue series: z-normalize against the series' own mean and
+    population sigma, Piecewise Aggregate Approximation into
+    {_SAX_W} equal-occupancy segments (seg = floor(i*w/n)), then map
+    each segment mean to the 4-letter alphabet at the Gaussian
+    quartile breakpoints +-0.6745 — the symbolic index that powers
+    motif discovery / anomaly search over massive series collections
+    (Lin/Keogh's SAX; the symbol string is what a 100 TB store
+    actually indexes instead of raw points).
+
+    Determinism: daily cents are exact integers; series moments are
+    exact (sxx through DECIMAL(38,0)); the z-score and the breakpoint
+    comparisons are ONE shared double-expression text in both engines
+    (sqrt is IEEE-correctly-rounded), so the symbol never straddles an
+    engine difference.
+
+    100 TB: fact -> daily hash agg (the cardinality crusher), then two
+    per-type windows over |days| rows and a segment hash agg; the
+    alphabet mapping is pure scalar codegen. Series parallelize as
+    types/keys.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        .cast("bigint")
+        .alias("d"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
+        "event_type",
+        "cents",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    mom = idx.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).alias("sxx"),
+    )
+    seg = (
+        idx.filter(F.col("n") >= _SAX_W)
+        .groupBy(
+            "event_type",
+            F.expr(f"CAST(i * {_SAX_W} DIV n AS BIGINT)").alias("seg"),
+        )
+        .agg(
+            F.sum("cents").cast("bigint").alias("paa_num"),
+            F.count("*").alias("paa_den"),
+        )
+    )
+    return (
+        seg.join(mom.drop("n_days"), "event_type")
+        .select(
+            "event_type",
+            "seg",
+            F.col("paa_den").alias("n_days"),
+            F.expr(f"ROUND({_SAX_Z}, 4)").alias("paa_z"),
+            F.expr(_SAX_SYMBOL).alias("symbol"),
+        )
+        .orderBy("event_type", "seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_dtw — dynamic-time-warping distance between daily share series
+# ---------------------------------------------------------------------------
+
+_DTW_INF = 10**15  # barrier; real path costs stay <= days * 1e6
+
+
+@register(
+    "q_ts_dtw",
+    oracle=f"""
+        WITH b AS (
+            SELECT CAST(epoch(date_trunc('day', MIN(ts))) / 86400 AS BIGINT)
+                       AS mn,
+                   CAST(epoch(date_trunc('day', MAX(ts))) / 86400 AS BIGINT)
+                       AS mx
+            FROM events
+        ),
+        spine AS (SELECT unnest(generate_series(mn, mx)) AS d FROM b),
+        types AS (SELECT DISTINCT event_type FROM events),
+        daily AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.event_type, s.d, COALESCE(a.cents, 0) AS cents
+            FROM spine s CROSS JOIN types t
+            LEFT JOIN daily a ON a.d = s.d AND a.event_type = t.event_type
+        ),
+        tot AS (
+            SELECT event_type, CAST(SUM(cents) AS BIGINT) AS total
+            FROM grid GROUP BY event_type
+        ),
+        ser AS (
+            SELECT g.event_type,
+                   list(CAST(g.cents * 1000000 // t.total AS BIGINT)
+                        ORDER BY g.d) AS s
+            FROM grid g JOIN tot t USING (event_type)
+            WHERE t.total > 0
+            GROUP BY g.event_type
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(len(a.s) AS BIGINT) AS n_days,
+               list_reduce(
+                   list_prepend(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, len(b.s)+1),
+                                          j -> CAST({_DTW_INF} AS BIGINT))),
+                       list_transform(a.s, x -> [x])),
+                   (prev, xl) -> list_reduce(
+                       list_prepend([CAST({_DTW_INF} AS BIGINT)],
+                           list_transform(range(1, len(b.s)+1),
+                                          j -> [CAST(j AS BIGINT)])),
+                       (row, jl) -> list_append(row,
+                           abs(xl[1] - b.s[jl[1]])
+                           + least(prev[jl[1]+1], prev[jl[1]], row[jl[1]])))
+               )[len(b.s)+1] AS dtw_micro
+        FROM ser a JOIN ser b ON a.event_type < b.event_type
+        ORDER BY type_a, type_b
+    """,
+    tags=("timeseries", "join"),
+)
+def q_ts_dtw(spark, sf_dir):
+    """Dynamic-time-warping distance between every pair of event
+    types' daily revenue-SHARE series (each day's share of the type's
+    total, in exact micro-units on the dense zero-filled day spine) —
+    the elastic similarity measure for series whose shapes align
+    under local time shifts, where Euclidean (lockstep) comparison
+    breaks; the standard distance for series clustering / motif
+    retrieval at warehouse scale.
+
+    EXACT: shares are integer micro-units (floor division, positive
+    operands), the |x-y| costs and the full DP are integer-only, and
+    both engines run the identical left-fold — the outer fold carries
+    the previous DP row, the inner fold builds the new row left to
+    right (Spark nested ``aggregate``; DuckDB nested ``list_reduce``
+    with the list-prepend-init encoding since its reduce seeds from
+    the first element) — so dtw_micro hash-matches with no float
+    anywhere.
+
+    100 TB: series materialize as ONE array row per key via the
+    resample spine (q_ts_resample's shape); the O(n*m) DP runs
+    in-row, JVM-side, per pair — pairs parallelize as rows, and a
+    banded DP (|i-j| <= w) is the documented refinement when series
+    get long (the fold shape is unchanged, the inner range shrinks).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        .cast("bigint")
+        .alias("d"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    b = ev.agg(
+        (F.unix_timestamp(F.date_trunc("day", F.min("ts"))) / 86400)
+        .cast("bigint")
+        .alias("mn"),
+        (F.unix_timestamp(F.date_trunc("day", F.max("ts"))) / 86400)
+        .cast("bigint")
+        .alias("mx"),
+    )
+    spine = b.select(F.explode(F.expr("sequence(mn, mx)")).alias("d"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        spine.crossJoin(types)
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce("cents", F.lit(0)).alias("cents")
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("cents").cast("bigint").alias("total")
+    )
+    ser = (
+        grid.join(tot, "event_type")
+        .filter(F.col("total") > 0)
+        .select(
+            "event_type",
+            "d",
+            F.expr("CAST(cents * 1000000 DIV total AS BIGINT)").alias("share"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(d, share))), p -> p.share)"
+            ).alias("s")
+        )
+    )
+    a = ser.select(F.col("event_type").alias("type_a"), F.col("s").alias("sa"))
+    bb = ser.select(F.col("event_type").alias("type_b"), F.col("s").alias("sb"))
+    dtw_expr = f"""
+        element_at(
+            aggregate(sa,
+                array(CAST(0 AS BIGINT)) || array_repeat(CAST({_DTW_INF} AS BIGINT), size(sb)),
+                (prev, x) -> aggregate(sequence(1, size(sb)),
+                    array(CAST({_DTW_INF} AS BIGINT)),
+                    (row, j) -> row || array(
+                        abs(x - element_at(sb, CAST(j AS INT)))
+                        + least(element_at(prev, CAST(j AS INT) + 1),
+                                element_at(prev, CAST(j AS INT)),
+                                element_at(row, CAST(j AS INT)))))),
+            size(sb) + 1)
+    """
+    return (
+        a.join(bb, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.size("sa").cast("bigint").alias("n_days"),
+            F.expr(dtw_expr).alias("dtw_micro"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_win_regr_slope — rolling 7-day OLS slope per event type
+# ---------------------------------------------------------------------------
+
+# slope = (n*sxy - sx*sy) / (n*sxx - sx*sx) on exact BIGINT window
+# sums (x = epoch-day, y = daily cents); NULL until the window holds
+# 2 distinct days
+_SLOPE_EXPR = """
+    CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 THEN
+        ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+    END
+"""
+
+
+@register(
+    "q_win_regr_slope",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT event_type, d, cents,
+                   COUNT(*) OVER w AS n,
+                   CAST(SUM(d) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS sy,
+                   CAST(SUM(d * d) OVER w AS BIGINT) AS sxx,
+                   CAST(SUM(d * cents) OVER w AS BIGINT) AS sxy
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, d, cents,
+               CAST(n AS BIGINT) AS n_days,
+               {_SLOPE_EXPR} AS slope_7d
+        FROM win
+        ORDER BY event_type, d
+    """,
+    tags=("timeseries", "window"),
+)
+def q_win_regr_slope(spark, sf_dir):
+    """Rolling 7-day ordinary-least-squares slope of each event type's
+    daily revenue (cents/day trend) — the windowed regression readout
+    behind "is this metric trending up this week?" dashboards, the
+    moving sibling of q_regr_fit's global fit.
+
+    Exactness: the five regression moments are exact BIGINT sums over
+    the 7-row frame (integer association-free), and the slope is one
+    shared double expression, rounded once — NULL until the frame has
+    two distinct days (degenerate denominator guarded).
+
+    100 TB: the fact collapses to the daily frame first (the
+    cardinality crusher), then ONE (event_type)-partitioned ordered
+    window serves all five moment sums — a single exchange + sort,
+    frames never rescan the fact.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+        .cast("bigint")
+        .alias("d"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("d").over(w).cast("bigint").alias("sx"),
+        F.sum("cents").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("d") * F.col("cents")).over(w).cast("bigint").alias("sxy"),
+    )
+    return win.select(
+        "event_type",
+        "d",
+        "cents",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(_SLOPE_EXPR).alias("slope_7d"),
+    ).orderBy("event_type", "d")

@@ -131,6 +131,13 @@ NESTED_LOOP_ALLOWED = {
     "q_mutual_info",  # single-row N broadcast onto the ≤120-cell
     #                   frame + combining three single-row reductions
     #                   — the q_bm25 single-row-join class
+    "q_silhouette",  # the k-row final centroid table BROADCAST against
+    #                  every vector for the all-distances frame —
+    #                  q_kmeans' assignment shape
+    "q_ts_dtw",  # |types| one-array-row series frames theta-joined
+    #              (a < b) for the C(5,2) pair spine, plus the tiny
+    #              day-spine x types grid — the q_ts_resample
+    #              tiny-spine class; the fact is never in the cross
 }
 
 
