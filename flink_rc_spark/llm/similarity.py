@@ -310,9 +310,12 @@ def ivf_recall(
     k: int = 50,
     n_clusters: int = 16,
     n_probe: int = 2,
+    gt: set | None = None,
 ) -> float:
-    """recall@k of IVF ANN vs brute-force ground truth."""
-    gt = {(r.vec_a, r.vec_b) for r in brute_topk(spark, sf_dir, k).collect()}
+    """recall@k of IVF ANN vs brute-force ground truth (pass ``gt``
+    to reuse one brute pass across configs — the audit-tool path)."""
+    if gt is None:
+        gt = {(r.vec_a, r.vec_b) for r in brute_topk(spark, sf_dir, k).collect()}
     got = {
         (r.vec_a, r.vec_b)
         for r in ivf_topk(spark, sf_dir, k, n_clusters, n_probe).collect()
@@ -448,10 +451,15 @@ def ann_topk(
 
 def brute_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
     """Exact top-k cosine pairs over the FULL table — ground truth for
-    recall measurement (O(n^2); measurement harness only)."""
+    recall measurement (O(n^2); measurement harness only). The probe
+    side is repartitioned to the session parallelism: the nested-loop
+    stream side otherwise inherits the parquet read's handful of
+    partitions and serializes the O(n^2) pass (measured 4 tasks on 32
+    cores at sf1)."""
     n = _vectors(spark, sf_dir)
-    a = n.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
-                 F.col("nrm").alias("na"))
+    a = n.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"))
     b = n.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
                  F.col("nrm").alias("nb"))
     cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
@@ -470,9 +478,12 @@ def ann_recall(
     k: int = 50,
     planes_per_band: int = 4,
     n_bands: int = 16,
+    gt: set | None = None,
 ) -> float:
-    """recall@k of banded-LSH ANN vs brute-force ground truth."""
-    gt = {(r.vec_a, r.vec_b) for r in brute_topk(spark, sf_dir, k).collect()}
+    """recall@k of banded-LSH ANN vs brute-force ground truth (pass
+    ``gt`` to reuse one brute pass across configs)."""
+    if gt is None:
+        gt = {(r.vec_a, r.vec_b) for r in brute_topk(spark, sf_dir, k).collect()}
     got = {
         (r.vec_a, r.vec_b)
         for r in ann_topk(spark, sf_dir, k, planes_per_band, n_bands).collect()

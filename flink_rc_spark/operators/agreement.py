@@ -581,3 +581,310 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(tot)
         .select("n_cells", F.col("nn").alias("n_events"), "mi_nats")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_median — quantity-weighted price percentiles per return flag
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+        WITH vals AS (
+            SELECT l_returnflag AS flag,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS v,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT flag, v, w, n,
+                   CAST(SUM(w) OVER (PARTITION BY flag ORDER BY v)
+                        AS BIGINT) AS cumw,
+                   CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tot,
+                   CAST(SUM(n) OVER (PARTITION BY flag) AS BIGINT) AS n_rows
+            FROM vals
+        )
+        SELECT flag,
+               MAX(n_rows) AS n_rows,
+               MAX(tot) AS total_weight,
+               MIN(CASE WHEN 4 * cumw >= tot THEN v END) AS wp25_cents,
+               MIN(CASE WHEN 2 * cumw >= tot THEN v END) AS wmedian_cents,
+               MIN(CASE WHEN 4 * cumw >= 3 * tot THEN v END) AS wp75_cents
+        FROM cum
+        GROUP BY flag
+        ORDER BY flag
+    """,
+    tags=("stats", "window", "agg"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED price percentiles (p25/median/p75) per return
+    flag: each lineitem's price counts with multiplicity l_quantity —
+    the inventory-weighted distribution summary ("what price does the
+    median UNIT ship at?"), which plain percentile_approx cannot
+    answer (q_agg_percentile weights rows equally). Lower weighted
+    median: smallest v with 2*cumw(v) >= total.
+
+    Exactness: prices are exact integer cents, weights exact integer
+    quantities; the percentile picks are pure integer threshold
+    comparisons on the cumulative weight — no interpolation, no
+    floats anywhere.
+
+    100 TB: the fact collapses to the (flag, price) distinct-value
+    frame first (hash agg with map-side combine — the q_mw_utest
+    midrank discipline), so the ordered cumulative window runs over
+    distinct values per flag, not rows. One exchange keyed on flag.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("v"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"),
+        F.count("*").alias("n"),
+    )
+    wcum = Window.partitionBy("flag").orderBy("v")
+    wall = Window.partitionBy("flag")
+    cum = vals.select(
+        "flag",
+        "v",
+        F.sum("w").over(wcum).cast("bigint").alias("cumw"),
+        F.sum("w").over(wall).cast("bigint").alias("tot"),
+        F.sum("n").over(wall).cast("bigint").alias("n_rows"),
+    )
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("tot").alias("total_weight"),
+            F.min(
+                F.when(4 * F.col("cumw") >= F.col("tot"), F.col("v"))
+            ).alias("wp25_cents"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("tot"), F.col("v"))
+            ).alias("wmedian_cents"),
+            F.min(
+                F.when(4 * F.col("cumw") >= 3 * F.col("tot"), F.col("v"))
+            ).alias("wp75_cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cliffs_delta — ordinal effect size for the purchase-vs-click metric
+# ---------------------------------------------------------------------------
+
+# delta = (#{x>y} - #{x<y}) / (n1*n2): dominance counts from the
+# distinct-value frame (never the pair join); one double division of
+# exact BIGINTs, rounded once. BIGINT headroom: gt/lt <= n1*n2
+# (~1.6e15 at sf100); past that the counts route through DECIMAL.
+_CLIFFS_EXPR = """
+    CASE WHEN n1 > 0 AND n2 > 0 THEN
+        ROUND((CAST(n_gt AS DOUBLE) - CAST(n_lt AS DOUBLE))
+              / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+    END
+"""
+
+
+@register(
+    "q_cliffs_delta",
+    oracle=f"""
+        WITH x AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+            FROM events WHERE event_type IN ('purchase', 'click')
+        ),
+        vals AS (
+            SELECT c,
+                   CAST(SUM(g) AS BIGINT) AS c1,
+                   CAST(SUM(1 - g) AS BIGINT) AS c2
+            FROM x GROUP BY c
+        ),
+        cum AS (
+            SELECT c, c1, c2,
+                   CAST(COALESCE(SUM(c2) OVER (ORDER BY c
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS c2_less,
+                   CAST(SUM(c2) OVER () AS BIGINT) AS n2,
+                   CAST(SUM(c1) OVER () AS BIGINT) AS n1
+            FROM vals
+        )
+        , mom AS (
+            SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+                   CAST(SUM(c1 * c2_less) AS BIGINT) AS n_gt,
+                   CAST(SUM(c1 * (n2 - c2_less - c2)) AS BIGINT) AS n_lt,
+                   CAST(SUM(c1 * c2) AS BIGINT) AS n_eq
+            FROM cum
+        )
+        SELECT n1, n2, n_gt, n_lt, n_eq,
+               {_CLIFFS_EXPR} AS delta
+        FROM mom
+    """,
+    tags=("stats", "window", "agg"),
+)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between purchase and click values — the ordinal
+    (rank-based) effect size that accompanies q_mw_utest the way
+    q_effect_size's Cohen d accompanies q_welch_ttest: delta =
+    P(x > y) - P(x < y), robust to non-normality and outliers.
+
+    Dominance counts come from the distinct-value frame, NEVER a pair
+    join: for each value v, c1(v) purchases at v dominate the
+    c2-below cumulative — gt = sum c1(v) * C2_less(v), lt by
+    complement, eq = sum c1*c2. All exact BIGINTs; delta is one
+    shared double expression, rounded once.
+
+    100 TB: identical shape to q_mw_utest — one hash agg to distinct
+    cents values, one ordered cumulative window over that bounded
+    frame, single-row reduce. The O(n1*n2) pair semantics costs
+    O(distinct values).
+    """
+    ev = load(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    vals = x.groupBy("c").agg(
+        F.sum("g").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("c2"),
+    )
+    wless = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    cum = vals.select(
+        "c",
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c2").over(wless), F.lit(0))
+        .cast("bigint")
+        .alias("c2_less"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+    )
+    s = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2_less")).cast("bigint").alias("n_gt"),
+        F.sum(F.col("c1") * (F.col("n2") - F.col("c2_less") - F.col("c2")))
+        .cast("bigint")
+        .alias("n_lt"),
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("n_eq"),
+    )
+    return s.select(
+        "n1", "n2", "n_gt", "n_lt", "n_eq",
+        F.expr(_CLIFFS_EXPR).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_profile_entropy — per-column categorical profiling (entropy / top share)
+# ---------------------------------------------------------------------------
+
+# the profiled (label, table, column expression) triples — the
+# categorical columns a profiler summarizes before modeling
+_PROFILE_COLS = (
+    ("events.event_type", "events", "event_type"),
+    ("documents.lang", "documents", "lang"),
+    ("documents.source", "documents", "source"),
+    ("orders.o_orderpriority", "orders", "o_orderpriority"),
+    ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+)
+
+# shared per-column statistics texts on the exact (nn, nd, mx) moments
+_TOP_SHARE = "ROUND(CAST(mx AS DOUBLE) / CAST(nn AS DOUBLE), 6)"
+
+
+def _profile_duck_block(label: str, table: str, col: str) -> str:
+    tag = label.replace(".", "_")
+    return f"""
+    cnt_{tag} AS (
+        SELECT CAST({col} AS VARCHAR) AS v, COUNT(*) AS c
+        FROM {table} GROUP BY 1
+    ),
+    agg_{tag} AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(MAX(c) AS BIGINT) AS mx,
+               list_sort(list({{'v': v, 'c': c}})) AS lst
+        FROM cnt_{tag}
+    )"""
+
+
+def _profile_duck_select(label: str) -> str:
+    tag = label.replace(".", "_")
+    return f"""
+        SELECT '{label}' AS col_name, nn AS n_rows, nd AS n_distinct,
+               {_TOP_SHARE} AS top_share,
+               ROUND(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(lst, s ->
+                           -(CAST(s.c AS DOUBLE) / nn)
+                           * ln(CAST(s.c AS DOUBLE) / nn))),
+                   (a, b) -> a + b), 6) AS entropy_nats
+        FROM agg_{tag}"""
+
+
+@register(
+    "q_profile_entropy",
+    oracle="WITH "
+    + ",".join(
+        _profile_duck_block(lb, t, c).strip() for lb, t, c in _PROFILE_COLS
+    )
+    + "\n"
+    + "\nUNION ALL\n".join(_profile_duck_select(lb) for lb, _, _ in _PROFILE_COLS)
+    + "\nORDER BY col_name",
+    tags=("stats", "agg", "profiling"),
+)
+def q_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column PROFILING across tables: for each declared
+    column, row count, distinct count, top-value share, and the
+    Shannon entropy (nats) of the value distribution — the
+    data-profiler summary (ydata-profiling / Deequ class) that flags
+    near-constant columns (entropy ~ 0, top_share ~ 1) and
+    high-cardinality ones before they reach a model.
+
+    Determinism: counts are exact integers; each category's entropy
+    term evaluates ln once on the exact rational c/n; the <= |values|
+    per-column total folds in sorted value order in BOTH engines
+    (sort_array + aggregate vs list_sort + list_reduce — the
+    q_mutual_info discipline), rounded once.
+
+    100 TB: one hash agg per profiled column (map-side combined);
+    every fold runs over the bounded distinct-value frame, collected
+    to ONE array row per column. Columns fan out as independent
+    subplans — a profiler over hundreds of columns batches them the
+    same way.
+    """
+    frames = []
+    for label, table, col in _PROFILE_COLS:
+        tbl = load(spark, sf_dir, table)
+        cnt = tbl.groupBy(
+            F.col(col).cast("string").alias("v")
+        ).agg(F.count("*").alias("c"))
+        agg = cnt.agg(
+            F.sum("c").cast("bigint").alias("nn"),
+            F.count("*").cast("bigint").alias("nd"),
+            F.max("c").cast("bigint").alias("mx"),
+            F.sort_array(F.collect_list(F.struct("v", "c"))).alias("lst"),
+        )
+        frames.append(
+            agg.select(
+                F.lit(label).alias("col_name"),
+                F.col("nn").alias("n_rows"),
+                F.col("nd").alias("n_distinct"),
+                F.expr(_TOP_SHARE).alias("top_share"),
+                F.expr(
+                    """ROUND(aggregate(lst, CAST(0.0 AS DOUBLE),
+                           (a, s) -> a - (CAST(s.c AS DOUBLE) / nn)
+                                     * ln(CAST(s.c AS DOUBLE) / nn)), 6)"""
+                ).alias("entropy_nats"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("col_name")

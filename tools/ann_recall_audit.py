@@ -70,14 +70,18 @@ def main() -> None:
 
     t0 = time.time()
     emb = _embeddings(spark, sf_dir)
+    from flink_rc_spark.llm.similarity import brute_topk
+
+    # ONE brute ground-truth pass (O(n^2)) shared by all five configs
+    gt = {(r.vec_a, r.vec_b) for r in brute_topk(spark, sf_dir, 50).collect()}
     out = {
         "sf_dir": sf_dir,
         "n_vectors": len(emb),
-        "ann_recall50_p4b16": round(ann_recall(spark, sf_dir, 50, 4, 16), 4),
-        "ann_recall50_p8b16": round(ann_recall(spark, sf_dir, 50, 8, 16), 4),
-        "ivf_recall50_probe1": round(ivf_recall(spark, sf_dir, 50, 16, 1), 4),
-        "ivf_recall50_probe2": round(ivf_recall(spark, sf_dir, 50, 16, 2), 4),
-        "ivf_recall50_probe4": round(ivf_recall(spark, sf_dir, 50, 16, 4), 4),
+        "ann_recall50_p4b16": round(ann_recall(spark, sf_dir, 50, 4, 16, gt=gt), 4),
+        "ann_recall50_p8b16": round(ann_recall(spark, sf_dir, 50, 8, 16, gt=gt), 4),
+        "ivf_recall50_probe1": round(ivf_recall(spark, sf_dir, 50, 16, 1, gt=gt), 4),
+        "ivf_recall50_probe2": round(ivf_recall(spark, sf_dir, 50, 16, 2, gt=gt), 4),
+        "ivf_recall50_probe4": round(ivf_recall(spark, sf_dir, 50, 16, 4, gt=gt), 4),
         "ivf_pq_recall5": round(ivf_pq_recall5(spark, sf_dir, emb), 4),
         "matryoshka_recall5": round(matryoshka_recall5(spark, sf_dir, emb), 4),
         "wall_sec": round(time.time() - t0, 1),
