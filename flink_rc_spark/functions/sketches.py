@@ -618,3 +618,160 @@ def q_sketch_kmv_setops(spark, sf_dir):
         F.round(est_u, 4).alias("est_union"),
         F.round(rho * est_u, 4).alias("est_inter"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_sketch_hll_merge — per-source sub-sketches + register-max merge
+# ---------------------------------------------------------------------------
+
+# shared estimate text on the exact (register) frame: scaled-integer
+# harmonic denominator (the q_sketch_hll discipline), one double
+# division of exactly-agreed numbers
+_HLL_EST_COLS = f"""
+           CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS empty_buckets,
+           CAST(SUM(register) AS BIGINT) AS register_sum,
+           CAST(SUM(CAST(2 AS BIGINT) ** (41 - register)) AS BIGINT)
+               AS scaled_power_sum,
+           CAST({_HLL_NUMERATOR!r} AS DOUBLE)
+               / CAST(SUM(CAST(2 AS BIGINT) ** (41 - register)) AS DOUBLE)
+               AS hll_estimate
+"""
+
+
+@register(
+    "q_sketch_hll_merge",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    rho AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(tok), 1, 2))::BIGINT AS BIGINT)
+                   AS bucket,
+               CASE WHEN ('0x' || substr(md5(tok), 3, 10))::BIGINT = 0 THEN 41
+                    ELSE 40 - length(bin(('0x' || substr(md5(tok), 3, 10))::BIGINT)) + 1
+               END AS r
+        FROM toks
+    ),
+    srcs AS (SELECT DISTINCT source FROM toks),
+    grid AS (SELECT s.source, g.bucket
+             FROM srcs s, range({_HLL_M}) g(bucket)),
+    per_src AS (
+        SELECT g.source, g.bucket,
+               CAST(COALESCE(MAX(rho.r), 0) AS BIGINT) AS register
+        FROM grid g
+        LEFT JOIN rho ON rho.source = g.source AND rho.bucket = g.bucket
+        GROUP BY g.source, g.bucket
+    ),
+    merged AS (
+        SELECT bucket, CAST(MAX(register) AS BIGINT) AS register
+        FROM per_src GROUP BY bucket
+    ),
+    src_rows AS (
+        SELECT 'source:' || source AS scope, {_HLL_EST_COLS}
+        FROM per_src GROUP BY source
+    ),
+    merged_row AS (
+        SELECT 'zz_merged' AS scope, {_HLL_EST_COLS} FROM merged
+    )
+    SELECT * FROM src_rows
+    UNION ALL
+    SELECT * FROM merged_row
+    ORDER BY scope
+    """,
+    tags=("sketch", "llm"),
+)
+def q_sketch_hll_merge(spark, sf_dir):
+    """HyperLogLog MERGEABILITY end-to-end — the property that makes
+    sketches the 100 TB cardinality answer: build an independent
+    256-register HLL per document source (each a shard's sub-sketch),
+    then merge by register-wise MAX and estimate the GLOBAL distinct
+    token count from the merged sketch. Because max-merge is exactly
+    the lossless HLL union, the merged registers equal the
+    direct-build registers bit-for-bit — tests assert the merged row
+    equals q_sketch_hll's direct estimate EXACTLY, which is the
+    distributed claim ("merge per-shard sketches, lose nothing")
+    proven by hash rather than approximately.
+
+    Per-source rows double as the per-shard cardinality readout
+    (which source contributes the vocabulary), the per-tenant
+    dashboard sketches serve in production.
+
+    Scale: per-source sub-sketches are ONE hash agg keyed
+    (source, bucket) — |sources| x 256 cells regardless of corpus
+    size; the merge is a 256-row MAX agg. This is literally Spark's
+    partial-aggregation shape materialized as a declared query.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    rho = toks.select(
+        "source",
+        F.expr("CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS BIGINT)").alias(
+            "bucket"
+        ),
+        F.expr(
+            """CASE WHEN CAST(conv(substring(md5(tok), 3, 10), 16, 10) AS BIGINT) = 0
+                    THEN 41
+                    ELSE 40 - length(bin(CAST(conv(substring(md5(tok), 3, 10), 16, 10) AS BIGINT))) + 1
+               END"""
+        ).alias("r"),
+    )
+    srcs = toks.select("source").distinct()
+    spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    grid = srcs.crossJoin(F.broadcast(spine))
+    per_src = (
+        grid.join(rho, ["source", "bucket"], "left")
+        .groupBy("source", "bucket")
+        .agg(F.coalesce(F.max("r"), F.lit(0)).cast("bigint").alias("register"))
+    )
+    merged = per_src.groupBy("bucket").agg(
+        F.max("register").cast("bigint").alias("register")
+    )
+
+    def estimate(df, scope_col):
+        scaled = F.sum(F.expr("CAST(pow(2, 41 - register) AS BIGINT)"))
+        return df.agg(
+            F.sum(F.when(F.col("register") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("empty_buckets"),
+            F.sum("register").cast("bigint").alias("register_sum"),
+            scaled.cast("bigint").alias("scaled_power_sum"),
+            (F.lit(_HLL_NUMERATOR).cast("double") / scaled.cast("double")).alias(
+                "hll_estimate"
+            ),
+        ).select(scope_col.alias("scope"), "*")
+
+    src_rows = (
+        per_src.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("register") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("empty_buckets"),
+            F.sum("register").cast("bigint").alias("register_sum"),
+            F.sum(F.expr("CAST(pow(2, 41 - register) AS BIGINT)"))
+            .cast("bigint")
+            .alias("scaled_power_sum"),
+            (
+                F.lit(_HLL_NUMERATOR).cast("double")
+                / F.sum(F.expr("CAST(pow(2, 41 - register) AS BIGINT)")).cast(
+                    "double"
+                )
+            ).alias("hll_estimate"),
+        )
+        .select(
+            F.concat(F.lit("source:"), F.col("source")).alias("scope"),
+            "empty_buckets",
+            "register_sum",
+            "scaled_power_sum",
+            "hll_estimate",
+        )
+    )
+    merged_row = estimate(merged, F.lit("zz_merged")).select(
+        "scope", "empty_buckets", "register_sum", "scaled_power_sum",
+        "hll_estimate",
+    )
+    return src_rows.unionByName(merged_row).orderBy("scope")

@@ -864,7 +864,12 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K = 8         # coarse cells
 _IVF_PROBE = 4     # cells probed per query
 _IVF_ROUNDS = 2    # Lloyd rounds fitting the coarse quantizer
-_IVFPQ_REFINE = 150  # ADC shortlist re-ranked by exact distance
+_IVFPQ_REFINE = 150   # FLOOR of the exact-refine shortlist
+_IVFPQ_REFINE_DIV = 20  # shortlist scales as max(floor, n_vectors/20):
+# ADC rank noise with 16-centroid subquantizers spreads proportionally
+# to the candidate count, so a CONSTANT shortlist decays with corpus
+# growth (measured at sf1: 150 -> recall@5 0.32, n/20=1000 -> 0.60+;
+# tools/ann_recall_audit.py) while a constant FRACTION holds it.
 _IVFPQ_TOPK = 5    # results per query
 
 # md5-ranked seeding expression (a deterministic pseudo-random sample,
@@ -1182,7 +1187,8 @@ _L2_FULL_DUCK = (
         SELECT qid, cand_id, dist AS adc_dist,
                ROW_NUMBER() OVER (PARTITION BY qid
                                   ORDER BY dist, cand_id) AS arn
-        FROM scored QUALIFY arn <= {_IVFPQ_REFINE}
+        FROM scored QUALIFY arn <= GREATEST({_IVFPQ_REFINE},
+            (SELECT COUNT(*) FROM embeddings) // {_IVFPQ_REFINE_DIV})
     ),
     refined AS (
         SELECT s.qid, s.cand_id, s.adc_dist, {_L2_FULL_DUCK} AS exact_d
@@ -1206,10 +1212,11 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF x PQ composed ANN search (the FAISS IVFPQR shape): a coarse
     inverted-file quantizer prunes the corpus to the query's 4 nearest
     of 8 cells, asymmetric-distance (ADC) scoring ranks the survivors
-    from their 8x4-bit PQ codes, and the ADC top-20 shortlist is
-    re-ranked by the exact full-vector distance — per-query work drops
+    from their 8x4-bit PQ codes, and the corpus-scaled ADC
+    shortlist (max(150, n/20) rows) is re-ranked by the exact
+    full-vector distance — per-query work drops
     from O(n * dim) to O(n_probe/k_cells * n * subspaces) table
-    lookups plus 20 exact distances, which is how billion-vector
+    lookups plus the shortlist's exact distances, which is how billion-vector
     indexes answer queries without touching raw vectors except for the
     final refine.
 
@@ -1219,9 +1226,10 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd rounds (the q_kmeans protocol, llm/cluster.py) from
     md5-ranked seed samples. Fitted cells balance occupancy and
     capture ~0.70-0.74 of true neighbors at 4/8 probes; the trained
-    integer-ADC shortlist (top-150 of ~1000 candidates at sf0.1,
-    exact-refined) keeps most of that — measured end recall@5
-    0.60-0.70 across SFs (tests/test_llm.py::test_ivf_pq_recall,
+    corpus-scaled integer-ADC shortlist (max(150, n/20), exact-
+    refined) keeps most of that — measured end recall@5 0.60-0.70
+    at sf0.01-sf0.1 and 0.60 at sf1 (20k decorrelated vectors;
+    tools/ann_recall_audit.py — a CONSTANT 150 decayed to 0.32 there) (tests/test_llm.py::test_ivf_pq_recall,
     bound 0.5), on near-uniform vectors that are the documented ANN
     worst case.
 
@@ -1318,9 +1326,14 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").cast("long").alias("dist"))
     )
     w_adc = Window.partitionBy("qid").orderBy("dist", "cand_id")
+    # corpus-scaled exact-refine shortlist (see _IVFPQ_REFINE_DIV):
+    # the count is a parquet-metadata read, and both engines compute
+    # the identical integer
+    n_vec = load(spark, sf_dir, "embeddings").count()
+    refine = max(_IVFPQ_REFINE, n_vec // _IVFPQ_REFINE_DIV)
     shortlist = (
         scored.withColumn("arn", F.row_number().over(w_adc))
-        .filter(F.col("arn") <= _IVFPQ_REFINE)
+        .filter(F.col("arn") <= refine)
         .select("qid", "cand_id", F.col("dist").alias("adc_dist"))
     )
     qe = v.select(F.col("vec_id").alias("qid"), "e")
@@ -1638,8 +1651,15 @@ def q_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_sim_matryoshka — prefix-dimension coarse filter + full-dim refine
 # ---------------------------------------------------------------------------
 
-_MAT_PREFIX = 16     # dims of the coarse pass (Matryoshka prefix)
-_MAT_SHORTLIST = 50  # prefix-cosine survivors re-ranked exactly
+_MAT_PREFIX = 32     # dims of the coarse pass (Matryoshka prefix)
+_MAT_SHORTLIST = 50  # FLOOR of the exact-refine shortlist
+_MAT_SHORTLIST_DIV = 50  # shortlist scales as max(floor, n/50):
+# on UNTRAINED (synthetic) embeddings the prefix is only weakly
+# correlated with the full cosine, so a constant shortlist decays
+# with corpus size (measured at sf1: prefix-16 + 50 -> recall@5 0.12;
+# prefix-32 + n/50=400 -> 0.82 — tools/ann_recall_audit.py). Real
+# matryoshka-trained embeddings front-load information and need a
+# smaller prefix/shortlist; the floor covers that case.
 _MAT_TOPK = 5
 
 _MAT_PDOT_SPARK = (
@@ -1683,7 +1703,8 @@ _MAT_PNORM_DUCK = (
                                 b.vec_id
                    ) AS prn
             FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
-        ) WHERE prn <= {_MAT_SHORTLIST}
+        ) WHERE prn <= GREATEST({_MAT_SHORTLIST},
+            (SELECT COUNT(*) FROM embeddings) // {_MAT_SHORTLIST_DIV})
     ),
     refined AS (
         SELECT s.qid, s.cand_id, s.pcos,
@@ -1726,7 +1747,7 @@ def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a broadcast 10-row query set (q_knn_label's probe shape)
     with a per-query top-k — TakeOrdered-style partial top-k per
     partition, no global sort; the expensive full-width vectors are
-    touched only for 10 x 50 shortlist rows. Composes with any
+    touched only for the 10 x max(50, n/50) shortlist rows. Composes with any
     coarse index upstream (IVF cells or LSH bands over the PREFIX
     dims) — the prefix pass here is the honest brute-force baseline
     of that family.
@@ -1734,6 +1755,12 @@ def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    # corpus-scaled shortlist (see _MAT_SHORTLIST_DIV): metadata-cheap
+    # count, identical integer in both engines
+    mat_shortlist = max(
+        _MAT_SHORTLIST,
+        load(spark, sf_dir, "embeddings").count() // _MAT_SHORTLIST_DIV,
     )
     n = v.select(
         "vec_id",
@@ -1760,7 +1787,7 @@ def q_sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("cand_id") != F.col("qid"))
         .select("qid", "cand_id", "ea", "na", "eb", "nb", pcos.alias("pcos"))
         .withColumn("prn", F.row_number().over(w_pre))
-        .filter(F.col("prn") <= _MAT_SHORTLIST)
+        .filter(F.col("prn") <= mat_shortlist)
     )
     cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
     w_top = Window.partitionBy("qid").orderBy(F.desc("cos"), "cand_id")

@@ -1028,3 +1028,142 @@ def q_stream_timeout(spark, sf_dir):
     s = events_stream(spark, sf_dir)
     out = run_to_memory(stream_timeout(s), output_mode="append")
     return out.orderBy("user_id", "view_id")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_hll — streaming distinct-user cardinality (HLL state)
+# ---------------------------------------------------------------------------
+
+_SHLL_P = 8
+_SHLL_M = 1 << _SHLL_P
+_SHLL_ALPHA = 0.7213 / (1.0 + 1.079 / _SHLL_M)
+_SHLL_NUMERATOR = _SHLL_ALPHA * float(_SHLL_M * _SHLL_M) * float(1 << 41)
+
+# md5-derived bucket/rho of the user token 'u<user_id>' — the
+# q_sketch_hll derivation on a keyed stream column (computed JVM-side
+# BEFORE the stateful operator, so the kernel only folds integers)
+_SHLL_BUCKET = (
+    "CAST(conv(substring(md5(concat('u', CAST(user_id AS STRING))), 1, 2),"
+    " 16, 10) AS BIGINT)"
+)
+_SHLL_W = (
+    "CAST(conv(substring(md5(concat('u', CAST(user_id AS STRING))), 3, 10),"
+    " 16, 10) AS BIGINT)"
+)
+
+SHLL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("register", T.LongType()),
+    ]
+)
+
+SHLL_STATE_SCHEMA = T.StructType([T.StructField("maxr", T.LongType())])
+
+
+def _hll_kernel(key, pdf_iter, state):
+    """Per-bucket register fold: state = max rho seen; each micro-batch
+    emits the refreshed register. MAX is commutative/associative/
+    idempotent, so the register is independent of micro-batch slicing
+    AND replay duplication — the at-least-once-safe state fold."""
+    (maxr,) = state.get if state.exists else (0,)
+    for pdf in pdf_iter:
+        if len(pdf):
+            maxr = max(maxr, int(pdf["r"].max()))
+    state.update((maxr,))
+    yield pd.DataFrame({"bucket": [key[0]], "register": [maxr]})
+
+
+def stream_hll(s):
+    rho = s.select(
+        F.expr(_SHLL_BUCKET).alias("bucket"),
+        F.expr(
+            f"""CASE WHEN {_SHLL_W} = 0 THEN CAST(41 AS BIGINT)
+                 ELSE CAST(40 - length(bin({_SHLL_W})) + 1 AS BIGINT) END"""
+        ).alias("r"),
+    )
+    return rho.groupBy("bucket").applyInPandasWithState(
+        _hll_kernel,
+        outputStructType=SHLL_OUT_SCHEMA,
+        stateStructType=SHLL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "q_stream_hll",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(('0x' || substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                    AS BIGINT) AS bucket,
+               ('0x' || substr(md5('u' || CAST(user_id AS VARCHAR)), 3, 10))::BIGINT AS w
+        FROM events
+    ),
+    rho AS (
+        SELECT bucket,
+               CASE WHEN w = 0 THEN 41
+                    ELSE 40 - length(bin(w)) + 1 END AS r
+        FROM cells
+    ),
+    regs AS (
+        SELECT g.bucket,
+               CAST(COALESCE(MAX(rho.r), 0) AS BIGINT) AS register
+        FROM range({_SHLL_M}) g(bucket)
+        LEFT JOIN rho ON rho.bucket = g.bucket
+        GROUP BY g.bucket
+    )
+    SELECT CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS empty_buckets,
+           CAST(SUM(register) AS BIGINT) AS register_sum,
+           CAST(SUM(CAST(2 AS BIGINT) ** (41 - register)) AS BIGINT)
+               AS scaled_power_sum,
+           CAST({_SHLL_NUMERATOR!r} AS DOUBLE)
+               / CAST(SUM(CAST(2 AS BIGINT) ** (41 - register)) AS DOUBLE)
+               AS hll_estimate
+    FROM regs
+    """,
+)
+def q_stream_hll(spark, sf_dir):
+    """STREAMING distinct-user cardinality: a 256-register HyperLogLog
+    maintained in the state store — the real-time "unique visitors"
+    counter. Bucket/rho derive JVM-side from md5('u'||user_id); the
+    stateful kernel per bucket folds MAX(rho) (commutative +
+    idempotent => slicing- and duplication-invariant, the
+    at-least-once-safe fold); the final registers equal the batch
+    q_sketch_hll build over the same tokens EXACTLY, which is the
+    oracle. Total state: 256 longs for any stream volume — the
+    bounded-state poster child next to q_stream_topk's O(K) board.
+
+    Scale: the shuffle is keyed on 256 buckets (bounded regardless of
+    event volume) AFTER a stateless map — at Kafka scale the map runs
+    source-parallel and only 256-key traffic reaches the state store;
+    a production variant pre-aggregates per-partition maxima in
+    foreachBatch, the same merge this key's batch twin
+    (q_sketch_hll_merge) proves lossless.
+    """
+    ensure_package_shipped(spark)
+    s = events_stream(spark, sf_dir)
+    out = run_to_memory(stream_hll(s), output_mode="append")
+    regs = out.groupBy("bucket").agg(
+        F.max("register").cast("bigint").alias("register")
+    )
+    spine = spark.range(_SHLL_M).select(F.col("id").alias("bucket"))
+    full = (
+        spine.join(regs, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("register", F.lit(0)).cast("bigint").alias("register"),
+        )
+    )
+    scaled = F.sum(F.expr("CAST(pow(2, 41 - register) AS BIGINT)"))
+    return full.agg(
+        F.sum(F.when(F.col("register") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("empty_buckets"),
+        F.sum("register").cast("bigint").alias("register_sum"),
+        scaled.cast("bigint").alias("scaled_power_sum"),
+        (F.lit(_SHLL_NUMERATOR).cast("double") / scaled.cast("double")).alias(
+            "hll_estimate"
+        ),
+    )

@@ -134,6 +134,10 @@ NESTED_LOOP_ALLOWED = {
     "q_silhouette",  # the k-row final centroid table BROADCAST against
     #                  every vector for the all-distances frame —
     #                  q_kmeans' assignment shape
+    "q_sketch_hll_merge",  # the 256-row bucket spine broadcast across
+    #                        the |sources| frame for the per-source
+    #                        register grid — the q_ts_resample
+    #                        tiny-spine class
     "q_ts_dtw",  # |types| one-array-row series frames theta-joined
     #              (a < b) for the C(5,2) pair spine, plus the tiny
     #              day-spine x types grid — the q_ts_resample

@@ -1383,3 +1383,38 @@ def test_stateful_checkpoint_resume_sweep(spark, sf_dir, tmp_path, name, finaliz
         f"{name}: resume diverged: missing={list(clean - resumed)[:5]}, "
         f"extra={list(resumed - clean)[:5]}"
     )
+
+
+def test_stream_hll_slicing_invariant_and_equals_batch(spark, sf_dir):
+    """q_stream_hll's register fold is MAX — commutative + idempotent —
+    so a 4-batch incremental replay must produce the exact same final
+    registers (and estimate row) as the single-batch replay, and both
+    must equal the batch q_sketch_hll-style build the oracle spells."""
+    from pyspark.sql import functions as F
+
+    from flink_rc_spark.registry import REGISTRY
+    from flink_rc_spark.streaming.replay import events_stream, run_to_memory
+    from flink_rc_spark.streaming.stateful import _SHLL_M, stream_hll
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    one = REGISTRY["q_stream_hll"].builder(spark, sf_dir).collect()[0]
+
+    s = events_stream(spark, sf_dir, n_splits=4)
+    stats: dict = {}
+    out = run_to_memory(stream_hll(s), output_mode="append", stats=stats)
+    assert stats["num_batches"] >= 3, f"replay was not incremental: {stats}"
+    regs = (
+        out.groupBy("bucket")
+        .agg(F.max("register").cast("bigint").alias("register"))
+        .collect()
+    )
+    reg_map = {r.bucket: r.register for r in regs}
+    register_sum = sum(reg_map.values())
+    empty = _SHLL_M - len([v for v in reg_map.values() if v > 0])
+    assert register_sum == one.register_sum
+    assert empty == one.empty_buckets
+    scaled = sum(
+        2 ** (41 - reg_map.get(b, 0)) for b in range(_SHLL_M)
+    )
+    assert scaled == one.scaled_power_sum

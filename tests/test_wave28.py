@@ -95,3 +95,39 @@ def test_profile_entropy_matches_python(spark, sf_dir):
         assert abs(r.entropy_nats - ent) < 1e-5
         # entropy bounded by ln(k)
         assert -1e-9 <= r.entropy_nats <= math.log(len(counts)) + 1e-9
+
+
+def test_hll_merge_equals_direct_and_per_source(spark, sf_dir):
+    """Mergeability: the register-max merged row must equal the direct
+    global build EXACTLY (lossless HLL union), and each per-source
+    estimate must track its true per-source distinct count within the
+    p=8 error envelope."""
+    rows = REGISTRY["q_sketch_hll_merge"].builder(spark, sf_dir).collect()
+    direct = REGISTRY["q_sketch_hll"].builder(spark, sf_dir).collect()[0]
+    merged = [r for r in rows if r.scope == "zz_merged"]
+    assert len(merged) == 1
+    m = merged[0]
+    assert (m.empty_buckets, m.register_sum, m.scaled_power_sum) == (
+        direct.empty_buckets,
+        direct.register_sum,
+        direct.scaled_power_sum,
+    )
+    assert m.hll_estimate == direct.hll_estimate
+    docs = load(spark, sf_dir, "documents").select("source", "text").collect()
+    per_src = {}
+    for r in docs:
+        per_src.setdefault(r.source, set()).update(r.text.split(" "))
+    got = {r.scope: r for r in rows if r.scope != "zz_merged"}
+    assert set(got) == {f"source:{s}" for s in per_src}
+    m_buckets = 256
+    for s, toks in per_src.items():
+        r = got[f"source:{s}"]
+        est = r.hll_estimate
+        # the standard small-range (linear counting) correction the
+        # consumer applies from the emitted empty_buckets column —
+        # raw HLL overestimates when most registers are empty
+        if est <= 2.5 * m_buckets and r.empty_buckets > 0:
+            est = m_buckets * math.log(m_buckets / r.empty_buckets)
+        true = len(toks)
+        # ~6.5% rsd at p=8; allow 4 sigma + small-count slack
+        assert abs(est - true) <= max(0.3 * true, 25), (s, est, true)
