@@ -138,6 +138,14 @@ NESTED_LOOP_ALLOWED = {
     #                        the |sources| frame for the per-source
     #                        register grid — the q_ts_resample
     #                        tiny-spine class
+    "q_lift_curve",  # ONE broadcast row (n_cust) riding onto the
+    #                   ranked customer dimension, then single-row
+    #                   totals onto the 10-decile frame — the q_bm25
+    #                   single-row-join class
+    "q_cronbach_alpha",  # ONE broadcast row (n_users) onto the k-item
+    #                      and single-row total frames, then combining
+    #                      two single-row reductions — the q_dq_checks
+    #                      single-row-join class
     "q_ts_dtw",  # |types| one-array-row series frames theta-joined
     #              (a < b) for the C(5,2) pair spine, plus the tiny
     #              day-spine x types grid — the q_ts_resample
