@@ -775,3 +775,67 @@ def q_sketch_hll_merge(spark, sf_dir):
         "hll_estimate",
     )
     return src_rows.unionByName(merged_row).orderBy("scope")
+
+
+# ---------------------------------------------------------------------------
+# q_bitmap_distinct — exact distinct counting via mergeable bitmap index
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT ((user_id - 1) // 32768) + 1) AS BIGINT)
+                   AS n_buckets,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+        FROM events
+        WHERE user_id >= 1
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("sketch", "agg"),
+)
+def q_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct-user counting through Spark's roaring-style
+    BITMAP INDEX functions (bitmap_bucket_number / bitmap_bit_position
+    / bitmap_construct_agg / bitmap_count) — the mergeable EXACT
+    sibling of q_sketch_hll: each (event_type, bucket) holds a 32768-bit
+    bitmap (4 KB) whose popcount is the bucket's exact distinct count;
+    bucket bitmaps OR-merge losslessly across shards, so pre-computed
+    per-partition bitmaps roll up to exact global distincts without
+    re-scanning the fact — the Delta/ClickHouse materialized
+    distinct-count pattern.
+
+    Exactness: Spark's bucket math is bucket = (x−1) div 32768 + 1,
+    bit = (x−1) mod 32768 for x ≥ 1 (probed and pinned); the oracle
+    spells the identical integer bucketing and COUNT(DISTINCT). The
+    audit filter user_id >= 1 matches the function's defined domain
+    (id 0 would alias into bucket 0's bit 0).
+
+    Plan at 100 TB: ONE hash agg keyed (event_type, bucket) —
+    map-side combine ORs bitmaps before the shuffle, so at most
+    |types| x |buckets| 4 KB payloads cross the wire regardless of
+    event volume; the per-type rollup sums bounded popcounts. This is
+    the q_sketch_hll_merge shape with exact bits instead of registers.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") >= 1)
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("cnt")
+        )
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("cnt").cast("bigint").alias("distinct_users"),
+        )
+        .orderBy("event_type")
+    )

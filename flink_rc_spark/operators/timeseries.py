@@ -1518,3 +1518,114 @@ def q_win_regr_slope(spark, sf_dir):
         F.col("n").cast("bigint").alias("n_days"),
         F.expr(_SLOPE_EXPR).alias("slope_7d"),
     ).orderBy("event_type", "d")
+
+
+# ---------------------------------------------------------------------------
+# q_seasonality_strength — weekly-seasonality eta² per event-type series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_seasonality_strength",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events
+            GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        ), wk AS (
+            -- weekday as explicit epoch-day arithmetic (1970-01-05 is
+            -- a Monday): no engine dayofweek() convention in play
+            SELECT event_type,
+                   CAST((d - DATE '1970-01-05') AS BIGINT) % 7 AS wd,
+                   x
+            FROM daily
+        ), grp AS (
+            SELECT event_type, wd,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(x) AS BIGINT) AS s_g
+            FROM wk GROUP BY event_type, wd
+        ), tot AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q
+            FROM wk GROUP BY event_type
+        ), between_ AS (
+            SELECT event_type,
+                   CAST(SUM((s_g * s_g) // n_g) AS BIGINT) AS term
+            FROM grp GROUP BY event_type
+        )
+        SELECT t.event_type, t.n AS n_days,
+               CAST(t.n * b.term - t.s * t.s AS BIGINT) AS ssb_scaled,
+               CAST(t.n * t.q - t.s * t.s AS BIGINT) AS sst_scaled,
+               CASE WHEN t.n * t.q - t.s * t.s > 0 THEN
+                   ROUND(CAST(t.n * b.term - t.s * t.s AS DOUBLE)
+                         / CAST(t.n * t.q - t.s * t.s AS DOUBLE), 6)
+               END AS strength
+        FROM tot t JOIN between_ b ON t.event_type = b.event_type
+        ORDER BY t.event_type
+    """,
+    tags=("timeseries", "stats", "agg"),
+)
+def q_seasonality_strength(spark, sf_dir):
+    """WEEKLY-SEASONALITY STRENGTH per event type: eta² of the daily
+    event-volume series grouped by weekday (the variance share
+    explained by day-of-week) — the readout that decides whether a
+    forecast needs a weekly component (q_ts_decompose's 7-day
+    smoother) or the series is seasonality-free.
+
+    Exactness: one-way-ANOVA algebra multiplied through by N so both
+    sides are integers: SST·N = N·Q − S² is pure BIGINT; for SSB·N the
+    per-weekday S_g²/n_g is floor-quantized (S_g² DIV n_g — positive
+    operands, truncation ≡ floor; 7 groups, each floor loses < 1
+    count² against ~1e10-scale terms, and BOTH engines floor the same
+    exact rational, so the quantized statistic IS the contract).
+    Weekday comes from explicit epoch-day arithmetic (days since
+    Monday 1970-01-05, mod 7) — no engine dayofweek() convention in
+    play. Headroom: N·Σterm < 2^63 to ~3e4 daily counts over 10 years
+    (≈ sf100); DECIMAL(38,0) past that.
+
+    Plan at 100 TB: the daily rollup is the only fact-sized work (one
+    hash agg); weekday/total/between frames are |types|x7 and |types|
+    rows riding the same partitioning.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    wk = daily.select(
+        "event_type",
+        (F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")) % 7)
+        .cast("bigint")
+        .alias("wd"),
+        "x",
+    )
+    grp = wk.groupBy("event_type", "wd").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("s_g"),
+    )
+    tot = wk.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    between = grp.groupBy("event_type").agg(
+        F.sum(F.expr("(s_g * s_g) DIV n_g")).cast("bigint").alias("term")
+    )
+    j = tot.join(between, "event_type")
+    ssb = (F.col("n") * F.col("term") - F.col("s") * F.col("s")).cast(
+        "bigint"
+    )
+    sst = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("bigint")
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        ssb.alias("ssb_scaled"),
+        sst.alias("sst_scaled"),
+        F.when(
+            sst > 0,
+            F.round(ssb.cast("double") / sst.cast("double"), 6),
+        ).alias("strength"),
+    ).orderBy("event_type")

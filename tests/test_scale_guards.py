@@ -146,6 +146,9 @@ NESTED_LOOP_ALLOWED = {
     #                      and single-row total frames, then combining
     #                      two single-row reductions — the q_dq_checks
     #                      single-row-join class
+    "q_fk_integrity",  # combining each edge's two SINGLE-ROW audit
+    #                     aggregates (totals x orphans) — the
+    #                     q_dq_checks single-row-join class
     "q_ts_dtw",  # |types| one-array-row series frames theta-joined
     #              (a < b) for the C(5,2) pair spine, plus the tiny
     #              day-spine x types grid — the q_ts_resample
