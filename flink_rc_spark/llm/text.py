@@ -1394,3 +1394,126 @@ def q_str_ngram_sim(spark, sf_dir):
         .orderBy(F.desc("jac_micro"), "name1", "name2")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_ngram_coverage — test-split n-gram coverage against the train split
+# ---------------------------------------------------------------------------
+
+# the q_split_assign hash (first md5 byte of doc_id, thresholds
+# 205/230 of 256) so the split here IS the declared corpus split
+_COV_SPLITV_SPARK = (
+    "(instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 2, 1)) - 1"
+)
+_COV_SPLITV_DUCK = (
+    "(strpos('0123456789abcdef', substr(md5(cast(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(cast(doc_id AS VARCHAR)), 2, 1)) - 1"
+)
+
+
+@register(
+    "q_ngram_coverage",
+    oracle=f"""
+        WITH split_docs AS (
+            SELECT doc_id, lang, text,
+                   CASE WHEN ({_COV_SPLITV_DUCK}) < 205 THEN 'train'
+                        ELSE 'heldout' END AS split
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, lang, split,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+            FROM (
+                SELECT doc_id, lang, split,
+                       string_split(text, ' ') AS t
+                FROM split_docs
+            ), range(1, 100000) r(i)
+            WHERE i + 2 <= length(t)
+        ), train_g AS (
+            SELECT DISTINCT g FROM grams WHERE split = 'train'
+        ), heldout AS (
+            SELECT lang, g,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM grams WHERE split = 'heldout'
+            GROUP BY lang, g
+        )
+        SELECT h.lang,
+               CAST(SUM(h.n) AS BIGINT) AS heldout_grams,
+               CAST(SUM(CASE WHEN t.g IS NOT NULL THEN h.n ELSE 0 END)
+                    AS BIGINT) AS covered_grams,
+               ROUND(CAST(SUM(CASE WHEN t.g IS NOT NULL THEN h.n ELSE 0 END)
+                          AS DOUBLE) / CAST(SUM(h.n) AS DOUBLE), 6)
+                   AS coverage
+        FROM heldout h LEFT JOIN train_g t ON h.g = t.g
+        GROUP BY h.lang
+        ORDER BY h.lang
+    """,
+    tags=("llm", "text", "eval"),
+)
+def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT N-GRAM COVERAGE: the share of word-trigram occurrences
+    in the held-out split already seen in the train split, per
+    language — the LM-eval readout that predicts n-gram model
+    perplexity (q_ngram_lm's unseen-gram mass) and flags languages
+    whose train split is too thin BEFORE any training run. Uses the
+    SAME md5 doc split as q_split_assign, so the audit matches the
+    declared corpus split.
+
+    Exactness: gram counts are exact BIGINTs; coverage is one double
+    division per language, rounded once.
+
+    Plan at 100 TB: one explode per split subplan; the train side
+    collapses to DISTINCT grams (vocabulary-sized, not corpus-sized)
+    before the join; the join is a hash join keyed on the gram (a
+    bloom-pruned semi-join shape at scale — Spark's runtime bloom
+    filter applies since the probe side is pre-aggregated). Nothing
+    all-pairs; the heldout side is a (lang, gram) hash agg.
+    """
+    docs = load(spark, sf_dir, "documents")
+    v = F.expr(_COV_SPLITV_SPARK)
+    split_docs = docs.select(
+        "doc_id",
+        "lang",
+        F.when(v < 205, "train").otherwise("heldout").alias("split"),
+        F.split("text", " ").alias("t"),
+    )
+    grams = split_docs.select(
+        "lang",
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2),"
+                " i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+            )
+        ).alias("g"),
+    )
+    train_g = (
+        grams.filter(F.col("split") == "train").select("g").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    heldout = (
+        grams.filter(F.col("split") == "heldout")
+        .groupBy("lang", "g")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        heldout.join(train_g, "g", "left")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("heldout_grams"),
+            F.sum(F.when(F.col("seen").isNotNull(), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_grams"),
+        )
+        .select(
+            "lang",
+            "heldout_grams",
+            "covered_grams",
+            F.round(
+                F.col("covered_grams").cast("double")
+                / F.col("heldout_grams").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("lang")
+    )

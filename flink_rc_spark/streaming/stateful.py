@@ -1167,3 +1167,141 @@ def q_stream_hll(spark, sf_dir):
             "hll_estimate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_anomaly — running z-score anomaly detection (integer state)
+# ---------------------------------------------------------------------------
+
+ANOM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("n_prior", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+ANOM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("q", T.LongType()),
+    ]
+)
+
+_ANOM_MIN_PRIOR = 5
+
+
+def _anomaly_kernel(key, pdf_iter, state):
+    """Per-user running-moment fold: state = (n, Σc, Σc²) over all
+    PRIOR events (exact integers — the fold is associative on ordered
+    prefixes, so micro-batch slicing cannot change any emitted row).
+    An event is anomalous against its own past: with den = n·q − s²,
+    flag when (c·n − s)² > 9·den — the |z| > 3 test with NO float in
+    the decision; z itself is one division of exactly-agreed integers
+    after one IEEE-exact sqrt."""
+    import math
+
+    n, s, q = state.get if state.exists else (0, 0, 0)
+    outs = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for uid, eid, c in zip(
+            pdf["user_id"].to_numpy(),
+            pdf["event_id"].to_numpy(),
+            pdf["cents"].to_numpy(),
+        ):
+            c = int(c)
+            if n >= _ANOM_MIN_PRIOR:
+                den = n * q - s * s
+                num = c * n - s
+                if den > 0 and num * num > 9 * den:
+                    outs.append(
+                        (
+                            int(uid),
+                            int(eid),
+                            c,
+                            n,
+                            float(num) / math.sqrt(float(den)),
+                        )
+                    )
+            n, s, q = n + 1, s + c, q + c * c
+    state.update((n, s, q))
+    if outs:
+        yield pd.DataFrame(
+            outs, columns=["user_id", "event_id", "cents", "n_prior", "z"]
+        )
+
+
+def stream_anomaly(s):
+    rows = s.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    return rows.groupBy("user_id").applyInPandasWithState(
+        _anomaly_kernel,
+        outputStructType=ANOM_OUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "q_stream_anomaly",
+    oracle=f"""
+        WITH c AS (
+            SELECT user_id, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                   ts
+            FROM events
+        ), cum AS (
+            SELECT user_id, event_id, cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT) AS s,
+                   CAST(COALESCE(SUM(cents * cents) OVER w, 0) AS BIGINT)
+                       AS q
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id, cents, n AS n_prior,
+               CAST(cents * n - s AS DOUBLE)
+                   / sqrt(CAST(n * q - s * s AS DOUBLE)) AS z
+        FROM cum
+        WHERE n >= {_ANOM_MIN_PRIOR}
+          AND n * q - s * s > 0
+          AND (cents * n - s) * (cents * n - s) > 9 * (n * q - s * s)
+        ORDER BY user_id, event_id
+    """,
+)
+def q_stream_anomaly(spark, sf_dir):
+    """STREAMING ANOMALY DETECTION: each event's value is z-scored
+    against the user's OWN running history (n, Σc, Σc² in the state
+    store — 3 bigints per user) and emitted when |z| > 3 with ≥ 5
+    priors — the real-time fraud/spike alert. The decision is a PURE
+    INTEGER comparison ((c·n−s)² > 9·(n·q−s²)), so the alert set is
+    exactly the batch cumulative-window spelling — the oracle — for
+    ANY micro-batch slicing; z itself is one division after one
+    IEEE-exact sqrt on the same integers.
+
+    Scale: state is O(1) per user; the stateless cents map runs
+    source-parallel; only the (user_id) keyed traffic reaches the
+    state store. Integer headroom: (c·n−s)² < 2^63 holds to ~2e4
+    events/user at cents ≤ 5e4 (documented; per-user history, not
+    corpus size). The batch twin is the same cumulative window —
+    useful for backfills over cold storage while this kernel owns the
+    live path.
+    """
+    ensure_package_shipped(spark)
+    s = events_stream(spark, sf_dir)
+    out = run_to_memory(stream_anomaly(s), output_mode="append")
+    return out.orderBy("user_id", "event_id")
