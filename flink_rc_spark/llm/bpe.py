@@ -336,3 +336,104 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim(enc), " ")).cast("bigint").alias("n_tok_bpe"),
         F.md5(F.trim(enc)).alias("encoded_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q_bpe_fertility — tokenizer fertility / compression per language
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    """Same chained-CTE merge rewrite as q_bpe_encode's oracle, rolled
+    up per language into the fertility readout."""
+    ctes = ["e0 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents)"]
+    for k in range(n_merges):
+        ctes.append(
+            f"p{k} AS (SELECT a, b, COUNT(*) AS n FROM ({_pairs_duck(f'e{k}')})"
+            " GROUP BY a, b ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"e{k + 1} AS (SELECT doc_id, replace(s,"
+            f" ' ' || p{k}.a || ' ' || p{k}.b || ' ',"
+            f" ' ' || p{k}.a || '_' || p{k}.b || ' ') AS s"
+            f" FROM e{k}, p{k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        , per_doc AS (
+            SELECT d.lang,
+                   CAST(len(string_split(trim(r.s), ' ')) AS BIGINT)
+                       AS n_raw,
+                   CAST(len(string_split(trim(e.s), ' ')) AS BIGINT)
+                       AS n_bpe
+            FROM e0 r
+            JOIN e{n_merges} e USING (doc_id)
+            JOIN documents d USING (doc_id)
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_raw) AS BIGINT) AS raw_tokens,
+               CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+               CAST((SUM(n_bpe) * 1000000) // SUM(n_raw) AS BIGINT)
+                   AS fertility_micro
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang"""
+    )
+
+
+@register(
+    "q_bpe_fertility",
+    oracle=_bpe_fertility_oracle(_N_MERGES),
+    tags=("llm", "tokenizer", "eval"),
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language: post-BPE tokens per raw
+    whitespace token (the multilingual-tokenizer-equity metric — a
+    language whose fertility stays near 1.0 gains nothing from the
+    learned merges, i.e. the vocabulary under-serves it; the standard
+    readout in tokenizer papers). Uses the SAME 6-merge table (shared
+    mtime-keyed cache) and the SAME space-sentineled replace semantics
+    as q_bpe_encode, so the per-language sums are exactly the rollup
+    of q_bpe_encode's audited per-doc counts.
+
+    Exactness: token counts are exact BIGINT sums; fertility is
+    floor-quantized to 1e6 (DIV ≡ // on positives) — no doubles.
+
+    Plan at 100 TB: encoding is the q_bpe_encode codegen replace chain
+    (no shuffle); the rollup is one |langs|-row hash agg. The merge
+    table is driver-side k-row state, cached per dataset.
+    """
+    merges = _merges_for(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    s0 = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    enc = s0
+    for _, left, right, _n in merges:
+        enc = F.replace(
+            enc, F.lit(f" {left} {right} "), F.lit(f" {left}_{right} ")
+        )
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split(F.trim(s0), " ")).cast("bigint").alias("n_raw"),
+        F.size(F.split(F.trim(enc), " ")).cast("bigint").alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_raw").cast("bigint").alias("raw_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "raw_tokens",
+            "bpe_tokens",
+            F.expr("(bpe_tokens * 1000000) DIV raw_tokens").alias(
+                "fertility_micro"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -560,3 +560,70 @@ def q_win_count_distinct(spark, sf_dir):
         counted.filter(F.col("event_id") % 97 == 0)
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_win_ntile — NTILE bucket assignment audited per partition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderpriority,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                   NTILE(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(CAST(o_totalprice
+                                       AS DECIMAL(18,2)) * 100 AS BIGINT),
+                                       o_orderkey) AS quartile
+            FROM orders
+        )
+        SELECT o_orderpriority, quartile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(cents) AS BIGINT) AS lo_cents,
+               CAST(MAX(cents) AS BIGINT) AS hi_cents,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM t
+        GROUP BY o_orderpriority, quartile
+        ORDER BY o_orderpriority, quartile
+    """,
+)
+def q_win_ntile(spark, sf_dir):
+    """NTILE(4) quartile assignment per order priority (the SQL-surface
+    bucketing sibling of q_lift_curve's explicit (rn−1)·k DIV n math)
+    rolled up to per-quartile count / boundary / sum stats — the
+    quartile-banding readout BI layers issue constantly.
+
+    Exactness: the window ORDER BY is fully deterministic (cents +
+    orderkey tiebreak), and NTILE's distribution rule is the SQL
+    standard both engines implement (first n mod 4 buckets take the
+    extra row) — the per-bucket boundary stats would expose any
+    boundary-row disagreement, and they hash-match. All stats exact
+    BIGINTs.
+
+    Plan at 100 TB: one exchange on the partition key; the rollup
+    rides it. An UNPARTITIONED NTILE would serialize — the documented
+    swap is q_lift_curve's aggregate-then-rank shape.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        cents.asc(), F.col("o_orderkey").asc()
+    )
+    t = o.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return (
+        t.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )

@@ -1305,3 +1305,116 @@ def q_stream_anomaly(spark, sf_dir):
     s = events_stream(spark, sf_dir)
     out = run_to_memory(stream_anomaly(s), output_mode="append")
     return out.orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# q_stream_bottomk — streaming k-min-hash distinct sample per key
+# ---------------------------------------------------------------------------
+
+_SBK_K = 8
+
+SBK_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("h", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+SBK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hs", T.ArrayType(T.StringType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _bottomk_kernel(key, pdf_iter, state):
+    """Per-type bottom-K board of md5(event_id) hashes. The fold is
+    min-K — commutative, associative, idempotent — so the FINAL board
+    is independent of micro-batch slicing AND replay duplication, and
+    every batch's emitted board is a superset snapshot that contains
+    the final members from their arrival onward."""
+    hs, ids = state.get if state.exists else ([], [])
+    board = sorted(zip(hs, ids))
+    for pdf in pdf_iter:
+        for h, eid in zip(pdf["h"], pdf["event_id"].to_numpy()):
+            board.append((str(h), int(eid)))
+        board = sorted(set(board))[:_SBK_K]
+    state.update(([h for h, _ in board], [i for _, i in board]))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(board),
+            "h": [h for h, _ in board],
+            "event_id": [i for _, i in board],
+        }
+    )
+
+
+def stream_bottomk(s):
+    rows = s.select(
+        "event_type",
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+        "event_id",
+    )
+    return rows.groupBy("event_type").applyInPandasWithState(
+        _bottomk_kernel,
+        outputStructType=SBK_OUT_SCHEMA,
+        stateStructType=SBK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "q_stream_bottomk",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   md5(CAST(event_id AS VARCHAR)) AS h,
+                   event_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY md5(CAST(event_id AS VARCHAR)))
+                       AS rn
+            FROM events
+        )
+        SELECT event_type, h, event_id
+        FROM h WHERE rn <= {_SBK_K}
+        ORDER BY event_type, h
+    """,
+)
+def q_stream_bottomk(spark, sf_dir):
+    """STREAMING BOTTOM-K HASH SAMPLE per event type: the state store
+    holds the K smallest md5(event_id) values seen — a uniform
+    K-element distinct sample of the unbounded stream (the KMV /
+    bottom-k sketch that also powers q_sketch_kmv_setops' cardinality
+    estimates), maintained live. min-K is commutative + associative +
+    idempotent, so the final board equals the batch
+    ORDER-BY-hash-LIMIT-K spelling — the oracle — under any
+    micro-batch slicing or at-least-once replay; the batch twin is
+    q_sample_bottomk's corpus-wide shape.
+
+    Emitted boards are running snapshots; the final result reduces the
+    append log by the same min-K (row_number over the union), which is
+    sound because every final member appears in every board from its
+    arrival onward (monotone fold).
+
+    Scale: state is O(K) strings per key; only (event_type)-keyed
+    traffic reaches the state store, and a production variant
+    pre-folds per-partition bottom-K in foreachBatch — the same
+    lossless merge the board fold itself performs.
+    """
+    from pyspark.sql import Window
+
+    ensure_package_shipped(spark)
+    s = events_stream(spark, sf_dir)
+    out = run_to_memory(stream_bottomk(s), output_mode="append")
+    w = Window.partitionBy("event_type").orderBy("h")
+    return (
+        out.select("event_type", "h", "event_id")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SBK_K)
+        .drop("rn")
+        .orderBy("event_type", "h")
+    )
