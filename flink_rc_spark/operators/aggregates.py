@@ -565,3 +565,81 @@ def q_analyze_stats(spark, sf_dir):
         .select("kv.*")
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_agg_argmax — max_by / min_by with deterministic struct tie-breaks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_argmax",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, event_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+            FROM events
+        ), ranked AS (
+            SELECT event_type, event_id, v,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY v DESC, event_id DESC)
+                       AS r_top,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY v ASC, event_id ASC)
+                       AS r_bot
+            FROM c
+        )
+        SELECT event_type,
+               CAST(MAX(CASE WHEN r_top = 1 THEN v END) AS BIGINT)
+                   AS top_cents,
+               CAST(MAX(CASE WHEN r_top = 1 THEN event_id END) AS BIGINT)
+                   AS top_event_id,
+               CAST(MAX(CASE WHEN r_bot = 1 THEN v END) AS BIGINT)
+                   AS bottom_cents,
+               CAST(MAX(CASE WHEN r_bot = 1 THEN event_id END) AS BIGINT)
+                   AS bottom_event_id
+        FROM ranked
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def q_agg_argmax(spark, sf_dir):
+    """ARGMAX/ARGMIN aggregation (max_by/min_by): per event type, the
+    event carrying the highest and lowest value — the "which row set
+    the record" readout that otherwise costs a self-join. Spelled as
+    MAX/MIN over a (value, event_id) STRUCT so ties break
+    deterministically on the id INSIDE the aggregate (Spark's plain
+    max_by is non-deterministic under ties — the struct form is the
+    portable discipline); the oracle spells the identical order with
+    ROW_NUMBER.
+
+    Exactness: struct comparison is lexicographic on exact integers;
+    no doubles anywhere.
+
+    Plan at 100 TB: ONE partial+final hash agg — each partition folds
+    its local champion struct, the shuffle carries |types| structs.
+    The oracle's window spelling would shuffle the whole fact; the
+    struct-max spelling is the scale winner and they agree by hash.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "v"
+        ),
+    )
+    top = F.max(F.struct(F.col("v"), F.col("event_id")))
+    bot = F.min(F.struct(F.col("v"), F.col("event_id")))
+    return (
+        c.groupBy("event_type")
+        .agg(top.alias("t"), bot.alias("b"))
+        .select(
+            "event_type",
+            F.col("t.v").cast("bigint").alias("top_cents"),
+            F.col("t.event_id").cast("bigint").alias("top_event_id"),
+            F.col("b.v").cast("bigint").alias("bottom_cents"),
+            F.col("b.event_id").cast("bigint").alias("bottom_event_id"),
+        )
+        .orderBy("event_type")
+    )

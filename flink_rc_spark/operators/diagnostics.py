@@ -413,3 +413,218 @@ def q_cronbach_alpha(spark, sf_dir):
             6,
         ).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_iqr_outliers — Tukey-fence outlier audit per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_iqr_outliers",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+            FROM events
+        ), vals AS (
+            SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS n
+            FROM c GROUP BY event_type, v
+        ), cum AS (
+            SELECT event_type, v,
+                   CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY v)
+                        AS BIGINT) AS cumn,
+                   CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS tot
+            FROM vals
+        ), quart AS (
+            SELECT event_type,
+                   MAX(tot) AS n,
+                   CAST(MIN(CASE WHEN 4 * cumn >= tot THEN v END)
+                        AS BIGINT) AS q1_cents,
+                   CAST(MIN(CASE WHEN 4 * cumn >= 3 * tot THEN v END)
+                        AS BIGINT) AS q3_cents
+            FROM cum GROUP BY event_type
+        )
+        SELECT q.event_type, q.n, q.q1_cents, q.q3_cents,
+               CAST(q.q3_cents - q.q1_cents AS BIGINT) AS iqr_cents,
+               CAST(SUM(CASE WHEN 2 * c.v <
+                        2 * q.q1_cents - 3 * (q.q3_cents - q.q1_cents)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS lo_outliers,
+               CAST(SUM(CASE WHEN 2 * c.v >
+                        2 * q.q3_cents + 3 * (q.q3_cents - q.q1_cents)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS hi_outliers,
+               ROUND(CAST(SUM(CASE WHEN 2 * c.v <
+                        2 * q.q1_cents - 3 * (q.q3_cents - q.q1_cents)
+                        OR 2 * c.v >
+                        2 * q.q3_cents + 3 * (q.q3_cents - q.q1_cents)
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(q.n AS DOUBLE), 6) AS outlier_rate
+        FROM quart q JOIN c ON c.event_type = q.event_type
+        GROUP BY q.event_type, q.n, q.q1_cents, q.q3_cents
+        ORDER BY q.event_type
+    """,
+    tags=("stats", "diagnostics", "quality"),
+)
+def q_iqr_outliers(spark, sf_dir):
+    """TUKEY-FENCE (1.5·IQR boxplot) outlier audit per event type —
+    the robust complement to q_anomaly_zscore (mean/std melts under
+    the very outliers it hunts; quartiles don't) and the distribution
+    gate q_ts_outlier_mad runs per-series, here per-segment.
+
+    Exactness: quartiles use the lower-quartile threshold pick
+    (MIN v with 4·cum ≥ k·tot) over the DISTINCT-VALUE frame — the
+    q_weighted_median discipline, integer-only; the 1.5·IQR fences are
+    compared as 2·v vs 2·q ± 3·IQR, so the half never materializes.
+    One double (the rate) at the end.
+
+    Plan at 100 TB: pass 1 collapses the fact to distinct cents values
+    per type (the cumulative window runs over value cardinality, not
+    rows); pass 2 re-scans the fact against the broadcast |types|-row
+    quartile frame (the q_winsorize two-scan shape) — no fact-sized
+    window, no sort of raw rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "v"
+        ),
+    )
+    from pyspark.sql import Window
+
+    vals = c.groupBy("event_type", "v").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("v")
+    w_all = Window.partitionBy("event_type")
+    cum = vals.select(
+        "event_type",
+        "v",
+        F.sum("n").over(w_cum).cast("bigint").alias("cumn"),
+        F.sum("n").over(w_all).cast("bigint").alias("tot"),
+    )
+    quart = cum.groupBy("event_type").agg(
+        F.max("tot").alias("n"),
+        F.min(F.when(4 * F.col("cumn") >= F.col("tot"), F.col("v")))
+        .cast("bigint")
+        .alias("q1_cents"),
+        F.min(F.when(4 * F.col("cumn") >= 3 * F.col("tot"), F.col("v")))
+        .cast("bigint")
+        .alias("q3_cents"),
+    )
+    iqr = F.col("q3_cents") - F.col("q1_cents")
+    lo = 2 * F.col("v") < 2 * F.col("q1_cents") - 3 * iqr
+    hi = 2 * F.col("v") > 2 * F.col("q3_cents") + 3 * iqr
+    joined = c.join(F.broadcast(quart), "event_type")
+    return (
+        joined.groupBy("event_type", "n", "q1_cents", "q3_cents")
+        .agg(
+            F.sum(F.when(lo, 1).otherwise(0)).cast("bigint").alias(
+                "lo_outliers"
+            ),
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "hi_outliers"
+            ),
+            F.round(
+                F.sum(F.when(lo | hi, 1).otherwise(0)).cast("double")
+                / F.max("n").cast("double"),
+                6,
+            ).alias("outlier_rate"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "q1_cents",
+            "q3_cents",
+            iqr.cast("bigint").alias("iqr_cents"),
+            "lo_outliers",
+            "hi_outliers",
+            "outlier_rate",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_power_analysis — A/B sample-size calculator from measured baseline
+# ---------------------------------------------------------------------------
+
+# z_{alpha/2} at 0.05 and z_beta at power 0.8, as pinned literals (no
+# inverse-normal at runtime); relative MDE 10%
+_PWR_EXPR = (
+    "(pow(1.959964e0 + 0.841621e0, 2)"
+    " * (p1 * (1e0 - p1) + p2 * (1e0 - p2))"
+    " / ((p2 - p1) * (p2 - p1)))"
+)
+
+
+@register(
+    "q_power_analysis",
+    oracle=f"""
+        WITH base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS purchases
+            FROM events
+        ), rates AS (
+            SELECT n_events, purchases,
+                   CAST(purchases AS DOUBLE) / CAST(n_events AS DOUBLE)
+                       AS p1,
+                   1.1e0 * (CAST(purchases AS DOUBLE)
+                            / CAST(n_events AS DOUBLE)) AS p2
+            FROM base
+        )
+        SELECT n_events, purchases,
+               ROUND(p1, 6) AS baseline_rate,
+               ROUND(p2, 6) AS target_rate,
+               CAST(CEIL({_PWR_EXPR}) AS BIGINT) AS required_n_per_arm
+        FROM rates
+    """,
+    tags=("stats", "diagnostics"),
+)
+def q_power_analysis(spark, sf_dir):
+    """A/B-TEST POWER ANALYSIS: the sample size per arm needed to
+    detect a 10% relative lift in the measured purchase rate at
+    α = 0.05 (two-sided) and 80% power — the planning readout that
+    precedes every q_ab_ztest run (an experiment sized below this
+    line is noise). n = (z_{α/2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))/(p₂−p₁)².
+
+    Exactness: the baseline counts are exact BIGINTs; the z constants
+    are pinned literals (no inverse-normal at runtime); the double
+    algebra is ONE shared SQL string in both engines; CEIL on the
+    identical double is exact.
+
+    Plan at 100 TB: one scan → single-row aggregate; the algebra is
+    driver-scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("purchases"),
+    )
+    rates = base.select(
+        "n_events",
+        "purchases",
+        (F.col("purchases").cast("double") / F.col("n_events").cast("double"))
+        .alias("p1"),
+        (
+            F.lit(1.1)
+            * (
+                F.col("purchases").cast("double")
+                / F.col("n_events").cast("double")
+            )
+        ).alias("p2"),
+    )
+    return rates.select(
+        "n_events",
+        "purchases",
+        F.round("p1", 6).alias("baseline_rate"),
+        F.round("p2", 6).alias("target_rate"),
+        F.expr(f"CAST(CEIL({_PWR_EXPR}) AS BIGINT)").alias(
+            "required_n_per_arm"
+        ),
+    )
