@@ -149,6 +149,9 @@ NESTED_LOOP_ALLOWED = {
     "q_fk_integrity",  # combining each edge's two SINGLE-ROW audit
     #                     aggregates (totals x orphans) — the
     #                     q_dq_checks single-row-join class
+    "q_disparate_impact",  # ONE broadcast row (the argmax reference
+    #                         group) riding onto the |segments| frame
+    #                         — the q_bm25 single-row-join class
     "q_ts_dtw",  # |types| one-array-row series frames theta-joined
     #              (a < b) for the C(5,2) pair spine, plus the tiny
     #              day-spine x types grid — the q_ts_resample
