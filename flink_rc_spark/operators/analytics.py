@@ -2426,3 +2426,205 @@ def _mkv_oracle() -> str:
 from flink_rc_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["q_attribution_markov"].oracle = _mkv_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q_time_to_convert — view→purchase latency percentiles across users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_time_to_convert",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), conv AS (
+            SELECT e.user_id,
+                   CAST(date_diff('microsecond', v.t_view, MIN(e.ts))
+                        AS BIGINT) AS gap_us
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+            GROUP BY e.user_id, v.t_view
+        ), vals AS (
+            SELECT gap_us, CAST(COUNT(*) AS BIGINT) AS n
+            FROM conv GROUP BY gap_us
+        ), cum AS (
+            SELECT gap_us,
+                   CAST(SUM(n) OVER (ORDER BY gap_us) AS BIGINT) AS cumn,
+                   CAST(SUM(n) OVER () AS BIGINT) AS tot,
+                   CAST(SUM(gap_us * n) OVER () AS BIGINT) AS total_us
+            FROM vals
+        )
+        SELECT MAX(tot) AS n_converted,
+               CAST(MIN(CASE WHEN 2 * cumn >= tot THEN gap_us END)
+                    AS BIGINT) AS p50_us,
+               CAST(MIN(CASE WHEN 10 * cumn >= 9 * tot THEN gap_us END)
+                    AS BIGINT) AS p90_us,
+               CAST(MAX(total_us) // MAX(tot) AS BIGINT) AS mean_us_floor
+        FROM cum
+    """,
+    tags=("analytics", "funnel", "stats"),
+)
+def q_time_to_convert(spark, sf_dir):
+    """TIME-TO-CONVERT distribution: per user, the exact microsecond
+    gap from FIRST view to the first subsequent purchase; reported as
+    the converted-user count with median / p90 / floor-mean latency —
+    the funnel-velocity readout that tells a growth team whether
+    conversion is an impulse (minutes) or a considered purchase
+    (days), where q_funnel_steps only says IF users convert.
+
+    Exactness: gaps are exact integer microseconds; percentiles use
+    the lower-threshold pick over the DISTINCT-GAP frame
+    (q_weighted_median discipline); the mean is floor-divided
+    (DIV ≡ // on positives). No doubles.
+
+    Plan at 100 TB: two (user_id)-keyed hash aggs share one exchange
+    (min-view join min-purchase rides the same key); the percentile
+    window runs over distinct gap values, never users.
+    """
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_p")
+    )
+    conv = (
+        p.join(v, "user_id")
+        .filter(F.col("t_p") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("t_p").alias("t_first"))
+        .select(
+            (
+                F.unix_micros("t_first") - F.unix_micros("t_view")
+            ).alias("gap_us")
+        )
+    )
+    vals = conv.groupBy("gap_us").agg(F.count("*").cast("bigint").alias("n"))
+    w_cum = Window.orderBy("gap_us")
+    w_all = Window.orderBy("gap_us").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "gap_us",
+        F.sum("n").over(w_cum).cast("bigint").alias("cumn"),
+        F.sum("n").over(w_all).cast("bigint").alias("tot"),
+        F.sum(F.col("gap_us") * F.col("n")).over(w_all).cast("bigint")
+        .alias("total_us"),
+    )
+    return cum.agg(
+        F.max("tot").alias("n_converted"),
+        F.min(F.when(2 * F.col("cumn") >= F.col("tot"), F.col("gap_us")))
+        .cast("bigint")
+        .alias("p50_us"),
+        F.min(
+            F.when(10 * F.col("cumn") >= 9 * F.col("tot"), F.col("gap_us"))
+        )
+        .cast("bigint")
+        .alias("p90_us"),
+        F.expr("MAX(total_us) DIV MAX(tot)").cast("bigint").alias(
+            "mean_us_floor"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_event_interarrival — per-type inter-arrival gap percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_interarrival",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id), ts)
+                        AS BIGINT) AS gap_us
+            FROM events
+        ), vals AS (
+            SELECT event_type, gap_us, CAST(COUNT(*) AS BIGINT) AS n
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type, gap_us
+        ), cum AS (
+            SELECT event_type, gap_us,
+                   CAST(SUM(n) OVER (PARTITION BY event_type
+                                     ORDER BY gap_us) AS BIGINT) AS cumn,
+                   CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS tot
+            FROM vals
+        )
+        SELECT event_type,
+               MAX(tot) AS n_gaps,
+               CAST(MIN(CASE WHEN 2 * cumn >= tot THEN gap_us END)
+                    AS BIGINT) AS p50_us,
+               CAST(MIN(CASE WHEN 10 * cumn >= 9 * tot THEN gap_us END)
+                    AS BIGINT) AS p90_us,
+               CAST(MIN(CASE WHEN 100 * cumn >= 99 * tot THEN gap_us END)
+                    AS BIGINT) AS p99_us
+        FROM cum
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("analytics", "timeseries", "stats"),
+)
+def q_event_interarrival(spark, sf_dir):
+    """INTER-ARRIVAL GAP percentiles per event type (p50/p90/p99 in
+    exact microseconds) — the traffic-model readout behind rate
+    limiting, autoscaling, and SLO burn alerts ("how bursty is each
+    stream?"), and the empirical base for any Poisson-ness assumption
+    a queueing model makes.
+
+    Exactness: gaps come from ONE lag window on the (event_type)
+    exchange; percentiles use the lower-threshold pick over the
+    DISTINCT-GAP frame (q_weighted_median discipline). No doubles.
+
+    Plan at 100 TB: the lag window and the (type, gap) hash agg share
+    the event_type exchange; percentile windows run over distinct gap
+    values (bounded by time resolution, not event count).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    vals = g.groupBy("event_type", "gap_us").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("gap_us")
+    w_all = Window.partitionBy("event_type")
+    cum = vals.select(
+        "event_type",
+        "gap_us",
+        F.sum("n").over(w_cum).cast("bigint").alias("cumn"),
+        F.sum("n").over(w_all).cast("bigint").alias("tot"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("tot").alias("n_gaps"),
+            F.min(F.when(2 * F.col("cumn") >= F.col("tot"), F.col("gap_us")))
+            .cast("bigint")
+            .alias("p50_us"),
+            F.min(
+                F.when(10 * F.col("cumn") >= 9 * F.col("tot"),
+                       F.col("gap_us"))
+            )
+            .cast("bigint")
+            .alias("p90_us"),
+            F.min(
+                F.when(100 * F.col("cumn") >= 99 * F.col("tot"),
+                       F.col("gap_us"))
+            )
+            .cast("bigint")
+            .alias("p99_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -760,3 +760,107 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_graph_modularity — modularity of the dedup-component partition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_graph_modularity",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(v, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, reach.r FROM edges e JOIN reach ON reach.v = e.a
+    ),
+    comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+    deg AS (
+        SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY a
+    ),
+    dc AS (
+        SELECT comp.component,
+               CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS d_c
+        FROM comp LEFT JOIN deg ON comp.doc_id = deg.v
+        GROUP BY comp.component
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+    SELECT CAST((SELECT COUNT(*) FROM comp) AS BIGINT) AS n_vertices,
+           CAST((SELECT COUNT(*) FROM dc) AS BIGINT) AS n_components,
+           m.n_edges,
+           CAST(SUM(dc.d_c * dc.d_c) AS BIGINT) AS sum_dcsq,
+           ROUND(CAST(4 * m.n_edges * m.n_edges
+                      - SUM(dc.d_c * dc.d_c) AS DOUBLE)
+                 / CAST(4 * m.n_edges * m.n_edges AS DOUBLE), 6)
+               AS modularity
+    FROM dc, m
+    GROUP BY m.n_edges
+    """,
+    tags=("graph", "llm", "stats"),
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY of the connected-component partition of the MinHash
+    near-dup graph (Newman's Q with every edge intra-community by
+    construction: Q = 1 − Σ_c d_c²/(4m²)) — the cluster-quality score
+    that distinguishes a dedup graph of many small tight clusters
+    (Q → 1, healthy) from one giant hairball component (Q → 0, the
+    failure mode where a too-loose LSH threshold chains everything
+    together and canonical-doc selection collapses the corpus).
+
+    Exactness: degrees, per-component degree sums, and the numerator
+    4m² − Σd_c² are exact BIGINTs; Q is ONE double division, rounded
+    once. Headroom: d_c² < 2^63 to ~3e9 total intra-component degree —
+    far beyond any sane dedup graph's largest component (and if it is
+    exceeded, THAT is the hairball alarm this key exists to raise).
+
+    Plan at 100 TB: reuses q_dedup_components' iterative min-label
+    fixpoint (bucketed equi-joins, lineage-cut) and the banded-LSH
+    pair generation; degrees are one hash agg on the edge list; the
+    modularity algebra runs on the |components|-row frame.
+    """
+    from flink_rc_spark.llm.dedup import q_dedup_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    comp = q_dedup_components(spark, sf_dir).select("doc_id", "component")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b"), F.col("doc_a"))
+    ).toDF("a", "b")
+    deg = edges.groupBy(F.col("a").alias("v")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    dc = (
+        comp.join(deg, comp.doc_id == deg.v, "left")
+        .groupBy("component")
+        .agg(
+            F.sum(F.coalesce("d", F.lit(0))).cast("bigint").alias("d_c")
+        )
+    )
+    m = pairs.agg(F.count("*").cast("bigint").alias("n_edges"))
+    n_vertices = comp.agg(F.count("*").cast("bigint").alias("n_vertices"))
+    rolled = dc.agg(
+        F.count("*").cast("bigint").alias("n_components"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("bigint").alias("sum_dcsq"),
+    )
+    return (
+        n_vertices.crossJoin(F.broadcast(rolled))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_vertices",
+            "n_components",
+            "n_edges",
+            "sum_dcsq",
+            F.round(
+                (
+                    4 * F.col("n_edges") * F.col("n_edges")
+                    - F.col("sum_dcsq")
+                ).cast("double")
+                / (4 * F.col("n_edges") * F.col("n_edges")).cast("double"),
+                6,
+            ).alias("modularity"),
+        )
+    )

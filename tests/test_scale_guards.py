@@ -152,6 +152,10 @@ NESTED_LOOP_ALLOWED = {
     "q_disparate_impact",  # ONE broadcast row (the argmax reference
     #                         group) riding onto the |segments| frame
     #                         — the q_bm25 single-row-join class
+    "q_graph_modularity",  # combining three SINGLE-ROW census
+    #                         aggregates (vertices x components-rollup
+    #                         x edge count) — the q_graph_triangles /
+    #                         q_dq_checks single-row-join class
     "q_ts_dtw",  # |types| one-array-row series frames theta-joined
     #              (a < b) for the C(5,2) pair spine, plus the tiny
     #              day-spine x types grid — the q_ts_resample
