@@ -1517,3 +1517,133 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_zipf_fit — Zipf exponent of the corpus vocabulary (log-log OLS)
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 50
+
+# OLS of y = ln(freq) on x = ln(rank) over the top-K vocabulary; the
+# five sums fold in rank order in BOTH engines (the q_mutual_info
+# sorted-fold discipline), then the fit is shared double algebra
+_ZIPF_SLOPE = (
+    "((kd * sxy - sx * sy) / (kd * sxx - sx * sx))"
+)
+_ZIPF_INTERCEPT = f"((sy - {_ZIPF_SLOPE} * sx) / kd)"
+_ZIPF_R2 = (
+    "(((kd * sxy - sx * sy) * (kd * sxy - sx * sy))"
+    " / ((kd * sxx - sx * sx) * (kd * syy - sy * sy)))"
+)
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+        WITH vocab AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) GROUP BY tok
+            ORDER BY n DESC, tok
+            LIMIT {_ZIPF_K}
+        ), ranked AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS r, n
+            FROM vocab
+        ), xy AS (
+            SELECT r,
+                   ln(CAST(r AS DOUBLE)) AS x,
+                   ln(CAST(n AS DOUBLE)) AS y
+            FROM ranked
+        ), folds AS (
+            SELECT
+                CAST(COUNT(*) AS DOUBLE) AS kd,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(list_sort(list({{'r': r, 't': x}})),
+                                   s -> s.t)), (a, b) -> a + b) AS sx,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(list_sort(list({{'r': r, 't': y}})),
+                                   s -> s.t)), (a, b) -> a + b) AS sy,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(list_sort(list({{'r': r, 't': x * y}})),
+                                   s -> s.t)), (a, b) -> a + b) AS sxy,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(list_sort(list({{'r': r, 't': x * x}})),
+                                   s -> s.t)), (a, b) -> a + b) AS sxx,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(list_sort(list({{'r': r, 't': y * y}})),
+                                   s -> s.t)), (a, b) -> a + b) AS syy
+            FROM xy
+        )
+        SELECT CAST(kd AS BIGINT) AS k,
+               ROUND({_ZIPF_SLOPE}, 6) AS zipf_slope,
+               ROUND({_ZIPF_INTERCEPT}, 6) AS log_c,
+               ROUND({_ZIPF_R2}, 6) AS r2
+        FROM folds
+    """,
+    tags=("llm", "text", "stats"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW FIT of the corpus vocabulary: OLS slope of
+    ln(freq) ~ ln(rank) over the top-50 tokens — natural text follows
+    freq ∝ rank^s with s ≈ −1, and a corpus whose fitted slope
+    deviates hard (or whose R² collapses) is template/generated text,
+    the curation smell q_repetition_stats probes at the doc level and
+    this key probes corpus-wide.
+
+    Determinism: the top-K vocabulary cut is exact (count desc, token
+    tie-break — q_vocab_topk's cut); ln runs once per rank/frequency
+    (the q_mutual_info ln precedent); each of the five OLS sums is an
+    explicit RANK-ORDERED left-fold in both engines, and the fit is
+    shared double algebra on the folded sums, rounded once.
+
+    Plan at 100 TB: the vocabulary agg is the only fact-sized work
+    (explode → partial counts → TakeOrdered 50); the folds and fit run
+    on 50 rows.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(_ZIPF_K)
+    )
+    ranked = vocab.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "tok"))
+        .alias("r"),
+        "n",
+    )
+    xy = ranked.select(
+        "r",
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+
+    def fold(term: str, alias: str):
+        return F.expr(
+            f"""aggregate(
+                   sort_array(collect_list(struct(r, CAST({term} AS DOUBLE)))),
+                   CAST(0.0 AS DOUBLE),
+                   (a, s) -> a + s.col2)"""
+        ).alias(alias)
+
+    folds = xy.agg(
+        F.count("*").cast("double").alias("kd"),
+        fold("x", "sx"),
+        fold("y", "sy"),
+        fold("x * y", "sxy"),
+        fold("x * x", "sxx"),
+        fold("y * y", "syy"),
+    )
+    return folds.select(
+        F.col("kd").cast("bigint").alias("k"),
+        F.expr(f"ROUND({_ZIPF_SLOPE}, 6)").alias("zipf_slope"),
+        F.expr(f"ROUND({_ZIPF_INTERCEPT}, 6)").alias("log_c"),
+        F.expr(f"ROUND({_ZIPF_R2}, 6)").alias("r2"),
+    )

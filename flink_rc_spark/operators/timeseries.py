@@ -1746,3 +1746,91 @@ def q_rescaled_range(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_interval_sweep — concurrent-open-orders profile (sweep line)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_interval_sweep",
+    oracle="""
+        WITH iv AS (
+            SELECT o.o_orderkey,
+                   o.o_orderdate AS open_d,
+                   MAX(l.l_shipdate) AS close_d
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+        ), deltas AS (
+            SELECT open_d AS d, CAST(1 AS BIGINT) AS delta FROM iv
+            UNION ALL
+            SELECT close_d + INTERVAL 1 DAY, CAST(-1 AS BIGINT) FROM iv
+        ), daily AS (
+            SELECT CAST(d AS DATE) AS d,
+                   CAST(SUM(delta) AS BIGINT) AS delta
+            FROM deltas GROUP BY CAST(d AS DATE)
+        ), swept AS (
+            SELECT d,
+                   CAST(SUM(delta) OVER (ORDER BY d) AS BIGINT)
+                       AS open_orders
+            FROM daily
+        ), ranked AS (
+            SELECT d, open_orders,
+                   ROW_NUMBER() OVER (ORDER BY open_orders DESC, d) AS rk
+            FROM swept
+        )
+        SELECT rk, d AS peak_day, open_orders
+        FROM ranked WHERE rk <= 5
+        ORDER BY rk
+    """,
+    tags=("timeseries", "analytics", "window"),
+)
+def q_interval_sweep(spark, sf_dir):
+    """SWEEP-LINE interval concurrency: each order is an open interval
+    from order date to its last lineitem ship date; the sweep (+1 at
+    open, −1 the day after close, cumulative over days) yields the
+    exact number of simultaneously-open orders per day — reported as
+    the top-5 peak days, the warehouse-capacity / WIP readout that a
+    naive day×interval containment join computes at O(days·orders)
+    while the sweep is O(orders + distinct days).
+
+    Exactness: pure integer deltas and cumulative sums; peak ranking
+    tie-broken by day.
+
+    Plan at 100 TB: the interval build is one (orderkey) hash agg
+    (co-partitioned with the lineitem join key); deltas collapse to
+    ONE row per distinct day before the cumulative window, so the
+    window runs over the ~|days| frame regardless of order volume —
+    the 2-pass range-partitioned prefix sum swaps in past ~1e9
+    distinct days (i.e. never).
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("close_d"))
+    )
+    deltas = iv.select(
+        F.col("o_orderdate").alias("d"), F.lit(1).cast("bigint").alias("delta")
+    ).unionByName(
+        iv.select(
+            F.date_add("close_d", 1).alias("d"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("delta"))
+    w = Window.orderBy("d")
+    swept = daily.select(
+        "d", F.sum("delta").over(w).cast("bigint").alias("open_orders")
+    )
+    w_rk = Window.orderBy(F.desc("open_orders"), "d")
+    return (
+        swept.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 5)
+        .select("rk", F.col("d").alias("peak_day"), "open_orders")
+        .orderBy("rk")
+    )
