@@ -2628,3 +2628,360 @@ def q_event_interarrival(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_decay_score — time-decayed engagement score (exact dyadic weights)
+# ---------------------------------------------------------------------------
+
+_DECAY_SHIFT = 30  # score scaled by 2^30; contributions >30 half-lives = 0
+
+
+@register(
+    "q_decay_score",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(ts) AS t_ref FROM events),
+        aged AS (
+            SELECT user_id,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                   CAST(date_diff('day', CAST(ts AS DATE),
+                                  CAST(t_ref AS DATE)) // 7 AS BIGINT)
+                       AS weeks
+            FROM events, mx
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN weeks <= {_DECAY_SHIFT}
+                             THEN cents * (CAST(2 AS BIGINT)
+                                           ** ({_DECAY_SHIFT} - weeks))
+                             ELSE 0 END) AS BIGINT) AS score_scaled,
+               ROUND(CAST(SUM(CASE WHEN weeks <= {_DECAY_SHIFT}
+                             THEN cents * (CAST(2 AS BIGINT)
+                                           ** ({_DECAY_SHIFT} - weeks))
+                             ELSE 0 END) AS DOUBLE)
+                     / {float(1 << _DECAY_SHIFT)!r}, 6) AS decay_score
+        FROM aged
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("analytics", "agg"),
+)
+def q_decay_score(spark, sf_dir):
+    """TIME-DECAYED ENGAGEMENT score per user with a one-week
+    half-life: score = Σ cents·2^(−weeks_old) — the recency-weighted
+    loyalty metric behind churn models and feed ranking (q_rfm_segments
+    buckets recency crudely; this integrates it). Ages are anchored to
+    the corpus max timestamp so the key is re-run-stable.
+
+    EXACTNESS — dyadic weights instead of exp(): a half-life in whole
+    weeks makes every weight a power of two, so the score scaled by
+    2^30 is a PURE BIGINT sum (each term cents·2^(30−weeks), terms
+    older than 30 half-lives are exactly 0 — they'd be < 1e-9 of a
+    cent anyway); the reported double is one division by the 2^30
+    constant. No transcendental, no float accumulation order anywhere
+    — the decay curve any exp(−λt) pipeline approximates, hash-exact.
+
+    Plan at 100 TB: single-row max-ts broadcast (q_bm25 class) + ONE
+    (user_id) hash agg. Headroom: cents·2^30 ≈ 5e13/term → 2^63 at
+    ~1.8e5 recent events/user; DECIMAL(38,0) past that.
+    """
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("t_ref"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.expr(
+            "CAST(datediff(CAST(t_ref AS DATE), CAST(ts AS DATE)) DIV 7"
+            " AS BIGINT)"
+        ).alias("weeks"),
+    )
+    term = F.when(
+        F.col("weeks") <= _DECAY_SHIFT,
+        F.col("cents")
+        * F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), "
+                 f"CAST({_DECAY_SHIFT} - weeks AS INT)) AS BIGINT)"),
+    ).otherwise(0)
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(term).cast("bigint").alias("score_scaled"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "score_scaled",
+            F.round(
+                F.col("score_scaled").cast("double")
+                / F.lit(float(1 << _DECAY_SHIFT)),
+                6,
+            ).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_new_vs_returning — daily active users split by first-seen day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   CAST(CAST(date_trunc('day', ts) AS DATE)
+                        - DATE '1970-01-01' AS BIGINT) AS day
+            FROM events
+        ), first_seen AS (
+            SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id
+        )
+        SELECT d.day AS day_epoch,
+               CAST(COUNT(*) AS BIGINT) AS dau,
+               CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_users,
+               CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS returning_users
+        FROM d JOIN first_seen f ON d.user_id = f.user_id
+        GROUP BY d.day
+        HAVING COUNT(*) >= 5
+        ORDER BY d.day
+    """,
+    tags=("analytics", "agg"),
+)
+def q_new_vs_returning(spark, sf_dir):
+    """DAILY ACTIVE USERS split NEW vs RETURNING (first-seen day vs
+    later days) — the growth-accounting readout that separates
+    acquisition from retention in the same DAU curve (a flat DAU can
+    hide collapsing retention behind strong acquisition; this split
+    can't). Low-activity days (< 5 DAU) are dropped to keep the
+    readout stable.
+
+    Exactness: pure integer counts over the distinct (user, day)
+    frame; new + returning = dau by construction (tested). Days are
+    reported as epoch-day integers (the q_ts_decompose discipline —
+    DATE columns stringify differently across engines).
+
+    Plan at 100 TB: ONE distinct (user, day) agg (map-side combine
+    crushes event volume), first-seen rides the same user_id key, and
+    the daily rollup is |days|-sized. No windows.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day"),
+    ).distinct()
+    first_seen = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(first_seen, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("dau"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .filter(F.col("dau") >= 5)
+        .withColumnRenamed("day", "day_epoch")
+        .orderBy("day_epoch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_stickiness — DAU/MAU engagement ratio per month
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stickiness",
+    oracle="""
+        WITH d AS (
+            SELECT DISTINCT user_id,
+                   CAST(CAST(date_trunc('day', ts) AS DATE)
+                        - DATE '1970-01-01' AS BIGINT) AS day,
+                   CAST(CAST(date_trunc('month', ts) AS DATE)
+                        - DATE '1970-01-01' AS BIGINT) AS month
+            FROM events
+        ), daily AS (
+            SELECT month, day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM d GROUP BY month, day
+        ), per_month AS (
+            SELECT month,
+                   CAST(COUNT(*) AS BIGINT) AS active_days,
+                   CAST(SUM(dau) AS BIGINT) AS dau_sum
+            FROM daily GROUP BY month
+        ), mau AS (
+            SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+            FROM d GROUP BY month
+        )
+        SELECT p.month AS month_epoch, p.active_days, p.dau_sum, m.mau,
+               CAST((p.dau_sum * 1000000) // (p.active_days * m.mau)
+                    AS BIGINT) AS stickiness_micro
+        FROM per_month p JOIN mau m ON p.month = m.month
+        ORDER BY p.month
+    """,
+    tags=("analytics", "agg"),
+)
+def q_stickiness(spark, sf_dir):
+    """STICKINESS (DAU/MAU) per month: average daily actives divided by
+    monthly actives — the engagement-frequency metric every growth
+    dashboard tracks (1.0 = every monthly user shows up every day;
+    ~0.2 = weekly habit). Spelled avg-DAU/MAU = ΣDAU/(days·MAU) so the
+    whole statistic is one integer expression.
+
+    Exactness: DAU/MAU are exact distinct counts; stickiness is
+    floor-quantized to 1e6 on exact BIGINTs (DIV ≡ // on positives).
+    No doubles. Months are reported as epoch-day integers of the
+    month start (the q_ts_decompose date discipline).
+
+    Plan at 100 TB: the distinct (user, day) agg is the only
+    fact-sized work; daily/monthly rollups and the MAU distinct ride
+    the same frame. MAU's COUNT(DISTINCT) re-shuffles only the
+    distinct pairs, not events.
+    """
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day"),
+        F.datediff(
+            F.date_trunc("month", "ts").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("month"),
+    ).distinct()
+    daily = d.groupBy("month", "day").agg(
+        F.count("*").cast("bigint").alias("dau")
+    )
+    per_month = daily.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("active_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+    )
+    mau = d.groupBy("month").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    return (
+        per_month.join(mau, "month")
+        .select(
+            F.col("month").alias("month_epoch"),
+            "active_days",
+            "dau_sum",
+            "mau",
+            F.expr("(dau_sum * 1000000) DIV (active_days * mau)")
+            .cast("bigint")
+            .alias("stickiness_micro"),
+        )
+        .orderBy("month_epoch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_audience_overlap — pairwise audience Jaccard across event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_audience_overlap",
+    oracle="""
+        WITH m AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ), sizes AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM m GROUP BY event_type
+        ), inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM m a JOIN m b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT i.type_a, i.type_b,
+               sa.sz AS n_a, sb.sz AS n_b, i.n_inter,
+               ROUND(CAST(i.n_inter AS DOUBLE)
+                     / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE), 6)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.type_a = sa.event_type
+        JOIN sizes sb ON i.type_b = sb.event_type
+        ORDER BY i.type_a, i.type_b
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def q_audience_overlap(spark, sf_dir):
+    """AUDIENCE OVERLAP matrix: Jaccard similarity of the USER SETS
+    behind every pair of event types — the adtech/product readout
+    ("do clickers and purchasers overlap, or are they disjoint
+    populations?") that drives segment consolidation and lookalike
+    seeding; the set-level companion to q_basket_pairs' item-level
+    co-occurrence.
+
+    Exactness: intersection counts come from a self-equi-join of the
+    DISTINCT (user, type) membership frame on user_id (each user
+    contributes their C(k,2) type pairs); sizes are exact; Jaccard =
+    |∩| / (|A|+|B|−|∩|), ONE double per pair.
+
+    Plan at 100 TB: the membership frame is one distinct agg
+    (map-side combined); the self-join is keyed on user_id with
+    per-user fan-out ≤ C(|types|,2) — bounded by the type-universe
+    size, never a cross product; the |types|-row size table
+    broadcasts.
+    """
+    ev = load(spark, sf_dir, "events")
+    m = ev.select("user_id", "event_type").distinct()
+    sizes = m.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    a = m.select("user_id", F.col("event_type").alias("type_a"))
+    b = m.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("sz").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("sz").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

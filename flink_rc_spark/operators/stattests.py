@@ -2436,3 +2436,162 @@ def q_theil_sen(spark, sf_dir):
             6,
         ).alias("slope_cpd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_wilcoxon_signed — Wilcoxon signed-rank test on paired user metrics
+# ---------------------------------------------------------------------------
+
+# normal approximation on DOUBLED ranks: num = 2W+ − n(n+1)/2 (BIGINT;
+# n(n+1) is even so /2 is exact), var2 = Var(2W+) =
+# n(n+1)(2n+1)/6 − Σ(t³−t)/12: the /6 divides exactly (consecutive
+# integers); the tie term FLOORS (t=2 ⇒ 6/12) — a ≤1 quantization on a
+# huge integer, floored identically by both engines (the contract)
+_WSR_Z = (
+    "(CAST(num AS DOUBLE) / sqrt(CAST(var2 AS DOUBLE)))"
+)
+
+
+@register(
+    "q_wilcoxon_signed",
+    oracle=f"""
+        WITH paired AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) ELSE 0 END) AS BIGINT)
+                       AS x,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                        THEN CAST(CAST(value AS DECIMAL(18,2)) * 100
+                                  AS BIGINT) ELSE 0 END) AS BIGINT)
+                       AS y
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY user_id
+            HAVING SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+        ), diffs AS (
+            SELECT x - y AS d, abs(x - y) AS ad
+            FROM paired WHERE x <> y
+        ), grp AS (
+            SELECT ad,
+                   CAST(COUNT(*) AS BIGINT) AS t,
+                   CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pos
+            FROM diffs GROUP BY ad
+        ), ranked AS (
+            SELECT t, pos,
+                   CAST(SUM(t) OVER (ORDER BY ad) AS BIGINT) - t
+                       AS before_cnt,
+                   CAST(SUM(t) OVER () AS BIGINT) AS n
+            FROM grp
+        ), folded AS (
+            SELECT MAX(n) AS n,
+                   CAST(SUM(pos * (2 * before_cnt + t + 1)) AS BIGINT)
+                       AS wplus_x2,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+            FROM ranked
+        )
+        SELECT n, wplus_x2,
+               CAST(num AS BIGINT) AS num,
+               CAST(var2 AS BIGINT) AS var2,
+               ROUND({_WSR_Z}, 6) AS z,
+               {_WSR_Z} * {_WSR_Z} > 3.841459e0 AS reject_symmetry
+        FROM (
+            SELECT n, wplus_x2,
+                   wplus_x2 - n * (n + 1) // 2 AS num,
+                   n * (n + 1) * (2 * n + 1) // 6 - tie3 // 12 AS var2
+            FROM folded
+        )
+    """,
+    tags=("stats", "window"),
+)
+def q_wilcoxon_signed(spark, sf_dir):
+    """WILCOXON SIGNED-RANK test on PAIRED per-user metrics (total
+    click spend vs total view spend for users with both) — the
+    nonparametric paired-t: q_mw_utest compares two INDEPENDENT
+    samples; this is the within-subject design every pre/post or
+    same-user comparison needs. Normal approximation with midrank tie
+    handling and the Σ(t³−t)/12 tie correction; 5% two-sided reject.
+
+    Integer-exact via DOUBLED ranks (the q_mw_utest trick on |d|
+    groups): 2W+ = Σ pos·(2b + t + 1) is a BIGINT; the centering term
+    n(n+1)/2 and the n(n+1)(2n+1)/6 variance term divide exactly
+    (consecutive-integer products); the Σ(t³−t)/12 tie term FLOORS —
+    a ≤1 quantization on a huge integer, floored identically by both
+    engines, so num and var2 are exactly-agreed BIGINTs — z is ONE
+    division after ONE IEEE-exact sqrt, and
+    the reject flag compares the shared-expression double against the
+    exact square 1.959964² once per single row.
+
+    Plan at 100 TB: one (user_id) hash agg pairs the metrics; the rank
+    machinery runs over DISTINCT |d| values (q_ks_test's bounded
+    cumulative window); the test algebra is single-row.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    paired = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "view", cents).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .alias("nc"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .alias("nv"),
+        )
+        .filter((F.col("nc") > 0) & (F.col("nv") > 0))
+    )
+    diffs = paired.filter(F.col("x") != F.col("y")).select(
+        (F.col("x") - F.col("y")).alias("d"),
+        F.abs(F.col("x") - F.col("y")).alias("ad"),
+    )
+    grp = diffs.groupBy("ad").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = grp.select(
+        "t",
+        "pos",
+        (F.sum("t").over(w) - F.col("t")).cast("bigint").alias("before_cnt"),
+        F.sum("t").over(wall).cast("bigint").alias("n"),
+    )
+    folded = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("pos") * (2 * F.col("before_cnt") + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("wplus_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    alg = folded.select(
+        "n",
+        "wplus_x2",
+        F.expr("wplus_x2 - n * (n + 1) DIV 2").cast("bigint").alias("num"),
+        F.expr("n * (n + 1) * (2 * n + 1) DIV 6 - tie3 DIV 12")
+        .cast("bigint")
+        .alias("var2"),
+    )
+    return alg.select(
+        "n",
+        "wplus_x2",
+        "num",
+        "var2",
+        F.expr(f"ROUND({_WSR_Z}, 6)").alias("z"),
+        F.expr(f"{_WSR_Z} * {_WSR_Z} > 3.841459e0").alias(
+            "reject_symmetry"
+        ),
+    )

@@ -156,6 +156,9 @@ NESTED_LOOP_ALLOWED = {
     #                         aggregates (vertices x components-rollup
     #                         x edge count) — the q_graph_triangles /
     #                         q_dq_checks single-row-join class
+    "q_decay_score",  # ONE broadcast row (the corpus max-ts anchor)
+    #                    riding onto the event scan — the q_ab_cuped /
+    #                    q_bm25 single-row-join class
     "q_ts_dtw",  # |types| one-array-row series frames theta-joined
     #              (a < b) for the C(5,2) pair spine, plus the tiny
     #              day-spine x types grid — the q_ts_resample
