@@ -64,8 +64,10 @@ _JB_STAT = (
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(c) AS BIGINT) AS s1,
                    CAST(SUM(c * c) AS BIGINT) AS s2,
-                   CAST(SUM(c * c * c) AS DECIMAL(38,0)) AS s3,
-                   CAST(SUM(c * c * c * c) AS DECIMAL(38,0)) AS s4
+                   CAST(SUM(CAST(c * c AS HUGEINT) * c) AS DECIMAL(38,0))
+                       AS s3,
+                   CAST(SUM(CAST(c * c AS HUGEINT) * (c * c))
+                        AS DECIMAL(38,0)) AS s4
             FROM (
                 SELECT event_type,
                        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -99,17 +101,19 @@ def q_jarque_bera(spark, sf_dir):
     the readout says HOW normality fails, not just that it does.
 
     Exactness: the four raw moment sums are exact integers over cents
-    (Σc, Σc² in BIGINT; Σc³, Σc⁴ summed into DECIMAL(38,0) — the
-    per-row c⁴ stays under 2^63 while cents < 55,108, documented
-    bound; DECIMAL(38,0) totals are exact to ~1e38). The double
+    (Σc, Σc² in BIGINT; c³ and c⁴ computed per-row in 128-bit —
+    DECIMAL(19,0) products in Spark, HUGEINT in DuckDB — and summed
+    into DECIMAL(38,0), exact while c⁴ < 1e38 i.e. cents < 1.78e9,
+    effectively unbounded for a money domain; sf0.1's 56,021-cent max
+    overflowed the earlier BIGINT c⁴ path, caught by the bench sweep).
+    The double
     algebra on top is ONE shared SQL string evaluated by both engines
     (identical IEEE tree); sqrt is IEEE-correctly-rounded so
     m2^1.5 = m2·sqrt(m2) carries no libm risk.
 
     Plan at 100 TB: one scan → one partial+final hash agg to
-    |event_type| rows; the moment algebra is driver-scale. The c⁴
-    per-row bound is a data contract (value ≤ $551.08 here); wider
-    domains pre-scale c by a documented quantum.
+    |event_type| rows; the moment algebra is driver-scale; the
+    128-bit per-row products stay inside whole-stage codegen.
     """
     ev = load(spark, sf_dir, "events")
     c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
@@ -119,12 +123,16 @@ def q_jarque_bera(spark, sf_dir):
         F.sum("c").cast("bigint").alias("s1"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
         F.sum(
-            (F.col("c") * F.col("c") * F.col("c")).cast("decimal(38,0)")
+            F.expr(
+                "CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))"
+                " * CAST(c AS DECIMAL(19,0))"
+            ).cast("decimal(38,0)")
         ).alias("s3"),
         F.sum(
-            (F.col("c") * F.col("c") * F.col("c") * F.col("c")).cast(
-                "decimal(38,0)"
-            )
+            F.expr(
+                "(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))"
+                " * (CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))"
+            ).cast("decimal(38,0)")
         ).alias("s4"),
     )
     d = m.select(

@@ -1418,3 +1418,91 @@ def q_stream_bottomk(spark, sf_dir):
         .drop("rn")
         .orderBy("event_type", "h")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_first_touch — streaming new-user detection (seen-flag state)
+# ---------------------------------------------------------------------------
+
+FT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+FT_STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
+
+
+def _first_touch_kernel(key, pdf_iter, state):
+    """Per-user seen flag: the FIRST event (in event-time order) emits
+    a new-user row; everything after is suppressed. Emission happens
+    at a state TRANSITION (unseen → seen), so it is invariant to
+    micro-batch boundaries on the ordered replay — the q_stream_funnel
+    discipline with a 1-bit machine."""
+    seen = state.exists
+    outs = []
+    for pdf in pdf_iter:
+        if seen or not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        r = pdf.iloc[0]
+        outs.append(
+            (int(r["user_id"]), int(r["event_id"]), r["ts"],
+             str(r["event_type"]))
+        )
+        seen = True
+    state.update((1,))
+    if outs:
+        yield pd.DataFrame(
+            outs, columns=["user_id", "event_id", "ts", "event_type"]
+        )
+
+
+def stream_first_touch(s):
+    rows = s.select("user_id", "event_id", "ts", "event_type")
+    return rows.groupBy("user_id").applyInPandasWithState(
+        _first_touch_kernel,
+        outputStructType=FT_OUT_SCHEMA,
+        stateStructType=FT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "q_stream_first_touch",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_id, ts, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        )
+        SELECT user_id, event_id, ts, event_type
+        FROM ranked WHERE rn = 1
+        ORDER BY user_id
+    """,
+)
+def q_stream_first_touch(spark, sf_dir):
+    """STREAMING NEW-USER DETECTION: a 1-bit seen flag per user in the
+    state store emits exactly the FIRST event each user ever produces
+    — the live acquisition feed (welcome flows, attribution first
+    touch, q_new_vs_returning's 'new' column as a stream instead of a
+    batch rollup). Emission is a state transition (unseen → seen), so
+    the emitted set is identical under any micro-batch slicing on the
+    event-time-ordered replay, and equals the batch
+    ROW_NUMBER()=1 spelling — the oracle — by hash.
+
+    Scale: state is ONE long per user (the minimal stateful operator);
+    only (user_id)-keyed traffic reaches the store; the batch twin
+    serves backfills. A TTL'd variant (timeout eviction) trades exact
+    lifetime dedup for bounded state on unbounded user churn — the
+    documented production knob.
+    """
+    ensure_package_shipped(spark)
+    s = events_stream(spark, sf_dir)
+    out = run_to_memory(stream_first_touch(s), output_mode="append")
+    return out.orderBy("user_id")
