@@ -2985,3 +2985,199 @@ def q_audience_overlap(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_elbow_point — kneedle-style elbow of the revenue-concentration curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_elbow_point",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ), curve AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey)
+                       AS i,
+                   CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey)
+                        AS BIGINT) AS cum,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   CAST(SUM(cents) OVER () AS BIGINT) AS total
+            FROM per_cust
+        ), dev AS (
+            SELECT i, cum, n, total,
+                   CAST(cum * n - i * total AS BIGINT) AS dev_scaled
+            FROM curve
+        )
+        SELECT i AS elbow_rank, cum AS cum_cents, n AS n_customers,
+               total AS total_cents, dev_scaled,
+               ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                   AS cum_share,
+               ROUND(CAST(i AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS rank_share
+        FROM dev
+        ORDER BY dev_scaled DESC, i
+        LIMIT 1
+    """,
+    tags=("analytics", "window"),
+)
+def q_elbow_point(spark, sf_dir):
+    """ELBOW (knee) POINT of the customer revenue-concentration curve
+    — the kneedle criterion: rank customers by spend, the elbow is the
+    rank maximizing the deviation of the cumulative-revenue curve
+    above its (0,0)→(n,total) chord. q_pareto_abc bins the curve into
+    fixed A/B/C bands; this key finds where the data itself says the
+    head ends — the principled cutoff for "top customers" programs,
+    cache sizing, or cluster-count elbows.
+
+    Exactness: the chord deviation at rank i is cum_i/total − i/n
+    scaled by n·total: dev_scaled = cum_i·n − i·total, a pure BIGINT;
+    the argmax is an integer sort with rank tie-break. Reported shares
+    are final doubles. Headroom: cum·n < 2^63 to ~6e4 customers at
+    ~1e12 total cents (sf ~40); DECIMAL(38,0) past that.
+
+    Plan at 100 TB: the per-customer agg is the fact-sized work
+    (q_pareto_abc discipline); the rank/cumulative windows run over
+    the customer DIMENSION (2-pass prefix-sum swap past ~1e9), and the
+    argmax is a TakeOrdered(1).
+    """
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_rank = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = per_cust.select(
+        F.row_number().over(w_rank).cast("bigint").alias("i"),
+        F.sum("cents").over(w_rank).cast("bigint").alias("cum"),
+        F.count("*").over(w_all).cast("bigint").alias("n"),
+        F.sum("cents").over(w_all).cast("bigint").alias("total"),
+    )
+    dev = curve.withColumn(
+        "dev_scaled",
+        (F.col("cum") * F.col("n") - F.col("i") * F.col("total")).cast(
+            "bigint"
+        ),
+    )
+    return (
+        dev.orderBy(F.desc("dev_scaled"), "i")
+        .limit(1)
+        .select(
+            F.col("i").alias("elbow_rank"),
+            F.col("cum").alias("cum_cents"),
+            F.col("n").alias("n_customers"),
+            F.col("total").alias("total_cents"),
+            "dev_scaled",
+            F.round(
+                F.col("cum").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("cum_share"),
+            F.round(
+                F.col("i").cast("double") / F.col("n").cast("double"), 6
+            ).alias("rank_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_peak_detection — local maxima with window dominance in daily series
+# ---------------------------------------------------------------------------
+
+_PEAK_HALF_WIN = 3  # a peak must strictly dominate ±3 days
+
+
+@register(
+    "q_peak_detection",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(CAST(date_trunc('day', ts) AS DATE)
+                        - DATE '1970-01-01' AS BIGINT) AS day_epoch,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events
+            GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        ), nb AS (
+            SELECT event_type, day_epoch, x,
+                   MAX(x) OVER (PARTITION BY event_type ORDER BY day_epoch
+                                ROWS BETWEEN {_PEAK_HALF_WIN} PRECEDING
+                                     AND 1 PRECEDING) AS max_before,
+                   MAX(x) OVER (PARTITION BY event_type ORDER BY day_epoch
+                                ROWS BETWEEN 1 FOLLOWING
+                                     AND {_PEAK_HALF_WIN} FOLLOWING)
+                       AS max_after,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY day_epoch) AS BIGINT)
+                       AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_days
+            FROM daily
+        )
+        SELECT event_type, day_epoch, x AS peak_count
+        FROM nb
+        WHERE rn > {_PEAK_HALF_WIN} AND rn + {_PEAK_HALF_WIN} <= n_days
+          AND x > max_before AND x > max_after
+        ORDER BY event_type, day_epoch
+    """,
+    tags=("timeseries", "analytics", "window"),
+)
+def q_peak_detection(spark, sf_dir):
+    """LOCAL-PEAK DETECTION in the daily event-volume series: a day is
+    a peak when its count STRICTLY exceeds every day within ±3 days
+    (and the full window exists — edge days can't qualify, the honest
+    boundary rule) — the ops readout behind incident retrospectives
+    and campaign-spike attribution, and the discrete sibling of
+    q_changepoint_cusum's level-shift detector.
+
+    Exactness: pure integer comparisons against two bounded
+    MAX windows (3-row frames before/after). Strict dominance makes
+    plateau days non-peaks — deterministic without tie rules.
+
+    Plan at 100 TB: the daily rollup crushes the fact; all windows
+    ride ONE (event_type) exchange over |types|×|days| rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("day_epoch"),
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day_epoch")
+    nb = daily.select(
+        "event_type",
+        "day_epoch",
+        "x",
+        F.max("x").over(w.rowsBetween(-_PEAK_HALF_WIN, -1)).alias(
+            "max_before"
+        ),
+        F.max("x").over(w.rowsBetween(1, _PEAK_HALF_WIN)).alias("max_after"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*")
+        .over(
+            Window.partitionBy("event_type").orderBy("day_epoch")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .cast("bigint")
+        .alias("n_days"),
+    )
+    return (
+        nb.filter(
+            (F.col("rn") > _PEAK_HALF_WIN)
+            & (F.col("rn") + _PEAK_HALF_WIN <= F.col("n_days"))
+            & (F.col("x") > F.col("max_before"))
+            & (F.col("x") > F.col("max_after"))
+        )
+        .select("event_type", "day_epoch", F.col("x").alias("peak_count"))
+        .orderBy("event_type", "day_epoch")
+    )
