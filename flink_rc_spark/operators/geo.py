@@ -316,13 +316,47 @@ def q_geo_path_length(spark, sf_dir):
 # q_dbscan — grid-bucketed exact DBSCAN over clustered derived points
 # ---------------------------------------------------------------------------
 
-# Clustered coordinate derivation: 50x50 site grid (sites 360/720 cd
+# Clustered coordinate derivation: GxG site grid (sites 360/720 cd
 # apart) with +-80 cd jitter, so eps=100 connects within-site points
 # and can never bridge sites — real cluster structure with integer
 # determinism (the uniform _LAT/_LON derivation never reaches DBSCAN
 # density at test scale).
-_DB_LAT = "((user_id % 50) * 360 + (event_id * 17 + user_id * 37) % 80)"
-_DB_LON = "(((user_id * 7) % 50) * 720 + (event_id * 29 + user_id * 53) % 80)"
+#
+# G scales with the sampled point count, the _semdedup_k discipline
+# (llm/dedup.py:1168): G = clamp(floor(sqrt(n / 2)), 50, 100000), so
+# per-site occupancy stays ~2 and in-cell pair work stays O(n) instead
+# of O(n^2 / sites) — at a FIXED 50x50 grid the sf1 sweep measured
+# 65.6 s (15.8x for 10x data), the quadratic in-cell blowup this
+# formula removes. Both engines evaluate the SAME formula (a COUNT(*)
+# CTE in the oracle, a planning-time count() in Spark); sqrt is IEEE
+# correctly-rounded in both, and n/2 is exact in double far beyond any
+# fixture size, so the grids agree bit-for-bit. At every committed
+# test SF (<= 0.1, n <= 4348) the clamp floor keeps G = 50 — results
+# are unchanged there. The 100000 cap only bounds coordinate
+# magnitude (lat < 3.6e7 cd, comfortably BIGINT).
+def _db_grid(n: int) -> int:
+    import math
+
+    return min(max(math.floor(math.sqrt(n / 2)), 50), 100000)
+
+
+_DB_GRID_SQL = (
+    "LEAST(GREATEST(CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE) / 2))"
+    " AS BIGINT), 50), 100000)"
+)
+
+
+def _db_lat(g) -> str:
+    return f"((user_id % {g}) * 360 + (event_id * 17 + user_id * 37) % 80)"
+
+
+def _db_lon(g) -> str:
+    return (
+        f"(((user_id * 7) % {g}) * 720"
+        " + (event_id * 29 + user_id * 53) % 80)"
+    )
+
+
 _DB_SAMPLE = 23     # event_id % 23 == 0 point sample
 _DB_EPS = 100       # centidegrees; cell size = eps -> 3x3 neighborhood
 _DB_MINPTS = 5      # core iff |N_eps(p)| >= 5, self included
@@ -331,11 +365,15 @@ _DB_MINPTS = 5      # core iff |N_eps(p)| >= 5, self included
 @register(
     "q_dbscan",
     oracle=f"""
-        WITH RECURSIVE pts AS (
-            SELECT event_id AS id,
-                   CAST({_DB_LAT} AS BIGINT) AS lat,
-                   CAST({_DB_LON} AS BIGINT) AS lon
+        WITH RECURSIVE par AS (
+            SELECT {_DB_GRID_SQL} AS g
             FROM events WHERE event_id % {_DB_SAMPLE} = 0
+        ),
+        pts AS (
+            SELECT event_id AS id,
+                   CAST({_db_lat('g')} AS BIGINT) AS lat,
+                   CAST({_db_lon('g')} AS BIGINT) AS lon
+            FROM events, par WHERE event_id % {_DB_SAMPLE} = 0
         ),
         cells AS (
             SELECT id, lat, lon,
@@ -407,17 +445,21 @@ def q_dbscan(spark, sf_dir):
     neighborhood join shuffles on cell keys whose occupancy bounds
     pairwise work; the fixpoint loop is bounded by cluster diameter
     in hops; skewed mega-cells are the documented salting candidate.
-    Dense-blob degeneracy (per-cell pair blowup past ~sf10 here)
-    is handled in production by minPts-sampling inside over-occupied
-    cells — the documented refinement, same candidate frame.
+    The site grid scales with the corpus (G ~ sqrt(n/2), mirrored in
+    the oracle), so per-site occupancy — and with it in-cell pair
+    work per point — stays constant at every SF instead of the
+    quadratic blowup a fixed grid shows (65.6 s / 15.8x at sf1).
     """
     ev = load(spark, sf_dir, "events")
+    sampled = ev.filter(F.col("event_id") % _DB_SAMPLE == 0)
+    # planning-time count -> site grid G (the _semdedup_k discipline);
+    # a single pushed-down column scan, negligible next to the join
+    g = _db_grid(sampled.count())
     pts = (
-        ev.filter(F.col("event_id") % _DB_SAMPLE == 0)
-        .select(
+        sampled.select(
             F.col("event_id").alias("id"),
-            F.expr(f"CAST({_DB_LAT} AS BIGINT)").alias("lat"),
-            F.expr(f"CAST({_DB_LON} AS BIGINT)").alias("lon"),
+            F.expr(f"CAST({_db_lat(g)} AS BIGINT)").alias("lat"),
+            F.expr(f"CAST({_db_lon(g)} AS BIGINT)").alias("lon"),
         )
         .localCheckpoint(eager=True)
     )
