@@ -347,11 +347,10 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-invariant for the statistic (swapping equal x leaves
     sum(i*x_i) unchanged), so the custkey tiebreak is cosmetic.
 
-    Scale: ranking customer totals is a dimension-sized single-key
-    window (customers, not facts — 15M rows at sf100, fine for one
-    sort); the fact-sized work is only the per-customer hash agg. A
-    1000x-customer deployment would swap the exact rank for the
-    2-pass histogram CDF of q_quantile_2pass.
+    Scale: the customer-total rank is the TWO-PHASE range-bucketed
+    count scan (`global_scan_salted` — parallel buckets, no
+    single-partition sort); the fact-sized work is only the
+    per-customer hash agg.
     """
     o = load(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -359,12 +358,18 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = cust.select(
+    # two-phase range-bucketed rank over (cents, custkey) — no
+    # single-partition row_number window over the customer rollup;
+    # the grand count is a 1-row broadcast
+    from flink_rc_spark.operators.windows import global_scan_salted
+
+    nrow = cust.agg(F.count("*").alias("n"))
+    ranked = global_scan_salted(
+        cust,
         "cents",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+        ["cents", "o_custkey"],
+        [{"kind": "count", "value": None, "out": "i", "exclusive": False}],
+    ).crossJoin(F.broadcast(nrow)).select("cents", "i", "n")
     s = ranked.agg(
         F.max("n").alias("n"),
         F.sum("cents").cast("long").alias("st"),

@@ -455,16 +455,24 @@ def q_rfm_segments(spark, sf_dir):
     grid — the standard CRM slicing.
 
     NTILE ties are broken by custkey so the quartile assignment is a
-    TOTAL order and hash-stable cross-engine. Scale note: the three
-    global NTILEs are single-partition windows over the CUSTOMER
-    AGGREGATE (one row per customer — already 3 orders of magnitude
-    smaller than the fact); at 100 TB you'd swap exact NTILE for
-    percentile boundaries from q_agg_percentile's sketching path, the
-    documented accuracy/latency trade.
+    TOTAL order and hash-stable cross-engine. Scale note: each
+    quartile score is the TWO-PHASE range-bucketed rank
+    (`global_scan_salted` count scan over the customer aggregate —
+    parallelism = n_buckets per dimension, no single-partition sort)
+    plus the exact integer NTILE floor formula (`ntile_from_rn`),
+    bit-equal to the engines' NTILE; extreme customer counts would
+    swap exact NTILE for percentile boundaries from
+    q_agg_percentile's sketching path, the documented
+    accuracy/latency trade.
     """
+    from flink_rc_spark.functions.exact import dsum
+    from flink_rc_spark.operators.windows import (
+        global_scan_salted,
+        ntile_from_rn,
+    )
+
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
-    from flink_rc_spark.functions.exact import dsum
 
     rfm = (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
@@ -475,17 +483,19 @@ def q_rfm_segments(spark, sf_dir):
             dsum("o_totalprice", 14, 2).alias("monetary"),
         )
     )
-    scored = (
-        rfm.withColumn(
-            "r_score", F.ntile(4).over(Window.orderBy("last_order", "c_custkey"))
-        )
-        .withColumn(
-            "f_score", F.ntile(4).over(Window.orderBy("frequency", "c_custkey"))
-        )
-        .withColumn(
-            "m_score", F.ntile(4).over(Window.orderBy("monetary", "c_custkey"))
-        )
-    )
+    n = rfm.count()
+    cnt = [{"kind": "count", "value": None, "out": "_rn", "exclusive": False}]
+    scored = rfm
+    for col, bucket, out in [
+        ("last_order", F.col("last_order").cast("timestamp").cast("double"),
+         "r_score"),
+        ("frequency", F.col("frequency"), "f_score"),
+        ("monetary", F.col("monetary"), "m_score"),
+    ]:
+        scored = global_scan_salted(
+            scored, bucket, [col, "c_custkey"], cnt
+        ).withColumn(out, ntile_from_rn(F.col("_rn"), 4, n).cast("int")) \
+         .drop("_rn")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
@@ -618,25 +628,28 @@ def q_pareto_abc(spark, sf_dir):
     (revenue desc, partkey), so the share boundaries — double
     divisions of exactly-agreed decimals — classify identically
     cross-engine; no boundary row can flip. Scale: the per-part
-    aggregate is the fact-sized work; the ranked cumsum is a
-    single-partition window over the PART rollup (dim-sized, the
-    q_rfm_segments trade — swap in percentile boundaries at extreme
-    part counts).
+    aggregate is the fact-sized work; the ranked cumsum is the
+    TWO-PHASE range-bucketed decimal prefix sum (`global_scan_salted`
+    over the revenue-desc total order — no single-partition window),
+    and the grand total is a 1-row broadcast, the q_bm25
+    corpus-stats class.
     """
     li = load(spark, sf_dir, "lineitem")
     from flink_rc_spark.functions.exact import dec, dlit
+    from flink_rc_spark.operators.windows import global_scan_salted
 
     rev = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice") * (dlit(1) - dec("l_discount"))).alias("r")
     )
-    w_cum = (
-        Window.orderBy(F.desc("r"), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy()
-    ranked = rev.withColumn("cum", F.sum("r").over(w_cum)).withColumn(
-        "total", F.sum("r").over(w_all)
-    )
+    tot = rev.agg(F.sum("r").alias("total"))
+    ranked = global_scan_salted(
+        rev,
+        "r",
+        [F.desc("r"), "l_partkey"],
+        [{"kind": "sum", "value": F.col("r"), "out": "cum",
+          "exclusive": False}],
+        descending=True,
+    ).crossJoin(F.broadcast(tot))
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     abc = (
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
@@ -789,16 +802,23 @@ def q_skyline(spark, sf_dir):
     prices, and a part survives iff its size beats every
     strictly-cheaper minimum AND is minimal within its own price
     group. The driver hash proves the sweep equals the quadratic
-    definition. Scale: one window over the DISTINCT-price rollup plus
-    a broadcast-back join — no self-join of the base table.
+    definition. Scale: the strict-prefix minimum over the
+    DISTINCT-price rollup runs as the TWO-PHASE range-bucketed scan
+    (`global_scan_salted` exclusive min — no single-partition
+    window), then a broadcast-back join — no self-join of the base
+    table.
     """
+    from flink_rc_spark.operators.windows import global_scan_salted
+
     part = load(spark, sf_dir, "part")
     g = part.groupBy("p_retailprice").agg(F.min("p_size").alias("gmin"))
-    w = (
-        Window.orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    g2 = global_scan_salted(
+        g,
+        "p_retailprice",
+        ["p_retailprice"],
+        [{"kind": "min", "value": F.col("gmin"), "out": "rm_strict",
+          "exclusive": True}],
     )
-    g2 = g.withColumn("rm_strict", F.min("gmin").over(w))
     return (
         part.join(F.broadcast(g2), "p_retailprice")
         .filter(
@@ -1829,13 +1849,14 @@ def q_itemsets_apriori(spark, sf_dir):
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
+    # top-40 via orderBy().limit() — Spark's TakeOrderedAndProject
+    # (per-partition top-40 + driver merge), not a single-partition
+    # row_number window over the full distinct vocabulary
     vocab = (
         tok.groupBy("w")
         .agg(F.count("*").alias("c"))
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "w"))
-        )
-        .filter(F.col("rn") <= 40)
+        .orderBy(F.desc("c"), "w")
+        .limit(40)
         .select("w")
     )
     incidence = tok.join(F.broadcast(vocab), "w").select(
@@ -2504,16 +2525,26 @@ def q_time_to_convert(spark, sf_dir):
         )
     )
     vals = conv.groupBy("gap_us").agg(F.count("*").cast("bigint").alias("n"))
-    w_cum = Window.orderBy("gap_us")
-    w_all = Window.orderBy("gap_us").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # cumulative count via the two-phase range-bucketed scan (no
+    # single-partition window over the distinct-gap frame, which
+    # grows with converted users); grand totals are a 1-row broadcast
+    from flink_rc_spark.operators.windows import global_scan_salted
+
+    totals = vals.agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.sum(F.col("gap_us") * F.col("n")).cast("bigint").alias("total_us"),
     )
-    cum = vals.select(
+    cum = global_scan_salted(
+        vals,
         "gap_us",
-        F.sum("n").over(w_cum).cast("bigint").alias("cumn"),
-        F.sum("n").over(w_all).cast("bigint").alias("tot"),
-        F.sum(F.col("gap_us") * F.col("n")).over(w_all).cast("bigint")
-        .alias("total_us"),
+        ["gap_us"],
+        [{"kind": "sum", "value": F.col("n"), "out": "_cumn",
+          "exclusive": False}],
+    ).crossJoin(F.broadcast(totals)).select(
+        "gap_us",
+        F.col("_cumn").cast("bigint").alias("cumn"),
+        "tot",
+        "total_us",
     )
     return cum.agg(
         F.max("tot").alias("n_converted"),

@@ -282,11 +282,17 @@ def q_lift_curve(spark, sf_dir):
         .cast("bigint")
         .alias("responder"),
     )
-    w_rank = Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey"))
-    ranked = per_cust.select(
-        "responder",
-        F.row_number().over(w_rank).alias("rn"),
-    )
+    # two-phase range-bucketed rank over (spend desc, custkey) — no
+    # single-partition row_number window over the customer rollup
+    from flink_rc_spark.operators.windows import global_scan_salted
+
+    ranked = global_scan_salted(
+        per_cust,
+        "spend_cents",
+        [F.col("spend_cents").desc(), F.col("o_custkey")],
+        [{"kind": "count", "value": None, "out": "rn", "exclusive": False}],
+        descending=True,
+    ).select("responder", "rn")
     n_cust = per_cust.agg(F.count("*").cast("bigint").alias("n_cust"))
     deciled = ranked.crossJoin(F.broadcast(n_cust)).select(
         F.expr("((rn - 1) * 10) DIV n_cust").alias("decile"),

@@ -589,11 +589,17 @@ def q_calibration_bins(spark, sf_dir):
     micro-units. The companion diagnostic to q_auc_roc: AUC measures
     ranking, this measures probability calibration.
 
-    Plan: one scan; the NTILE runs over the global order (documented
-    single-sort — the 2-pass upgrade is rank-by-histogram exactly as
-    q_quantile_2pass, then bin = ceil(rank·10/n)); the rollup is a
-    10-group hash agg.
+    Plan: one scan; the NTILE is the TWO-PHASE range-bucketed rank
+    (`global_scan_salted` count scan over the (score, event_id) total
+    order — parallelism = n_buckets, no single-partition sort) plus
+    the exact integer NTILE floor formula (`ntile_from_rn`), provably
+    equal to the engines' NTILE; the rollup is a 10-group hash agg.
     """
+    from flink_rc_spark.operators.windows import (
+        global_scan_salted,
+        ntile_from_rn,
+    )
+
     ev = load(spark, sf_dir, "events")
     x = ev.select(
         "event_id",
@@ -602,11 +608,17 @@ def q_calibration_bins(spark, sf_dir):
         ),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
     )
-    binned = x.select(
+    n = x.count()
+    ranked = global_scan_salted(
+        x,
+        "score_c",
+        ["score_c", "event_id"],
+        [{"kind": "count", "value": None, "out": "rn", "exclusive": False}],
+    )
+    binned = ranked.select(
         "score_c",
         "pos",
-        F.ntile(10).over(Window.orderBy("score_c", "event_id")).cast("long")
-        .alias("bin"),
+        ntile_from_rn(F.col("rn"), 10, n).alias("bin"),
     )
     return binned.groupBy("bin").agg(
         F.count("*").alias("n"),

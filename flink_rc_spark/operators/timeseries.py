@@ -1823,14 +1823,23 @@ def q_interval_sweep(spark, sf_dir):
         )
     )
     daily = deltas.groupBy("d").agg(F.sum("delta").cast("bigint").alias("delta"))
-    w = Window.orderBy("d")
-    swept = daily.select(
-        "d", F.sum("delta").over(w).cast("bigint").alias("open_orders")
-    )
+    # cumulative sweep via the two-phase range-bucketed scan (no
+    # single-partition window over the day spine), top-5 peaks via
+    # TakeOrdered; the rank over the captured 5-row frame is the
+    # structurally-bounded window the plan audit exempts
+    from flink_rc_spark.operators.windows import global_scan_salted
+
+    swept = global_scan_salted(
+        daily,
+        F.col("d").cast("timestamp").cast("double"),
+        ["d"],
+        [{"kind": "sum", "value": F.col("delta"), "out": "_cum",
+          "exclusive": False}],
+    ).select("d", F.col("_cum").cast("bigint").alias("open_orders"))
+    top5 = swept.orderBy(F.desc("open_orders"), "d").limit(5)
     w_rk = Window.orderBy(F.desc("open_orders"), "d")
     return (
-        swept.withColumn("rk", F.row_number().over(w_rk))
-        .filter(F.col("rk") <= 5)
+        top5.withColumn("rk", F.row_number().over(w_rk))
         .select("rk", F.col("d").alias("peak_day"), "open_orders")
         .orderBy("rk")
     )

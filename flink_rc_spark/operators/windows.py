@@ -100,6 +100,135 @@ def prefix_agg_salted(
     )
 
 
+def global_scan_salted(
+    df,
+    bucket_on,
+    order_cols,
+    specs,
+    n_buckets: int = 32,
+    descending: bool = False,
+):
+    """Skew-safe GLOBAL window scan — the empty-partition-spec twin of
+    `prefix_agg_salted`, for cumulative aggregates / ranks over a
+    TOTAL order with no partition key at all.
+
+    A `Window.orderBy(...)` with no partitionBy funnels the whole
+    frame through ONE task — the one systematic anti-pattern a 100 TB
+    plan cannot carry. This computes the identical result as a
+    range-bucketed two-phase scan:
+
+      1. range-bucket rows on `bucket_on` (the PRIMARY sort key —
+         boundaries from approxQuantile at planning time, so every
+         bucket is a contiguous slice of the global order; equal keys
+         always land in one bucket);
+      2. local running agg within each bucket (parallelism =
+         n_buckets);
+      3. per-bucket totals get an exclusive prefix over the <=
+         n_buckets-row bucket list (ordered by `_gss_bkt` — the
+         structurally-bounded helper window the plan audit exempts),
+         broadcast back and combined with the local value.
+
+    `specs` is a list of dicts: {"kind": "sum"|"count"|"min",
+    "value": Column (ignored for count), "out": name,
+    "exclusive": bool} — exclusive scans use the UNBOUNDED
+    PRECEDING..-1 frame (strict prefix). Sum/min require an
+    associative exactly-representable type (long / decimal — never
+    raw double), which is what makes the two-phase result
+    bit-identical to the single-window form. `bucket_on` must be
+    non-null and numeric-castable; pass `descending=True` when the
+    total order's primary key is descending. A 'count' spec with a
+    total order IS row_number.
+    """
+    src = F.col(bucket_on) if isinstance(bucket_on, str) else bucket_on
+    src = src.cast("double")
+    if descending:
+        src = -src
+    work = df.withColumn("_gss_src", src)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    boundaries = work.approxQuantile("_gss_src", probs, 0.001)
+    bkt = F.lit(0)
+    for bb in boundaries:
+        bkt = bkt + F.when(F.col("_gss_src") >= F.lit(bb), 1).otherwise(0)
+    work = work.withColumn("_gss_bkt", bkt).drop("_gss_src")
+
+    w_incl = (
+        W.partitionBy("_gss_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_excl = (
+        W.partitionBy("_gss_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    total_aggs = []
+    for i, s in enumerate(specs):
+        w = w_excl if s.get("exclusive") else w_incl
+        if s["kind"] == "count":
+            work = work.withColumn(f"_gss_l{i}", F.count(F.lit(1)).over(w))
+            total_aggs.append(F.count(F.lit(1)).alias(f"_gss_t{i}"))
+        elif s["kind"] == "sum":
+            work = work.withColumn(f"_gss_l{i}", F.sum(s["value"]).over(w))
+            total_aggs.append(F.sum(s["value"]).alias(f"_gss_t{i}"))
+        elif s["kind"] == "min":
+            work = work.withColumn(f"_gss_l{i}", F.min(s["value"]).over(w))
+            total_aggs.append(F.min(s["value"]).alias(f"_gss_t{i}"))
+        else:  # pragma: no cover - caller bug
+            raise ValueError(f"unknown scan kind {s['kind']!r}")
+
+    totals = work.groupBy("_gss_bkt").agg(*total_aggs)
+    w_off = (
+        W.orderBy("_gss_bkt").rowsBetween(W.unboundedPreceding, -1)
+    )
+    off_cols = [F.col("_gss_bkt")]
+    for i, s in enumerate(specs):
+        if s["kind"] == "min":
+            off_cols.append(
+                F.min(f"_gss_t{i}").over(w_off).alias(f"_gss_o{i}")
+            )
+        else:
+            off_cols.append(
+                F.sum(f"_gss_t{i}").over(w_off).alias(f"_gss_o{i}")
+            )
+    offsets = totals.select(*off_cols)
+
+    out = work.join(F.broadcast(offsets), "_gss_bkt")
+    drop = ["_gss_bkt"]
+    for i, s in enumerate(specs):
+        l, o = F.col(f"_gss_l{i}"), F.col(f"_gss_o{i}")
+        if s["kind"] == "min":
+            comb = F.least(l, o)
+        else:
+            comb = F.when(o.isNull(), l).when(l.isNull(), o).otherwise(l + o)
+        out = out.withColumn(s["out"], comb)
+        drop += [f"_gss_l{i}", f"_gss_o{i}"]
+    return out.drop(*drop)
+
+
+def ntile_from_rn(rn, k: int, n):
+    """Exact SQL NTILE(k) bucket from a global row_number `rn` and the
+    frame size `n` (both Columns or ints) — the standard-SQL floor
+    distribution (first n%k buckets hold one extra row), pure integer
+    arithmetic, so it equals the engines' NTILE bit-for-bit. Lets a
+    two-phase `global_scan_salted` count scan replace the
+    single-partition NTILE window."""
+    rn = F.lit(rn) if isinstance(rn, int) else rn
+    n = F.lit(n) if isinstance(n, int) else n
+
+    def idiv(x, d):  # exact integer floor-div on non-negative longs
+        return ((x - (x % d)) / d).cast("long")
+
+    base = idiv(n, F.lit(k))
+    rem = (n % F.lit(k)).cast("long")
+    cut = rem * (base + 1)
+    return (
+        F.when(rn <= cut, idiv(rn - 1, base + 1))
+        .otherwise(rem + idiv(rn - cut - 1, base))
+        .cast("long")
+        + 1
+    )
+
+
 @register(
     "q_win_salted",
     oracle="""
