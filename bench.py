@@ -129,6 +129,17 @@ def main() -> None:
     for k in HEADLINE:
         jvm_gc()
         timings[k] = round(min(execute(k), execute(k)), 4)
+    # Calibration gate (r7 verdict): if the probe degraded past 1.3x
+    # its start during the headline pass, the box — not the plans —
+    # moved; re-measure each headline key once more and keep the min,
+    # so one degraded episode cannot masquerade as a plan regression.
+    calib_after_headline = min(calibrate(), calibrate())
+    calib_samples.append(calib_after_headline)
+    if calib_after_headline > 1.3 * calib_start:
+        for k in HEADLINE:
+            jvm_gc()
+            timings[k] = round(min(timings[k], execute(k)), 4)
+        calib_samples.append(min(calibrate(), calibrate()))
     headline_total = round(sum(timings.values()), 4)
 
     if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
@@ -151,6 +162,14 @@ def main() -> None:
             timings[k] = round(t, 4)
         calib_samples.append(min(calibrate(), calibrate()))
 
+    # calib_ok gates trust in the artifact (r7 verdict): False means
+    # the probe either started above its healthy-box envelope
+    # (~0.15 s nominal on this container, BASELINE.md) or drifted
+    # >1.3x during the run even after the headline re-measure — the
+    # numbers then describe the box episode, not the plans, and a
+    # consumer must not record them as a regression.
+    calib_ratio = round(max(calib_samples) / calib_start, 3)
+    calib_ok = calib_start <= 0.20 and calib_ratio <= 1.3
     line = json.dumps(
         {
             "metric": "headline_queries_wall_clock",
@@ -158,7 +177,12 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "all_total": round(sum(timings.values()), 4),
-            "calib": {"start": calib_start, "samples": calib_samples},
+            "calib": {
+                "start": calib_start,
+                "samples": calib_samples,
+                "ratio": calib_ratio,
+                "ok": calib_ok,
+            },
             "sf": sf,
         }
     )
@@ -174,6 +198,7 @@ def main() -> None:
             "value": headline_total,
             "unit": "sec",
             "sf": sf,
+            "calib_ok": calib_ok,
             # distinguishes this tail line from the verbose one above,
             # so a consumer parsing the FIRST matching metric doesn't
             # silently get the verbose record (and vice versa)

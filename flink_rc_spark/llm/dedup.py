@@ -879,10 +879,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented components tradeoff. 100 TB: every step is hash-partitioned on a
     vertex key — the loop is Pregel-on-DataFrames; dangling documents
     (no candidate edges) settle at pure teleport mass, exactly like
-    the oracle's COALESCE(m, 0). The output's global pr_rank window is
-    the one single-partition stage — a presentation column; at 100 TB
-    it swaps for the range-bucketed two-phase ranking q_win_salted
-    demonstrates, without touching the iteration.
+    the oracle's COALESCE(m, 0). The output's global pr_rank runs as
+    the TWO-PHASE range-bucketed scan over the distinct-score frame
+    (`global_scan_salted`) joined back onto the node set — no
+    single-partition window anywhere in the plan.
     """
     docs = load(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
@@ -910,10 +910,29 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("r"),
         )
-    return rank.select(
+    # global rank WITHOUT a node-scale single-partition window: count
+    # per distinct fixed-point score, two-phase exclusive cumulative
+    # count over the descending score order (rank() = strictly-greater
+    # count + 1 — tie-exact), hash-join the tiny distinct-score frame
+    # back onto the node set.
+    from flink_rc_spark.operators.windows import global_scan_salted
+
+    rcnt = rank.groupBy("r").agg(F.count("*").alias("_rc"))
+    rranks = global_scan_salted(
+        rcnt,
+        "r",
+        [F.col("r").desc()],
+        [{"kind": "sum", "value": F.col("_rc"), "out": "_cum",
+          "exclusive": False}],
+        descending=True,
+    ).select(
+        "r",
+        (F.col("_cum") - F.col("_rc") + 1).cast("bigint").alias("pr_rank"),
+    )
+    return rank.join(rranks, "r").select(
         F.col("v").alias("doc_id"),
         F.col("r").alias("pr_scaled"),
-        F.rank().over(Window.orderBy(F.desc("r"))).cast("bigint").alias("pr_rank"),
+        "pr_rank",
     ).orderBy("doc_id")
 
 

@@ -1427,8 +1427,7 @@ _COV_SPLITV_DUCK = (
                 SELECT doc_id, lang, split,
                        string_split(text, ' ') AS t
                 FROM split_docs
-            ), range(1, 100000) r(i)
-            WHERE i + 2 <= length(t)
+            ), unnest(range(1, greatest(length(t) - 1, 1))) r(i)
         ), train_g AS (
             SELECT DISTINCT g FROM grams WHERE split = 'train'
         ), heldout AS (

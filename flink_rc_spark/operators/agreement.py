@@ -745,8 +745,9 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared double expression, rounded once.
 
     100 TB: identical shape to q_mw_utest — one hash agg to distinct
-    cents values, one ordered cumulative window over that bounded
-    frame, single-row reduce. The O(n1*n2) pair semantics costs
+    cents values, one TWO-PHASE range-bucketed cumulative scan over
+    that frame (`global_scan_salted` — no single-partition window),
+    single-row reduce. The O(n1*n2) pair semantics costs
     O(distinct values).
     """
     ev = load(spark, sf_dir, "events")
@@ -758,17 +759,25 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").cast("bigint").alias("c1"),
         F.sum(1 - F.col("g")).cast("bigint").alias("c2"),
     )
-    wless = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-    wall = Window.partitionBy()
-    cum = vals.select(
+    from flink_rc_spark.operators.windows import global_scan_salted
+
+    tot = vals.agg(
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum("c1").cast("bigint").alias("n1"),
+    )
+    cum = global_scan_salted(
+        vals,
+        "c",
+        [F.col("c")],
+        [{"kind": "sum", "value": F.col("c2"), "out": "_cum",
+          "exclusive": False}],
+    ).crossJoin(F.broadcast(tot)).select(
         "c",
         "c1",
         "c2",
-        F.coalesce(F.sum("c2").over(wless), F.lit(0))
-        .cast("bigint")
-        .alias("c2_less"),
-        F.sum("c2").over(wall).cast("bigint").alias("n2"),
-        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        (F.col("_cum") - F.col("c2")).cast("bigint").alias("c2_less"),
+        "n2",
+        "n1",
     )
     s = cum.agg(
         F.max("n1").alias("n1"),

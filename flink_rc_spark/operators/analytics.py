@@ -3072,9 +3072,10 @@ def q_elbow_point(spark, sf_dir):
     ~1e12 total cents (sf ~40); DECIMAL(38,0) past that.
 
     Plan at 100 TB: the per-customer agg is the fact-sized work
-    (q_pareto_abc discipline); the rank/cumulative windows run over
-    the customer DIMENSION (2-pass prefix-sum swap past ~1e9), and the
-    argmax is a TakeOrdered(1).
+    (q_pareto_abc discipline); the rank/cumulative scan is the
+    TWO-PHASE range-bucketed `global_scan_salted` (no
+    single-partition window), the grand totals a 1-row broadcast, and
+    the argmax a TakeOrdered(1).
     """
     o = load(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -3082,15 +3083,28 @@ def q_elbow_point(spark, sf_dir):
         .cast("bigint")
         .alias("cents")
     )
-    w_rank = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-    w_all = w_rank.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    from flink_rc_spark.operators.windows import global_scan_salted
+
+    tot = per_cust.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
     )
-    curve = per_cust.select(
-        F.row_number().over(w_rank).cast("bigint").alias("i"),
-        F.sum("cents").over(w_rank).cast("bigint").alias("cum"),
-        F.count("*").over(w_all).cast("bigint").alias("n"),
-        F.sum("cents").over(w_all).cast("bigint").alias("total"),
+    curve = global_scan_salted(
+        per_cust,
+        "cents",
+        [F.col("cents").desc(), F.col("o_custkey")],
+        [
+            {"kind": "count", "value": None, "out": "_i",
+             "exclusive": False},
+            {"kind": "sum", "value": F.col("cents"), "out": "_cum",
+             "exclusive": False},
+        ],
+        descending=True,
+    ).crossJoin(F.broadcast(tot)).select(
+        F.col("_i").cast("bigint").alias("i"),
+        F.col("_cum").cast("bigint").alias("cum"),
+        "n",
+        "total",
     )
     dev = curve.withColumn(
         "dev_scaled",
@@ -3161,11 +3175,15 @@ _PEAK_HALF_WIN = 3  # a peak must strictly dominate ±3 days
 )
 def q_peak_detection(spark, sf_dir):
     """LOCAL-PEAK DETECTION in the daily event-volume series: a day is
-    a peak when its count STRICTLY exceeds every day within ±3 days
-    (and the full window exists — edge days can't qualify, the honest
-    boundary rule) — the ops readout behind incident retrospectives
-    and campaign-spike attribution, and the discrete sibling of
-    q_changepoint_cusum's level-shift detector.
+    a peak when its count STRICTLY exceeds the 3 nearest OBSERVED days
+    on each side (and both 3-row frames exist — edge days can't
+    qualify, the honest boundary rule). The ROWS frames run over the
+    sparse daily rollup, so zero-event calendar days are skipped, not
+    treated as zeros — to compare against calendar ±3 days instead,
+    densify onto the day spine first (the q_ts_dtw idiom). The ops
+    readout behind incident retrospectives and campaign-spike
+    attribution, and the discrete sibling of q_changepoint_cusum's
+    level-shift detector.
 
     Exactness: pure integer comparisons against two bounded
     MAX windows (3-row frames before/after). Strict dominance makes

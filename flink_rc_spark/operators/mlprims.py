@@ -86,9 +86,12 @@ def q_decision_stump(spark, sf_dir):
     relationally.
 
     Plan: groupBy(feature) map-combines the scan to the distinct-
-    threshold frame; one cumulative window over it (the q_ks_test
-    shape, same range-partition upgrade path); TakeOrdered(5).
+    threshold frame; the cumulative class counts run as the TWO-PHASE
+    range-bucketed `global_scan_salted` (the q_ks_test shape — no
+    single-partition window), totals broadcast; TakeOrdered(5).
     """
+    from flink_rc_spark.operators.windows import global_scan_salted
+
     docs = load(spark, sf_dir, "documents")
     x = docs.select(
         F.col("n_chars").alias("f"),
@@ -97,16 +100,21 @@ def q_decision_stump(spark, sf_dir):
     th = x.groupBy("f").agg(
         F.sum("y").alias("pos_at"), F.count("*").alias("cnt_at")
     )
-    w = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("f").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    tot = th.agg(
+        F.sum("pos_at").alias("pos_t"), F.sum("cnt_at").alias("n_t")
     )
-    cum = th.select(
+    cum = global_scan_salted(
+        th,
         "f",
-        F.sum("pos_at").over(w).alias("pos_l"),
-        F.sum("cnt_at").over(w).alias("n_l"),
-        F.sum("pos_at").over(wall).alias("pos_t"),
-        F.sum("cnt_at").over(wall).alias("n_t"),
+        [F.col("f")],
+        [
+            {"kind": "sum", "value": F.col("pos_at"), "out": "pos_l",
+             "exclusive": False},
+            {"kind": "sum", "value": F.col("cnt_at"), "out": "n_l",
+             "exclusive": False},
+        ],
+    ).crossJoin(F.broadcast(tot)).select(
+        "f", "pos_l", "n_l", "pos_t", "n_t"
     )
     split = cum.filter(
         (F.col("n_l") > 0) & (F.col("n_t") - F.col("n_l") > 0)

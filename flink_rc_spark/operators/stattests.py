@@ -76,10 +76,13 @@ def q_ks_test(spark, sf_dir):
     ks_d = d_num/(n1·n2) is one IEEE division of exact integers.
 
     Plan: groupBy(value) map-side-combines the raw events down to the
-    distinct-value frame; the cumulative window runs over that bounded
-    frame (global sort of distinct values — upgrade path: range-
-    partitioned two-pass prefix sum; the max-reduce is partial+final).
+    distinct-value frame; the empirical-CDF cumulative sums run as the
+    TWO-PHASE range-bucketed `global_scan_salted` (no single-partition
+    window — exact, since the summands are BIGINT), the grand totals a
+    1-row broadcast, and the max-reduce is partial+final.
     """
+    from flink_rc_spark.operators.windows import global_scan_salted
+
     ev = load(spark, sf_dir, "events")
     p = (
         ev.filter(F.col("event_type").isin("click", "view"))
@@ -89,16 +92,21 @@ def q_ks_test(spark, sf_dir):
             F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
         )
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    tot = p.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
     )
-    c = p.select(
-        F.sum("c1").over(w).alias("f1"),
-        F.sum("c2").over(w).alias("f2"),
-        F.sum("c1").over(wall).alias("n1"),
-        F.sum("c2").over(wall).alias("n2"),
-    )
+    c = global_scan_salted(
+        p,
+        "value",
+        [F.col("value")],
+        [
+            {"kind": "sum", "value": F.col("c1"), "out": "f1",
+             "exclusive": False},
+            {"kind": "sum", "value": F.col("c2"), "out": "f2",
+             "exclusive": False},
+        ],
+    ).crossJoin(F.broadcast(tot)).select("f1", "f2", "n1", "n2")
     return c.agg(
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
@@ -149,9 +157,13 @@ def q_mw_utest(spark, sf_dir):
     Σ c1·(2b + c + 1) is a BIGINT and 2·U₁ = 2·R₁ − n1(n1+1) stays
     integral; u1 halves it with one exact IEEE division by 2.
 
-    Plan: same distinct-value re-aggregation + bounded cumulative
-    window as q_ks_test (shared scale/upgrade story).
+    Plan: same distinct-value re-aggregation as q_ks_test; the pooled
+    cumulative count runs as the TWO-PHASE range-bucketed
+    `global_scan_salted` (no single-partition window), the n1/n2
+    totals a 1-row broadcast.
     """
+    from flink_rc_spark.operators.windows import global_scan_salted
+
     ev = load(spark, sf_dir, "events")
     p = (
         ev.filter(F.col("event_type").isin("click", "view"))
@@ -161,16 +173,22 @@ def q_mw_utest(spark, sf_dir):
             F.count("*").alias("c"),
         )
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    tot = p.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
     )
-    r = p.select(
+    r = global_scan_salted(
+        p,
+        "value",
+        [F.col("value")],
+        [{"kind": "sum", "value": F.col("c"), "out": "_cum",
+          "exclusive": False}],
+    ).crossJoin(F.broadcast(tot)).select(
         "c1",
         "c",
-        (F.sum("c").over(w) - F.col("c")).alias("before_cnt"),
-        F.sum("c1").over(wall).alias("n1"),
-        F.sum(F.col("c") - F.col("c1")).over(wall).alias("n2"),
+        (F.col("_cum") - F.col("c")).alias("before_cnt"),
+        "n1",
+        "n2",
     )
     r1_x2 = F.sum(
         F.col("c1") * (F.lit(2) * F.col("before_cnt") + F.col("c") + F.lit(1))
@@ -698,8 +716,9 @@ def q_survival_km(spark, sf_dir):
     stays there (the NULL-propagating cumulative guard).
 
     Plan: one user-keyed agg to (duration, event) subjects, a hash
-    agg to distinct durations (bounded by the day range), risk sets
-    and the cumulative product both windows over that bounded frame.
+    agg to distinct durations (bounded by the day range); risk sets
+    and the cumulative product both run as TWO-PHASE range-bucketed
+    `global_scan_salted` scans (no single-partition window).
     """
     ev = load(spark, sf_dir, "events")
     subj = ev.groupBy("user_id").agg(
@@ -723,17 +742,21 @@ def q_survival_km(spark, sf_dir):
     grp = dur.groupBy("t").agg(
         F.count("*").alias("cnt"), F.sum("ev").alias("d")
     )
-    wall = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    risk = grp.select(
+    from flink_rc_spark.operators.windows import global_scan_salted
+
+    tot = grp.agg(F.sum("cnt").alias("_n_all"))
+    risk = global_scan_salted(
+        grp,
+        "t",
+        [F.col("t")],
+        [{"kind": "sum", "value": F.col("cnt"), "out": "_cum",
+          "exclusive": False}],
+    ).crossJoin(F.broadcast(tot)).select(
         "t",
         "d",
         "cnt",
         (
-            F.sum("cnt").over(wall)
-            - (F.sum("cnt").over(wcum) - F.col("cnt"))
+            F.col("_n_all") - (F.col("_cum") - F.col("cnt"))
         ).alias("n_risk"),
     )
     terms = risk.filter(F.col("d") > 0).select(
@@ -752,24 +775,35 @@ def q_survival_km(spark, sf_dir):
             ).cast("long"),
         ).alias("logterm_micro"),
     )
-    wt = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    dead = F.count(
-        F.when(F.col("logterm_micro").isNull(), 1)
-    ).over(wt)
-    return terms.select(
+    scanned = global_scan_salted(
+        terms.withColumn(
+            "_is_dead",
+            F.when(F.col("logterm_micro").isNull(), 1)
+            .otherwise(0)
+            .cast("long"),
+        ),
+        "t",
+        [F.col("t")],
+        [
+            {"kind": "sum", "value": F.col("logterm_micro"),
+             "out": "_cum_log", "exclusive": False},
+            {"kind": "sum", "value": F.col("_is_dead"),
+             "out": "_cum_dead", "exclusive": False},
+        ],
+    )
+    dead = F.col("_cum_dead")
+    return scanned.select(
         F.col("t").alias("day"),
         "n_risk",
         F.col("d").alias("n_events"),
         "censored",
         F.when(dead > 0, F.lit(None).cast("long"))
-        .otherwise(F.sum("logterm_micro").over(wt).cast("long"))
+        .otherwise(F.col("_cum_log").cast("long"))
         .alias("log_s_micro"),
         F.when(dead > 0, F.lit(0.0))
         .otherwise(
             F.round(
-                F.exp(
-                    F.sum("logterm_micro").over(wt).cast("double") / 1000000
-                ),
+                F.exp(F.col("_cum_log").cast("double") / 1000000),
                 6,
             )
         )
@@ -1117,16 +1151,32 @@ def q_psi_drift(spark, sf_dir):
         .otherwise(1)
         .alias("period"),
     )
+    from flink_rc_spark.operators.windows import global_scan_salted
+
     pre = x.filter(F.col("period") == 0)
     npre = pre.agg(F.count("*").alias("n"))
-    ranked = pre.select(
-        "c", F.row_number().over(Window.orderBy("c")).alias("rn")
+    # order statistics WITHOUT a row-scale row_number window: the
+    # per-distinct-value cumulative count (two-phase range-bucketed
+    # scan) gives each distinct c its global rank interval
+    # (_cum - cnt, _cum]; edge e is the c whose interval contains the
+    # target rank (e*n+9) div 10 — identical to percentile-disc on
+    # the raw rows, but the scan runs on the distinct-value frame.
+    pg = pre.groupBy("c").agg(F.count("*").alias("cnt"))
+    scanned = global_scan_salted(
+        pg,
+        "c",
+        [F.col("c")],
+        [{"kind": "sum", "value": F.col("cnt"), "out": "_cum",
+          "exclusive": False}],
     )
     es = spark.createDataFrame([(i,) for i in range(1, 10)], "e long")
     edges = (
-        ranked.crossJoin(F.broadcast(npre))
+        scanned.crossJoin(F.broadcast(npre))
         .crossJoin(F.broadcast(es))
-        .filter(F.col("rn") == F.expr("(e * n + 9) div 10"))
+        .filter(
+            (F.expr("(e * n + 9) div 10") > F.col("_cum") - F.col("cnt"))
+            & (F.expr("(e * n + 9) div 10") <= F.col("_cum"))
+        )
         .select(F.col("c").alias("edge_c"))
     )
     vals = x.groupBy("c", "period").agg(F.count("*").alias("cnt"))
@@ -1328,16 +1378,24 @@ def q_kruskal_wallis(spark, sf_dir):
     headroom sized for sf100 (S_j² ≈ 1.6e31 at N = 10⁸).
 
     Plan: the pooled midranks come from the distinct-(value) frame
-    exactly as q_mw_utest (one re-agg + cumulative counts — spelled
-    as a bounded self-join in the oracle, a cumulative window in
-    Spark), then a 5-group reduce and one single-row combine.
+    exactly as q_mw_utest (one re-agg + the TWO-PHASE range-bucketed
+    `global_scan_salted` cumulative count — spelled as a bounded
+    self-join in the oracle), then a 5-group reduce and one
+    single-row combine.
     """
+    from flink_rc_spark.operators.windows import global_scan_salted
+
     ev = load(spark, sf_dir, "events")
     p = ev.groupBy("value", "event_type").agg(F.count("*").alias("c"))
     vtot = p.groupBy("value").agg(F.sum("c").alias("cv"))
-    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    vrank = vtot.select(
-        "value", "cv", (F.sum("cv").over(wv) - F.col("cv")).alias("before_cnt")
+    vrank = global_scan_salted(
+        vtot,
+        "value",
+        [F.col("value")],
+        [{"kind": "sum", "value": F.col("cv"), "out": "_cum",
+          "exclusive": False}],
+    ).select(
+        "value", "cv", (F.col("_cum") - F.col("cv")).alias("before_cnt")
     )
     r = p.join(vrank, "value")
     grp = r.groupBy("event_type").agg(
@@ -1774,13 +1832,22 @@ def q_corr_spearman(spark, sf_dir):
             F.col("yc").cast("long").alias("yc"),
         )
     )
+    from flink_rc_spark.operators.windows import global_scan_salted
+
     def ranked(df, col, out):
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        # doubled midranks via the TWO-PHASE range-bucketed cumulative
+        # count (no single-partition window over the distinct-value frame)
         g = df.groupBy(col).agg(F.count("*").alias("cnt"))
-        return g.select(
+        return global_scan_salted(
+            g,
+            col,
+            [F.col(col)],
+            [{"kind": "sum", "value": F.col("cnt"), "out": "_cum",
+              "exclusive": False}],
+        ).select(
             col,
             (
-                F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+                F.lit(2) * (F.col("_cum") - F.col("cnt"))
                 + F.col("cnt")
                 + 1
             ).alias(out),
@@ -2568,15 +2635,20 @@ def q_wilcoxon_signed(spark, sf_dir):
         .cast("bigint")
         .alias("pos"),
     )
-    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("ad").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = grp.select(
+    from flink_rc_spark.operators.windows import global_scan_salted
+
+    tot = grp.agg(F.sum("t").cast("bigint").alias("n"))
+    ranked = global_scan_salted(
+        grp,
+        "ad",
+        [F.col("ad")],
+        [{"kind": "sum", "value": F.col("t"), "out": "_cum",
+          "exclusive": False}],
+    ).crossJoin(F.broadcast(tot)).select(
         "t",
         "pos",
-        (F.sum("t").over(w) - F.col("t")).cast("bigint").alias("before_cnt"),
-        F.sum("t").over(wall).cast("bigint").alias("n"),
+        (F.col("_cum") - F.col("t")).cast("bigint").alias("before_cnt"),
+        "n",
     )
     folded = ranked.agg(
         F.max("n").alias("n"),

@@ -5,4 +5,5 @@ from flink_rc_spark.plans.inspect import (  # noqa: F401
     assert_broadcast_join,
     assert_no_cartesian,
     codegen_stage_count,
+    global_window_violations,
 )

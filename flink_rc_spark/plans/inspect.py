@@ -58,6 +58,54 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, f"unexpected cartesian product:\n{plan}"
 
 
+def global_window_violations(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec over a frame that can
+    grow with the data — the single-partition-sort anti-pattern a
+    100 TB plan cannot carry (every row funnels through one task).
+
+    Walks the optimized logical plan and returns one entry (the order
+    spec) per offending Window. Two structurally-bounded shapes are
+    exempt by construction, not by key:
+
+    - windows ordering on a salt-bucket column (``_gss_bkt`` /
+      ``_bkt``): the <= n_buckets-row offsets frame inside the
+      two-phase helpers (`global_scan_salted` / `prefix_agg_salted`);
+    - windows whose input chain is capped by a Local/GlobalLimit
+      (e.g. rank-stamping a TakeOrdered top-k output).
+
+    Anything else must either be converted to a two-phase scan or
+    carry a documented exemption in tests/test_plans.py.
+    """
+    violations: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "Window" and node.partitionSpec().size() == 0:
+            os_ = node.orderSpec()
+            names = [
+                os_.apply(i).child().toString() for i in range(os_.size())
+            ]
+            salted = any("_gss_bkt" in n or "_bkt" in n for n in names)
+            bounded = False
+            if not salted and node.children().size() == 1:
+                cur = node.children().apply(0)
+                for _ in range(20):
+                    ccls = cur.getClass().getSimpleName()
+                    if ccls in ("GlobalLimit", "LocalLimit"):
+                        bounded = True
+                        break
+                    if cur.children().size() != 1:
+                        break
+                    cur = cur.children().apply(0)
+            if not salted and not bounded:
+                violations.append(", ".join(names))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())  # noqa: SLF001
+    return violations
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen stages in the plan. Under AQE the
     markers only appear in the *final* plan, so execute the DataFrame

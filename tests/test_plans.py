@@ -388,3 +388,67 @@ def test_pipe_syntax_desugars_to_classic_plan(spark, sf_dir):
         return re.sub(r"#\d+L?", "#x", plan)
 
     assert norm(df) == norm(classic)
+
+
+# ---------------------------------------------------------------------------
+# global single-partition-window audit — the r7 verdict's last
+# systematic anti-pattern, now enforced for EVERY registered query
+# ---------------------------------------------------------------------------
+
+# Keys allowed to keep an empty-partition-spec window because the
+# frame under it is STRUCTURALLY bounded — it grows with a vocabulary
+# / constant, never with the row count. Anything not listed here (and
+# not salt-bucketed / limit-capped, which the inspector exempts
+# structurally) must go through the two-phase range-bucketed scans in
+# operators/windows.py (prefix_agg_salted / global_scan_salted).
+GLOBAL_WINDOW_EXEMPT = {
+    # frame = the 9 first-significant digits
+    "q_benford": "9-row digit frame (share-of-total window)",
+    # frame = 10 decile rows AFTER groupBy(decile); the customer-scale
+    # rank already runs through global_scan_salted
+    "q_lift_curve": "10-row decile frame (cumulative gains)",
+    # frame = contingency cells: |event_type| x |region| vocabulary
+    "q_chi2_test": "contingency-cell frame (category vocabulary)",
+    "q_cramers_v": "contingency-cell frame (category vocabulary)",
+    # frame = one row per marketing channel (vocabulary)
+    "q_attribution_markov": "per-channel removal-effect frame",
+    # frame = one row per language in the mixture target (constant map)
+    "q_mixture_plan": "per-language mixture frame (constant domain)",
+    # frame = n_boot resample means (constant 200)
+    "q_bootstrap_ci": "n_boot-row resample-mean frame (constant)",
+    # frame = $10 value-range histogram buckets (bounded by the VALUE
+    # range, not the row count — the documented 2-pass design)
+    "q_quantile_2pass": "value-range-bounded bucket histogram frame",
+    # frame = the calendar-day spine (lag chain over daily deltas;
+    # ~365 rows/year regardless of fact volume)
+    "q_runs_test": "calendar-day-spine frame (daily lag chain)",
+}
+
+
+def test_no_unbounded_global_windows(spark, sf_dir):
+    """No registered query may window-sort a data-scale frame on an
+    empty partition spec — the single-task funnel a 100 TB plan cannot
+    carry. Structurally bounded shapes (salt-bucket offset frames,
+    limit-capped inputs) are exempted by the inspector itself;
+    vocabulary/constant-sized frames carry a documented exemption
+    above. This is the guardrail that keeps the r7-r8 window
+    conversions from regressing."""
+    from flink_rc_spark.plans import global_window_violations
+
+    offenders = {}
+    for key in sorted(REGISTRY):
+        df = REGISTRY[key].builder(spark, sf_dir)
+        v = global_window_violations(df)
+        if v and key not in GLOBAL_WINDOW_EXEMPT:
+            offenders[key] = v
+    assert not offenders, (
+        "unbounded global windows (route through global_scan_salted /"
+        f" prefix_agg_salted or document an exemption): {offenders}"
+    )
+    stale = sorted(
+        k for k in GLOBAL_WINDOW_EXEMPT
+        if not global_window_violations(
+            REGISTRY[k].builder(spark, sf_dir)
+        )
+    )
+    assert not stale, f"exemptions no longer needed (remove): {stale}"

@@ -163,6 +163,20 @@ NESTED_LOOP_ALLOWED = {
     #              (a < b) for the C(5,2) pair spine, plus the tiny
     #              day-spine x types grid — the q_ts_resample
     #              tiny-spine class; the fact is never in the cross
+    # --- r8 global_scan_salted conversions: each key's grand totals
+    #     now ride ONE broadcast row onto the scanned frame (the
+    #     q_bm25 single-row-join class) instead of an UNBOUNDED
+    #     ... OVER () window — the cross is 1-row by construction
+    "q_ks_test",  # single-row (n1, n2) totals onto the CDF scan
+    "q_mw_utest",  # single-row (n1, n2) totals onto the rank scan
+    "q_wilcoxon_signed",  # single-row n onto the |d|-rank scan
+    "q_cliffs_delta",  # single-row (n1, n2) onto the value scan
+    "q_survival_km",  # single-row n_all onto the risk-set scan
+    "q_decision_stump",  # single-row (pos_t, n_t) onto the threshold scan
+    "q_elbow_point",  # single-row (n, total) onto the spend-curve scan
+    "q_pareto_abc",  # single-row totals onto the ranked-spend scan
+    "q_lorenz_gini",  # single-row totals onto the ranked-spend scan
+    "q_time_to_convert",  # single-row totals onto the latency-rank scan
 }
 
 
