@@ -917,6 +917,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back onto the node set.
     from flink_rc_spark.operators.windows import global_scan_salted
 
+    # the 5-round iterate is read twice (distinct-score frame + the
+    # final join) — materialize the converged ranks once
+    rank = rank.localCheckpoint(eager=True)
     rcnt = rank.groupBy("r").agg(F.count("*").alias("_rc"))
     rranks = global_scan_salted(
         rcnt,

@@ -363,12 +363,14 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the grand count is a 1-row broadcast
     from flink_rc_spark.operators.windows import global_scan_salted
 
+    cust = cust.localCheckpoint(eager=True)  # shared by count + scan
     nrow = cust.agg(F.count("*").alias("n"))
     ranked = global_scan_salted(
         cust,
         "cents",
         ["cents", "o_custkey"],
         [{"kind": "count", "value": None, "out": "i", "exclusive": False}],
+        materialize=False,
     ).crossJoin(F.broadcast(nrow)).select("cents", "i", "n")
     s = ranked.agg(
         F.max("n").alias("n"),
@@ -761,6 +763,7 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_rc_spark.operators.windows import global_scan_salted
 
+    vals = vals.localCheckpoint(eager=True)  # shared by totals + scan
     tot = vals.agg(
         F.sum("c2").cast("bigint").alias("n2"),
         F.sum("c1").cast("bigint").alias("n1"),
@@ -771,6 +774,7 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("c")],
         [{"kind": "sum", "value": F.col("c2"), "out": "_cum",
           "exclusive": False}],
+        materialize=False,
     ).crossJoin(F.broadcast(tot)).select(
         "c",
         "c1",

@@ -394,12 +394,17 @@ def q_basket_pairs(spark, sf_dir):
     (the MinHash-bucket idiom) shuffles baskets once but pays
     Catalyst-INTERPRETED nested-HOF cost per emitted pair — 14.3 s at
     sf0.1; the textbook self-join on the customer key is fully
-    codegen'd at 4.7 s with identical results (A/B in-session; a
-    double-explode splits the difference at 8.8 s). The join shuffles
-    the slim (cust, part) table twice, which whole-stage codegen
-    amortizes; per-customer basket size is still the skew knob at
-    100 TB (cap or sample oversized baskets BEFORE the join fan-out).
+    codegen'd with identical results (A/B in-session; a double-explode
+    splits the difference). r8: the self-join runs through
+    `pair_support_salted` (operators/joins.py) — the basket
+    materializes ONCE (no ReusedExchange fires across join sides, so
+    the plain form built the fact-join+distinct subtree twice), the
+    per-customer skew is DIAGNOSED (q_skew_stats' salt factor), and a
+    hot customer's C(B,2) fan-out splits across salt tasks when the
+    diagnosis says so — identical pair set, tested.
     """
+    from flink_rc_spark.operators.joins import pair_support_salted
+
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     basket = (
@@ -407,13 +412,10 @@ def q_basket_pairs(spark, sf_dir):
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
-    a = basket.select("cust", F.col("part").alias("part_a"))
-    b = basket.select("cust", F.col("part").alias("part_b"))
     return (
-        a.join(b, "cust")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("support"))
+        pair_support_salted(
+            basket, "cust", "part", "part_a", "part_b", "support"
+        )
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(20)
     )
@@ -482,6 +484,8 @@ def q_rfm_segments(spark, sf_dir):
             F.count("*").alias("frequency"),
             dsum("o_totalprice", 14, 2).alias("monetary"),
         )
+        # read by count() + three chained rank scans — materialize once
+        .localCheckpoint(eager=True)
     )
     n = rfm.count()
     cnt = [{"kind": "count", "value": None, "out": "_rn", "exclusive": False}]
@@ -640,7 +644,7 @@ def q_pareto_abc(spark, sf_dir):
 
     rev = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice") * (dlit(1) - dec("l_discount"))).alias("r")
-    )
+    ).localCheckpoint(eager=True)  # shared by totals + scan
     tot = rev.agg(F.sum("r").alias("total"))
     ranked = global_scan_salted(
         rev,
@@ -649,6 +653,7 @@ def q_pareto_abc(spark, sf_dir):
         [{"kind": "sum", "value": F.col("r"), "out": "cum",
           "exclusive": False}],
         descending=True,
+        materialize=False,
     ).crossJoin(F.broadcast(tot))
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     abc = (
@@ -2524,7 +2529,11 @@ def q_time_to_convert(spark, sf_dir):
             ).alias("gap_us")
         )
     )
-    vals = conv.groupBy("gap_us").agg(F.count("*").cast("bigint").alias("n"))
+    vals = (
+        conv.groupBy("gap_us")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)  # shared by totals + scan
+    )
     # cumulative count via the two-phase range-bucketed scan (no
     # single-partition window over the distinct-gap frame, which
     # grows with converted users); grand totals are a 1-row broadcast
@@ -2540,6 +2549,7 @@ def q_time_to_convert(spark, sf_dir):
         ["gap_us"],
         [{"kind": "sum", "value": F.col("n"), "out": "_cumn",
           "exclusive": False}],
+        materialize=False,
     ).crossJoin(F.broadcast(totals)).select(
         "gap_us",
         F.col("_cumn").cast("bigint").alias("cumn"),
@@ -3082,7 +3092,7 @@ def q_elbow_point(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("cents")
-    )
+    ).localCheckpoint(eager=True)  # shared by totals + scan
     from flink_rc_spark.operators.windows import global_scan_salted
 
     tot = per_cust.agg(
@@ -3100,6 +3110,7 @@ def q_elbow_point(spark, sf_dir):
              "exclusive": False},
         ],
         descending=True,
+        materialize=False,
     ).crossJoin(F.broadcast(tot)).select(
         F.col("_i").cast("bigint").alias("i"),
         F.col("_cum").cast("bigint").alias("cum"),

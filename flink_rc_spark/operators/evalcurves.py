@@ -286,12 +286,14 @@ def q_lift_curve(spark, sf_dir):
     # single-partition row_number window over the customer rollup
     from flink_rc_spark.operators.windows import global_scan_salted
 
+    per_cust = per_cust.localCheckpoint(eager=True)  # shared w/ n_cust
     ranked = global_scan_salted(
         per_cust,
         "spend_cents",
         [F.col("spend_cents").desc(), F.col("o_custkey")],
         [{"kind": "count", "value": None, "out": "rn", "exclusive": False}],
         descending=True,
+        materialize=False,
     ).select("responder", "rn")
     n_cust = per_cust.agg(F.count("*").cast("bigint").alias("n_cust"))
     deciled = ranked.crossJoin(F.broadcast(n_cust)).select(

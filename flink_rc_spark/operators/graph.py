@@ -389,11 +389,15 @@ def q_link_predict(spark, sf_dir):
     underneath is exactly q_basket_pairs' measured shape; the top cut
     is TakeOrdered(1500), never a full sort.
 
-    Plan: basket self-join → hash agg (q_basket_pairs), TakeOrdered
-    edge cut, wedge enumeration on the bounded edge frame (the
-    q_graph_triangles shape), anti-join for non-adjacency,
+    Plan: skew-diagnosed basket self-join → hash agg
+    (pair_support_salted, shared with q_basket_pairs — single basket
+    materialization, hot-customer fan-out salted across tasks),
+    TakeOrdered edge cut, wedge enumeration on the bounded edge frame
+    (the q_graph_triangles shape), anti-join for non-adjacency,
     degree joins after aggregation, TakeOrdered(20).
     """
+    from flink_rc_spark.operators.joins import pair_support_salted
+
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     basket = (
@@ -401,13 +405,8 @@ def q_link_predict(spark, sf_dir):
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
-    ba = basket.select("cust", F.col("part").alias("u"))
-    bb = basket.select("cust", F.col("part").alias("v"))
     top = (
-        ba.join(bb, "cust")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("supp"))
+        pair_support_salted(basket, "cust", "part", "u", "v", "supp")
         .orderBy(F.desc("supp"), "u", "v")
         .limit(1500)
         .select("u", "v")

@@ -453,6 +453,57 @@ def diagnose_salt_factor(fact, key_col: str, parts: int = 32) -> int:
     return int(max(1, min(parts, factor)))
 
 
+def pair_support_salted(
+    basket: DataFrame,
+    key_col: str,
+    item_col: str,
+    out_a: str,
+    out_b: str,
+    out_n: str,
+    parts: int = 32,
+) -> DataFrame:
+    """Within-key item pairs (out_a < out_b) with co-occurrence
+    counts — the market-basket self-join, shared by q_basket_pairs /
+    q_link_predict, with the hot-key quadratic handled (r7 verdict
+    item 6):
+
+    - the basket is localCheckpoint'ed ONCE: the plain self-join
+      otherwise computes the whole basket subtree (fact join +
+      distinct) twice — no ReusedExchange fires across join sides —
+      and the skew diagnosis then reads the materialized frame for
+      the cost of a slim agg;
+    - `diagnose_salt_factor` measures the heaviest key; on uniform
+      baskets (factor 1) the plan is the plain codegen'd equi-join,
+      zero overhead;
+    - on a skewed key, the ONE-SIDED salt spreads the per-key
+      quadratic: left side buckets by hash(item) % factor, right side
+      replicates factor ways, join key becomes (key, salt). Every
+      (a, b) pair still joins exactly once — at a's bucket — so the
+      result is IDENTICAL (tested row-for-row vs the plain join);
+      the hot key's C(B,2) fan-out and compare work split across
+      `factor` tasks instead of one straggler.
+    """
+    cached = basket.localCheckpoint(eager=True)
+    factor = diagnose_salt_factor(cached, key_col, parts)
+    a = cached.select(key_col, F.col(item_col).alias(out_a))
+    b = cached.select(key_col, F.col(item_col).alias(out_b))
+    if factor > 1:
+        a = a.withColumn(
+            "_ps", F.pmod(F.xxhash64(out_a), F.lit(factor)).cast("int")
+        )
+        b = b.withColumn(
+            "_ps", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+        )
+        joined = a.join(b, [key_col, "_ps"]).drop("_ps")
+    else:
+        joined = a.join(b, key_col)
+    return (
+        joined.filter(F.col(out_a) < F.col(out_b))
+        .groupBy(out_a, out_b)
+        .agg(F.count("*").alias(out_n))
+    )
+
+
 @register(
     "q_join_salted",
     oracle="""

@@ -99,7 +99,7 @@ def q_decision_stump(spark, sf_dir):
     )
     th = x.groupBy("f").agg(
         F.sum("y").alias("pos_at"), F.count("*").alias("cnt_at")
-    )
+    ).localCheckpoint(eager=True)  # shared by totals + scan
     tot = th.agg(
         F.sum("pos_at").alias("pos_t"), F.sum("cnt_at").alias("n_t")
     )
@@ -113,6 +113,7 @@ def q_decision_stump(spark, sf_dir):
             {"kind": "sum", "value": F.col("cnt_at"), "out": "n_l",
              "exclusive": False},
         ],
+        materialize=False,
     ).crossJoin(F.broadcast(tot)).select(
         "f", "pos_l", "n_l", "pos_t", "n_t"
     )

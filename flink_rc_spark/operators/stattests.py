@@ -92,6 +92,7 @@ def q_ks_test(spark, sf_dir):
             F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
         )
     )
+    p = p.localCheckpoint(eager=True)  # shared by totals + scan
     tot = p.agg(
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
@@ -106,6 +107,7 @@ def q_ks_test(spark, sf_dir):
             {"kind": "sum", "value": F.col("c2"), "out": "f2",
              "exclusive": False},
         ],
+        materialize=False,
     ).crossJoin(F.broadcast(tot)).select("f1", "f2", "n1", "n2")
     return c.agg(
         F.max("n1").alias("n1"),
@@ -173,6 +175,7 @@ def q_mw_utest(spark, sf_dir):
             F.count("*").alias("c"),
         )
     )
+    p = p.localCheckpoint(eager=True)  # shared by totals + scan
     tot = p.agg(
         F.sum("c1").alias("n1"),
         F.sum(F.col("c") - F.col("c1")).alias("n2"),
@@ -183,6 +186,7 @@ def q_mw_utest(spark, sf_dir):
         [F.col("value")],
         [{"kind": "sum", "value": F.col("c"), "out": "_cum",
           "exclusive": False}],
+        materialize=False,
     ).crossJoin(F.broadcast(tot)).select(
         "c1",
         "c",
@@ -626,12 +630,14 @@ def q_calibration_bins(spark, sf_dir):
         ),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
     )
+    x = x.localCheckpoint(eager=True)  # shared by count + scan
     n = x.count()
     ranked = global_scan_salted(
         x,
         "score_c",
         ["score_c", "event_id"],
         [{"kind": "count", "value": None, "out": "rn", "exclusive": False}],
+        materialize=False,
     )
     binned = ranked.select(
         "score_c",
@@ -744,6 +750,7 @@ def q_survival_km(spark, sf_dir):
     )
     from flink_rc_spark.operators.windows import global_scan_salted
 
+    grp = grp.localCheckpoint(eager=True)  # shared by totals + scan
     tot = grp.agg(F.sum("cnt").alias("_n_all"))
     risk = global_scan_salted(
         grp,
@@ -751,6 +758,7 @@ def q_survival_km(spark, sf_dir):
         [F.col("t")],
         [{"kind": "sum", "value": F.col("cnt"), "out": "_cum",
           "exclusive": False}],
+        materialize=False,
     ).crossJoin(F.broadcast(tot)).select(
         "t",
         "d",
@@ -1386,7 +1394,12 @@ def q_kruskal_wallis(spark, sf_dir):
     from flink_rc_spark.operators.windows import global_scan_salted
 
     ev = load(spark, sf_dir, "events")
-    p = ev.groupBy("value", "event_type").agg(F.count("*").alias("c"))
+    # p is read twice (the rank frame + the r join below)
+    p = (
+        ev.groupBy("value", "event_type")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     vtot = p.groupBy("value").agg(F.sum("c").alias("cv"))
     vrank = global_scan_salted(
         vtot,
@@ -1831,6 +1844,9 @@ def q_corr_spearman(spark, sf_dir):
             .alias("xc"),
             F.col("yc").cast("long").alias("yc"),
         )
+        # pairs is read three times (both rank frames + the moment
+        # join) — materialize the fact-side agg once
+        .localCheckpoint(eager=True)
     )
     from flink_rc_spark.operators.windows import global_scan_salted
 
@@ -2637,6 +2653,7 @@ def q_wilcoxon_signed(spark, sf_dir):
     )
     from flink_rc_spark.operators.windows import global_scan_salted
 
+    grp = grp.localCheckpoint(eager=True)  # shared by totals + scan
     tot = grp.agg(F.sum("t").cast("bigint").alias("n"))
     ranked = global_scan_salted(
         grp,
@@ -2644,6 +2661,7 @@ def q_wilcoxon_signed(spark, sf_dir):
         [F.col("ad")],
         [{"kind": "sum", "value": F.col("t"), "out": "_cum",
           "exclusive": False}],
+        materialize=False,
     ).crossJoin(F.broadcast(tot)).select(
         "t",
         "pos",

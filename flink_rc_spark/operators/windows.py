@@ -32,6 +32,7 @@ def prefix_agg_salted(
     boundaries: list | None = None,
     out_sum: str = "running_sum",
     out_rn: str = "running_n",
+    materialize: bool = True,
 ):
     """Skew-safe cumulative sum / running count for LOW-CARDINALITY
     window partition keys — the window twin of q_agg_salted.
@@ -58,6 +59,10 @@ def prefix_agg_salted(
     """
     from flink_rc_spark.functions.exact import dec as _dec
 
+    # single materialization of the input subtree — see
+    # global_scan_salted's note (same three-read shape)
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     if boundaries is None:
         probs = [i / n_buckets for i in range(1, n_buckets)]
         boundaries = df.approxQuantile(bucket_on, probs, 0.001)
@@ -107,6 +112,7 @@ def global_scan_salted(
     specs,
     n_buckets: int = 32,
     descending: bool = False,
+    materialize: bool = True,
 ):
     """Skew-safe GLOBAL window scan — the empty-partition-spec twin of
     `prefix_agg_salted`, for cumulative aggregates / ranks over a
@@ -139,6 +145,14 @@ def global_scan_salted(
     total order's primary key is descending. A 'count' spec with a
     total order IS row_number.
     """
+    # Materialize the scan input ONCE: the helper otherwise reads its
+    # input subtree three times (the approxQuantile planning pass, the
+    # bucketed local window, and the per-bucket totals agg) — measured
+    # at +0.7-7.6 s per converted key at sf0.1. Callers that already
+    # checkpointed (e.g. to share the frame with a separate totals
+    # agg) pass materialize=False.
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     src = F.col(bucket_on) if isinstance(bucket_on, str) else bucket_on
     src = src.cast("double")
     if descending:
