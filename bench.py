@@ -105,6 +105,21 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 4)
 
+    def calibrate_scan() -> float:
+        """Parquet-scan probe (~0.15 s healthy): reads the fixed
+        sf0.01 lineitem and hash-aggs it. The pure-codegen probe
+        above tracks CPU only; r8 measured box episodes where that
+        probe sat at a healthy ~0.10 s while REAL (scan+shuffle)
+        keys ran 1.4-2x slow — this probe senses the I/O/memory-
+        bandwidth dimension those episodes degrade."""
+        t0 = time.perf_counter()
+        spark.read.parquet(
+            "/root/testdata/sf0.01/lineitem.parquet"
+        ).groupBy("l_returnflag").agg(
+            {"l_extendedprice": "sum", "*": "count"}
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 4)
+
     def jvm_gc() -> None:
         """Full GC between measurements: accumulated garbage from
         PRIOR keys' execution degrades later keys 3-4x (measured via
@@ -116,9 +131,12 @@ def main() -> None:
 
     execute(HEADLINE[0])  # warm-up (JVM + codegen + parquet footer cache)
     calibrate()
+    calibrate_scan()
     jvm_gc()
     calib_start = min(calibrate(), calibrate())
     calib_samples = [calib_start]
+    scan_start = min(calibrate_scan(), calibrate_scan())
+    scan_samples = [scan_start]
 
     # Headline keys are timed as min-of-2 executions: the first pass
     # pays per-query Catalyst/codegen compilation (~0.1-0.3 s) and any
@@ -129,17 +147,24 @@ def main() -> None:
     for k in HEADLINE:
         jvm_gc()
         timings[k] = round(min(execute(k), execute(k)), 4)
-    # Calibration gate (r7 verdict): if the probe degraded past 1.3x
-    # its start during the headline pass, the box — not the plans —
+    # Calibration gate (r7 verdict): if the probe's envelope around
+    # the headline pass is unhealthy — start above the ~0.15 s nominal
+    # box floor, or >1.3x drift in EITHER direction between start and
+    # end (a degraded start that later recovers inflates the first
+    # pass exactly like a degradation does) — the box, not the plans,
     # moved; re-measure each headline key once more and keep the min,
-    # so one degraded episode cannot masquerade as a plan regression.
+    # so one episode cannot masquerade as a plan regression.
     calib_after_headline = min(calibrate(), calibrate())
     calib_samples.append(calib_after_headline)
-    if calib_after_headline > 1.3 * calib_start:
+    scan_samples.append(min(calibrate_scan(), calibrate_scan()))
+    hi = max(calib_start, calib_after_headline)
+    lo = min(calib_start, calib_after_headline)
+    if calib_start > 0.20 or hi > 1.3 * lo:
         for k in HEADLINE:
             jvm_gc()
             timings[k] = round(min(timings[k], execute(k)), 4)
         calib_samples.append(min(calibrate(), calibrate()))
+        scan_samples.append(min(calibrate_scan(), calibrate_scan()))
     headline_total = round(sum(timings.values()), 4)
 
     if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
@@ -148,6 +173,7 @@ def main() -> None:
                 jvm_gc()
             if i % 25 == 0 and i > 0:
                 calib_samples.append(min(calibrate(), calibrate()))
+                scan_samples.append(min(calibrate_scan(), calibrate_scan()))
             t = execute(k)
             # retry-if-slow: this box shows 2-5x single-run noise
             # spikes (a 2.5 s key has benched at 13 s); one retry on
@@ -161,6 +187,7 @@ def main() -> None:
                     t = min(t, execute(k))
             timings[k] = round(t, 4)
         calib_samples.append(min(calibrate(), calibrate()))
+        scan_samples.append(min(calibrate_scan(), calibrate_scan()))
 
     # calib_ok gates trust in the artifact (r7 verdict): False means
     # the probe either started above its healthy-box envelope
@@ -169,7 +196,16 @@ def main() -> None:
     # numbers then describe the box episode, not the plans, and a
     # consumer must not record them as a regression.
     calib_ratio = round(max(calib_samples) / calib_start, 3)
-    calib_ok = calib_start <= 0.20 and calib_ratio <= 1.3
+    # scan probe judged on intra-run DRIFT (no healthy-box absolute
+    # reference exists yet for it — r8 measured ~0.45 s warm on a box
+    # whose codegen probe read healthy while real keys ran 1.4-2x
+    # slow, so the recorded history is the reference being built)
+    scan_drift = round(max(scan_samples) / min(scan_samples), 3)
+    calib_ok = (
+        calib_start <= 0.20
+        and calib_ratio <= 1.3
+        and scan_drift <= 1.5
+    )
     line = json.dumps(
         {
             "metric": "headline_queries_wall_clock",
@@ -180,6 +216,7 @@ def main() -> None:
             "calib": {
                 "start": calib_start,
                 "samples": calib_samples,
+                "scan_samples": scan_samples,
                 "ratio": calib_ratio,
                 "ok": calib_ok,
             },
