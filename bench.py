@@ -160,11 +160,24 @@ def main() -> None:
     hi = max(calib_start, calib_after_headline)
     lo = min(calib_start, calib_after_headline)
     if calib_start > 0.20 or hi > 1.3 * lo:
-        for k in HEADLINE:
-            jvm_gc()
-            timings[k] = round(min(timings[k], execute(k)), 4)
-        calib_samples.append(min(calibrate(), calibrate()))
-        scan_samples.append(min(calibrate_scan(), calibrate_scan()))
+        # The box episodes observed this round last minutes and swing
+        # the probe 0.08 -> 1.15 s; a re-measure INSIDE the episode
+        # just re-records it. Up to two extra headline passes, each
+        # preceded by a 60 s cool-down if the probe still reads hot,
+        # keep the min honest without unbounded stalling.
+        for attempt in range(2):
+            probe = min(calibrate(), calibrate())
+            if probe > 0.20 and attempt == 0:
+                time.sleep(60)
+                probe = min(calibrate(), calibrate())
+            calib_samples.append(probe)
+            for k in HEADLINE:
+                jvm_gc()
+                timings[k] = round(min(timings[k], execute(k)), 4)
+            calib_samples.append(min(calibrate(), calibrate()))
+            scan_samples.append(min(calibrate_scan(), calibrate_scan()))
+            if calib_samples[-1] <= 0.20:
+                break
     headline_total = round(sum(timings.values()), 4)
 
     if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
