@@ -105,20 +105,40 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 4)
 
-    def calibrate_scan() -> float:
+    # Probe fixture resolved relative to the configured testdata root
+    # (r8 advice: the old hardcoded /root/testdata/sf0.01 path crashed
+    # the whole bench when that exact fixture was absent). Prefer the
+    # sibling sf0.01 (small, fixed-size probe regardless of bench SF);
+    # fall back to the bench SF's own lineitem; None disables the probe
+    # and calib_ok records the codegen-only verdict.
+    _root = os.path.dirname(sf_dir.rstrip("/"))
+    _scan_fixture = None
+    for cand in (
+        os.path.join(_root, "sf0.01", "lineitem.parquet"),
+        os.path.join(sf_dir, "lineitem.parquet"),
+    ):
+        if os.path.exists(cand):
+            _scan_fixture = cand
+            break
+
+    def calibrate_scan() -> float | None:
         """Parquet-scan probe (~0.15 s healthy): reads the fixed
         sf0.01 lineitem and hash-aggs it. The pure-codegen probe
         above tracks CPU only; r8 measured box episodes where that
         probe sat at a healthy ~0.10 s while REAL (scan+shuffle)
         keys ran 1.4-2x slow — this probe senses the I/O/memory-
         bandwidth dimension those episodes degrade."""
+        if _scan_fixture is None:
+            return None
         t0 = time.perf_counter()
-        spark.read.parquet(
-            "/root/testdata/sf0.01/lineitem.parquet"
-        ).groupBy("l_returnflag").agg(
+        spark.read.parquet(_scan_fixture).groupBy("l_returnflag").agg(
             {"l_extendedprice": "sum", "*": "count"}
         ).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 4)
+
+    def scan_probe2() -> float | None:
+        s = calibrate_scan()
+        return None if s is None else min(s, calibrate_scan())
 
     def jvm_gc() -> None:
         """Full GC between measurements: accumulated garbage from
@@ -132,11 +152,41 @@ def main() -> None:
     execute(HEADLINE[0])  # warm-up (JVM + codegen + parquet footer cache)
     calibrate()
     calibrate_scan()
-    jvm_gc()
-    calib_start = min(calibrate(), calibrate())
+
+    scan_samples: list[float] = []
+
+    def probe_pair() -> tuple[float, float | None]:
+        c = min(calibrate(), calibrate())
+        s = scan_probe2()
+        if s is not None:
+            scan_samples.append(s)
+        return c, s
+
+    def scan_sample() -> None:
+        s = scan_probe2()
+        if s is not None:
+            scan_samples.append(s)
+
+    # Pre-flight gate (r8 verdict): refuse to START the headline while
+    # either probe reads above the healthy-box envelope — codegen
+    # > 0.20 s, or scan > ~1.3x the 0.14 s warm healthy floor recorded
+    # in BASELINE.md's r8 environment tally. This box runs multi-minute
+    # degraded episodes; starting inside one produced three rounds of
+    # calib_ok=false artifacts. Bounded: up to 10 cool-downs of 60 s,
+    # then proceed anyway and let calib_ok mark the episode.
+    SCAN_FLOOR = 0.14
+    preflight_waits = 0
+    for _ in range(10):
+        jvm_gc()
+        scan_samples.clear()
+        calib_start, scan_start = probe_pair()
+        if calib_start <= 0.20 and (
+            scan_start is None or scan_start <= 1.3 * SCAN_FLOOR
+        ):
+            break
+        preflight_waits += 1
+        time.sleep(60)
     calib_samples = [calib_start]
-    scan_start = min(calibrate_scan(), calibrate_scan())
-    scan_samples = [scan_start]
 
     # Headline keys are timed as min-of-2 executions: the first pass
     # pays per-query Catalyst/codegen compilation (~0.1-0.3 s) and any
@@ -156,7 +206,7 @@ def main() -> None:
     # so one episode cannot masquerade as a plan regression.
     calib_after_headline = min(calibrate(), calibrate())
     calib_samples.append(calib_after_headline)
-    scan_samples.append(min(calibrate_scan(), calibrate_scan()))
+    scan_sample()
     hi = max(calib_start, calib_after_headline)
     lo = min(calib_start, calib_after_headline)
     if calib_start > 0.20 or hi > 1.3 * lo:
@@ -175,7 +225,7 @@ def main() -> None:
                 jvm_gc()
                 timings[k] = round(min(timings[k], execute(k)), 4)
             calib_samples.append(min(calibrate(), calibrate()))
-            scan_samples.append(min(calibrate_scan(), calibrate_scan()))
+            scan_sample()
             if calib_samples[-1] <= 0.20:
                 break
     headline_total = round(sum(timings.values()), 4)
@@ -186,7 +236,7 @@ def main() -> None:
                 jvm_gc()
             if i % 25 == 0 and i > 0:
                 calib_samples.append(min(calibrate(), calibrate()))
-                scan_samples.append(min(calibrate_scan(), calibrate_scan()))
+                scan_sample()
             t = execute(k)
             # retry-if-slow: this box shows 2-5x single-run noise
             # spikes (a 2.5 s key has benched at 13 s); one retry on
@@ -200,7 +250,7 @@ def main() -> None:
                     t = min(t, execute(k))
             timings[k] = round(t, 4)
         calib_samples.append(min(calibrate(), calibrate()))
-        scan_samples.append(min(calibrate_scan(), calibrate_scan()))
+        scan_sample()
 
     # calib_ok gates trust in the artifact (r7 verdict): False means
     # the probe either started above its healthy-box envelope
@@ -209,15 +259,22 @@ def main() -> None:
     # numbers then describe the box episode, not the plans, and a
     # consumer must not record them as a regression.
     calib_ratio = round(max(calib_samples) / calib_start, 3)
-    # scan probe judged on intra-run DRIFT (no healthy-box absolute
-    # reference exists yet for it — r8 measured ~0.45 s warm on a box
-    # whose codegen probe read healthy while real keys ran 1.4-2x
-    # slow, so the recorded history is the reference being built)
-    scan_drift = round(max(scan_samples) / min(scan_samples), 3)
+    # scan probe judged on BOTH intra-run drift and the absolute
+    # healthy floor established by the r8 environment tally
+    # (BASELINE.md: healthy warm ~0.14 s; degraded phases 0.22-0.45 s).
+    # A run whose scan probe never came near the floor ran entirely
+    # inside an episode, however flat its drift.
+    if scan_samples:
+        scan_drift = round(max(scan_samples) / min(scan_samples), 3)
+        scan_healthy = min(scan_samples) <= 1.3 * SCAN_FLOOR
+    else:
+        scan_drift = 1.0
+        scan_healthy = True  # probe fixture absent: codegen-only verdict
     calib_ok = (
         calib_start <= 0.20
         and calib_ratio <= 1.3
         and scan_drift <= 1.5
+        and scan_healthy
     )
     line = json.dumps(
         {
@@ -231,6 +288,7 @@ def main() -> None:
                 "samples": calib_samples,
                 "scan_samples": scan_samples,
                 "ratio": calib_ratio,
+                "preflight_waits": preflight_waits,
                 "ok": calib_ok,
             },
             "sf": sf,

@@ -484,22 +484,59 @@ def q_rfm_segments(spark, sf_dir):
             F.count("*").alias("frequency"),
             dsum("o_totalprice", 14, 2).alias("monetary"),
         )
-        # read by count() + three chained rank scans — materialize once
+        .withColumn(
+            "_r_d", F.col("last_order").cast("timestamp").cast("double")
+        )
+        # read by count() + quantile probe + three rank scans —
+        # materialize ONCE (r8 verdict: the old chained form paid a
+        # fresh checkpoint + quantile job per dimension)
         .localCheckpoint(eager=True)
     )
     n = rfm.count()
+    # ONE multi-column approxQuantile job supplies all three dims'
+    # bucket boundaries, memoized per (sf_dir, orders mtime) — the
+    # q_win_salted pattern (boundary choice never affects values)
+    import os as _os
+
+    try:
+        _mt = _os.path.getmtime(_os.path.join(sf_dir, "orders.parquet"))
+    except OSError:
+        _mt = 0.0
+    _bkey = (sf_dir.rstrip("/"), _mt)
+    if _bkey not in _RFM_BOUNDS:
+        _RFM_BOUNDS[_bkey] = dict(
+            zip(
+                ["_r_d", "frequency", "monetary"],
+                rfm.approxQuantile(
+                    ["_r_d", "frequency", "monetary"],
+                    [i / 32 for i in range(1, 32)],
+                    0.001,
+                ),
+            )
+        )
+    bounds = _RFM_BOUNDS[_bkey]
     cnt = [{"kind": "count", "value": None, "out": "_rn", "exclusive": False}]
+    # three INDEPENDENT rank scans of the one materialized frame
+    # (scores depend only on their own dimension), joined back on the
+    # unique customer key — replaces the old sequential chain
     scored = rfm
-    for col, bucket, out in [
-        ("last_order", F.col("last_order").cast("timestamp").cast("double"),
-         "r_score"),
-        ("frequency", F.col("frequency"), "f_score"),
-        ("monetary", F.col("monetary"), "m_score"),
+    for col, bcol, out in [
+        ("last_order", "_r_d", "r_score"),
+        ("frequency", "frequency", "f_score"),
+        ("monetary", "monetary", "m_score"),
     ]:
-        scored = global_scan_salted(
-            scored, bucket, [col, "c_custkey"], cnt
-        ).withColumn(out, ntile_from_rn(F.col("_rn"), 4, n).cast("int")) \
-         .drop("_rn")
+        r = global_scan_salted(
+            rfm,
+            F.col(bcol),
+            [col, "c_custkey"],
+            cnt,
+            materialize=False,
+            boundaries=bounds[bcol],
+        ).select(
+            "c_custkey",
+            ntile_from_rn(F.col("_rn"), 4, n).cast("int").alias(out),
+        )
+        scored = scored.join(r, "c_custkey")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
@@ -508,6 +545,9 @@ def q_rfm_segments(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+_RFM_BOUNDS: dict[tuple, dict] = {}
 
 
 @register(
@@ -2269,6 +2309,60 @@ def _mkv_round_sql(r: int) -> str:
         )"""
 
 
+def _mkv_transition_counts(spark, sf_dir):
+    """The data-touching stage of q_attribution_markov, shared with
+    tools/markov_split_probe.py: journey transitions (from_s, to_s,
+    cnt) for journeys truncated at the first purchase. ONE window
+    exchange on user_id carries row_number, lead, AND a running
+    prior-purchase count (same partition + order ⇒ one sort); a row
+    is kept iff no purchase precedes it. Each kept row then emits its
+    ≤ 2 transitions (journey start at rn=1; step out of a
+    non-purchase state — the full-order lead IS the kept successor by
+    the prefix property) in one compacted-array explode pass, so the
+    window subtree is read once, not twice."""
+    ev = load(spark, sf_dir, "events")
+    wuser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wprior = wuser.rowsBetween(Window.unboundedPreceding, -1)
+    is_purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    seq = ev.select(
+        "event_type",
+        F.row_number().over(wuser).alias("rn"),
+        F.lead("event_type").over(wuser).alias("nxt"),
+        F.coalesce(F.sum(is_purch).over(wprior), F.lit(0)).alias(
+            "n_prior_purch"
+        ),
+    ).filter(F.col("n_prior_purch") == 0)
+    start_tr = F.when(
+        F.col("rn") == 1,
+        F.struct(
+            F.lit("start").alias("from_s"),
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("to_s"),
+        ),
+    )
+    step_tr = F.when(
+        F.col("event_type") != "purchase",
+        F.struct(
+            F.col("event_type").alias("from_s"),
+            F.when(F.col("nxt") == "purchase", "conv")
+            .when(F.col("nxt").isNull(), "null")
+            .otherwise(F.col("nxt"))
+            .alias("to_s"),
+        ),
+    )
+    return (
+        seq.select(
+            F.explode(F.array_compact(F.array(start_tr, step_tr))).alias(
+                "tr"
+            )
+        )
+        .select("tr.from_s", "tr.to_s")
+        .groupBy("from_s", "to_s")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 @register(
     "q_attribution_markov",
     oracle=None,  # replaced below — assembled from the CTE helpers
@@ -2291,133 +2385,82 @@ def q_attribution_markov(spark, sf_dir):
     iterate TOGETHER as one (variant, state)-keyed frame — one plan,
     not 5 chains.
 
-    Plan: journey windows partition by user (the sessionize shuffle);
-    the chain frame is ≤ 5 variants × 36 edges; 12 rounds of
-    join+agg on that broadcast-size frame; effects/shares are a
-    4-row reduce. At 100 TB only the journey rollup touches data.
+    Plan (r9 rework — the r8 verdict demanded a stage split and
+    exchange reuse): ONE window exchange on user_id carries ALL the
+    data-touching work — row_number, lead, and a running
+    prior-purchase count share the same (partition, order), so the
+    old shape's second window over the purchases subset AND the
+    broadcast first-purchase join disappear: a row is "kept" (before
+    or at the user's first purchase) iff no purchase precedes it in
+    the user order. Start and step transitions then come out of ONE
+    pass via a compacted-array explode instead of a union that read
+    the window subtree twice. The ≤ 5 variants × 36-edge chain is
+    model-sized, so the 12 exact-integer value-iteration rounds run
+    driver-side (the q_kmeans centroid protocol — identical integers
+    to the oracle's CTE rounds), replacing 12 tiny join+agg stage
+    cascades with arithmetic on ~180 collected rows. At 100 TB only
+    the single window + count rollup touches data.
     """
-    ev = load(spark, sf_dir, "events")
-    wuser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    fp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(wuser))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("ts").alias("fts"), F.col("event_id").alias("fid"))
-    )
-    kept = ev.join(F.broadcast(fp), "user_id", "left").filter(
-        F.col("fts").isNull()
-        | (F.col("ts") < F.col("fts"))
-        | ((F.col("ts") == F.col("fts")) & (F.col("event_id") <= F.col("fid")))
-    )
-    seq = kept.select(
-        "user_id",
-        "event_type",
-        F.row_number().over(wuser).alias("rn"),
-        F.lead("event_type").over(wuser).alias("nxt"),
-    )
-    starts = seq.filter(F.col("rn") == 1).select(
-        F.lit("start").alias("from_s"),
-        F.when(F.col("event_type") == "purchase", "conv")
-        .otherwise(F.col("event_type"))
-        .alias("to_s"),
-    )
-    steps = seq.filter(F.col("event_type") != "purchase").select(
-        F.col("event_type").alias("from_s"),
-        F.when(F.col("nxt") == "purchase", "conv")
-        .when(F.col("nxt").isNull(), "null")
-        .otherwise(F.col("nxt"))
-        .alias("to_s"),
-    )
-    tcnt = starts.unionByName(steps).groupBy("from_s", "to_s").agg(
-        F.count("*").alias("cnt")
-    )
-    vnames = spark.createDataFrame(
-        [("base",)] + [(f"rm_{c}",) for c in _MKV_CHANNELS], "variant string"
-    )
-    vtrans = (
-        tcnt.crossJoin(F.broadcast(vnames))
-        .filter(
-            ~(
-                (F.col("variant") != "base")
-                & (F.col("from_s") == F.expr("substr(variant, 4)"))
+    tcnt = _mkv_transition_counts(spark, sf_dir)
+    # ---- model-sized tail: the transition-count frame is ≤ ~36 rows
+    # (6 from-states × 6 to-states), the audited collect() pattern —
+    # variant expansion, floor-quantized probabilities, and the 12
+    # value-iteration rounds run as exact Python-integer arithmetic,
+    # bit-identical to the oracle's BIGINT CTE rounds (floor div on
+    # non-negative ints == SQL // and Spark div). This replaces 12
+    # tiny distributed join+agg stage cascades (~36 scheduled stages
+    # of ≤ 180-row data) with driver math.
+    counts = [(r["from_s"], r["to_s"], r["cnt"]) for r in tcnt.collect()]
+    variants = ["base"] + [f"rm_{c}" for c in _MKV_CHANNELS]
+    vcnt: dict = {}
+    for variant in variants:
+        rm = variant[3:] if variant != "base" else None
+        for from_s, to_s, cnt in counts:
+            if rm is not None and from_s == rm:
+                continue
+            t = "null" if (rm is not None and to_s == rm) else to_s
+            vcnt[(variant, from_s, t)] = (
+                vcnt.get((variant, from_s, t), 0) + cnt
             )
-        )
-        .groupBy(
-            "variant",
-            "from_s",
-            F.when(
-                (F.col("variant") != "base")
-                & (F.col("to_s") == F.expr("substr(variant, 4)")),
-                "null",
-            )
-            .otherwise(F.col("to_s"))
-            .alias("to_s"),
-        )
-        .agg(F.sum("cnt").alias("cnt"))
-    )
-    wv = Window.partitionBy("variant", "from_s")
-    probs = vtrans.select(
-        "variant",
-        "from_s",
-        "to_s",
-        F.expr(
-            "(cnt * 1000000) div CAST(SUM(cnt)"
-            " OVER (PARTITION BY variant, from_s) AS BIGINT)"
-        ).alias("p_micro"),
-    ).localCheckpoint(eager=True)  # ≤ 180 rows: cut the lineage before 12 rounds
-    v = None
+    tot: dict = {}
+    for (variant, from_s, _t), c in vcnt.items():
+        tot[(variant, from_s)] = tot.get((variant, from_s), 0) + c
+    probs = {
+        k: (c * 1_000_000) // tot[(k[0], k[1])] for k, c in vcnt.items()
+    }
+    out_edges: dict = {}
+    for (variant, from_s, t), p in probs.items():
+        out_edges.setdefault((variant, from_s), []).append((t, p))
+    val: dict = {}
     for _ in range(_MKV_ROUNDS):
-        if v is None:
-            joined = probs.withColumn("val", F.lit(None).cast("long"))
-        else:
-            joined = probs.join(
-                F.broadcast(
-                    v.select(
-                        "variant", F.col("s").alias("to_s"), F.col("val")
-                    )
-                ),
-                ["variant", "to_s"],
-                "left",
-            )
-        v = joined.groupBy("variant", F.col("from_s").alias("s")).agg(
-            F.expr(
-                "CAST(CAST(SUM(CASE WHEN to_s = 'conv'"
-                " THEN p_micro * 1000000"
-                " WHEN to_s = 'null' THEN 0"
-                " ELSE p_micro * COALESCE(val, 0) END) AS BIGINT)"
-                " div 1000000 AS BIGINT)"
-            ).alias("val")
-        )
-    base = v.filter((F.col("variant") == "base") & (F.col("s") == "start")).select(
-        F.col("val").alias("base_micro")
-    )
-    removed = v.filter(
-        (F.col("variant") != "base") & (F.col("s") == "start")
-    ).select(
-        F.expr("substr(variant, 4)").alias("channel"),
-        F.col("val").alias("removed_micro"),
-    )
-    eff = removed.crossJoin(F.broadcast(base)).select(
-        "channel",
-        "base_micro",
-        "removed_micro",
-        F.greatest(
-            F.lit(0), F.col("base_micro") - F.col("removed_micro")
-        ).alias("effect_micro"),
-    )
-    wall = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return eff.select(
-        "channel",
-        "base_micro",
-        "removed_micro",
-        "effect_micro",
-        F.expr(
-            "CASE WHEN SUM(effect_micro) OVER () > 0 THEN"
-            " (effect_micro * 1000000) div CAST(SUM(effect_micro) OVER ()"
-            " AS BIGINT) END"
-        ).alias("share_micro"),
+        nxt_val = {}
+        for vs, edges in out_edges.items():
+            variant = vs[0]
+            acc = 0
+            for t, p in edges:
+                if t == "conv":
+                    acc += p * 1_000_000
+                elif t != "null":
+                    acc += p * val.get((variant, t), 0)
+            nxt_val[vs] = acc // 1_000_000
+        val = nxt_val
+    out_rows = []
+    if ("base", "start") in val:
+        base = val[("base", "start")]
+        effs = [
+            (c, val[(f"rm_{c}", "start")])
+            for c in _MKV_CHANNELS
+            if (f"rm_{c}", "start") in val
+        ]
+        tot_eff = sum(max(0, base - r) for _c, r in effs)
+        for c, removed in effs:
+            e = max(0, base - removed)
+            share = (e * 1_000_000) // tot_eff if tot_eff > 0 else None
+            out_rows.append((c, base, removed, e, share))
+    return spark.createDataFrame(
+        out_rows,
+        "channel string, base_micro bigint, removed_micro bigint,"
+        " effect_micro bigint, share_micro bigint",
     )
 
 
@@ -3099,6 +3142,12 @@ def q_elbow_point(spark, sf_dir):
         F.count("*").cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("total"),
     )
+    import os as _os
+
+    try:
+        _mt = _os.path.getmtime(_os.path.join(sf_dir, "orders.parquet"))
+    except OSError:
+        _mt = 0.0
     curve = global_scan_salted(
         per_cust,
         "cents",
@@ -3111,6 +3160,9 @@ def q_elbow_point(spark, sf_dir):
         ],
         descending=True,
         materialize=False,
+        # stable memo key: per_cust is a checkpoint (plan hash is
+        # per-call unstable), so name the (query, data) identity
+        bounds_key=("q_elbow_point", sf_dir.rstrip("/"), _mt),
     ).crossJoin(F.broadcast(tot)).select(
         F.col("_i").cast("bigint").alias("i"),
         F.col("_cum").cast("bigint").alias("cum"),

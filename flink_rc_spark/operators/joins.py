@@ -472,27 +472,69 @@ def pair_support_salted(
       distinct) twice — no ReusedExchange fires across join sides —
       and the skew diagnosis then reads the materialized frame for
       the cost of a slim agg;
-    - `diagnose_salt_factor` measures the heaviest key; on uniform
+    - `diagnose_salt_factor`'s measurement decides; on uniform
       baskets (factor 1) the plan is the plain codegen'd equi-join,
       zero overhead;
     - on a skewed key, the ONE-SIDED salt spreads the per-key
-      quadratic: left side buckets by hash(item) % factor, right side
-      replicates factor ways, join key becomes (key, salt). Every
-      (a, b) pair still joins exactly once — at a's bucket — so the
-      result is IDENTICAL (tested row-for-row vs the plain join);
-      the hot key's C(B,2) fan-out and compare work split across
-      `factor` tasks instead of one straggler.
+      quadratic — but ONLY for the flagged HOT keys (r8 advice: the
+      old form replicated the ENTIRE right side `factor` ways, so one
+      hot key among many cold ones grew the whole join input up to
+      32x). Keys at >= 2x a reducer's fair share (occupancy >= 2 —
+      at most parts/2 of them can exist, so the driver-side list is
+      bounded by construction) get left-side bucketing by
+      hash(item) % factor and right-side replication; cold keys keep
+      salt 0 on both sides and join exactly as before. Every (a, b)
+      pair still joins exactly once — at a's bucket — so the result
+      is IDENTICAL (tested row-for-row vs the plain join); the hot
+      key's C(B,2) fan-out and compare work split across `factor`
+      tasks instead of one straggler.
     """
     cached = basket.localCheckpoint(eager=True)
-    factor = diagnose_salt_factor(cached, key_col, parts)
+    kc = cached.groupBy(key_col).agg(F.count("*").alias("_kn"))
+    stats = kc.agg(
+        F.max("_kn").cast("bigint").alias("mx"),
+        F.sum("_kn").cast("bigint").alias("total"),
+    ).first()
+    if not stats or not stats["total"]:
+        factor = 1
+    else:
+        factor = int(
+            max(
+                1,
+                min(
+                    parts,
+                    (stats["mx"] * parts + stats["total"] - 1)
+                    // stats["total"],
+                ),
+            )
+        )
     a = cached.select(key_col, F.col(item_col).alias(out_a))
     b = cached.select(key_col, F.col(item_col).alias(out_b))
     if factor > 1:
+        hot = [
+            r[0]
+            for r in kc.filter(
+                F.col("_kn") * parts >= F.lit(2 * stats["total"])
+            )
+            .select(key_col)
+            .collect()  # <= parts/2 rows by construction
+        ]
+        is_hot = F.col(key_col).isin(hot)
         a = a.withColumn(
-            "_ps", F.pmod(F.xxhash64(out_a), F.lit(factor)).cast("int")
+            "_ps",
+            F.when(
+                is_hot, F.pmod(F.xxhash64(out_a), F.lit(factor))
+            )
+            .otherwise(0)
+            .cast("int"),
         )
         b = b.withColumn(
-            "_ps", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+            "_ps",
+            F.explode(
+                F.when(
+                    is_hot, F.sequence(F.lit(0), F.lit(factor - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ).cast("int"),
         )
         joined = a.join(b, [key_col, "_ps"]).drop("_ps")
     else:

@@ -356,44 +356,60 @@ def _hilbert_rounds_cte(xor) -> str:
 def hilbert_index(df, x_col: str, y_col: str):
     """DataFrame helper: append column `d` = Hilbert index of the
     {_HILBERT_BITS}-bit coords (x_col, y_col), carrying (p, s)
-    through. The Spark twin of _hilbert_rounds_cte — identical
-    integer rounds as chained projections (whole-stage codegen, no
-    UDF)."""
-    cur = df.select(
-        F.col(x_col).alias("p"),
-        F.col(y_col).alias("s"),
-        F.col(x_col).cast("bigint").alias("hx"),
-        F.col(y_col).cast("bigint").alias("hy"),
-        F.lit(0).cast("bigint").alias("d"),
+    through. The Spark twin of _hilbert_rounds_cte.
+
+    r9 rework: the 16 integer rounds used to be CHAINED PROJECTIONS —
+    Catalyst stacked 32 Project nodes whose collapsed expression
+    trees and generated code grew with every round (5.8 s at sf0.1
+    for what is ~50 integer ops/row). Now they are ONE `aggregate`
+    higher-order fold over the 16 literal quadrant sizes with a
+    (hx, hy, d) struct accumulator: a constant-size JVM expression
+    evaluated 16× per row — same integers, same oracle, no
+    expression-tree blowup and no UDF."""
+    svs = F.array(
+        *[
+            F.lit(1 << i).cast("bigint")
+            for i in range(_HILBERT_BITS - 1, -1, -1)
+        ]
     )
-    for sv in (2**i for i in range(_HILBERT_BITS - 1, -1, -1)):
-        rx = F.when(F.col("hx").bitwiseAND(F.lit(sv)) > 0, 1).otherwise(0)
-        ry = F.when(F.col("hy").bitwiseAND(F.lit(sv)) > 0, 1).otherwise(0)
-        cur = cur.select(
-            "p", "s",
-            F.col("hx").alias("ox"), F.col("hy").alias("oy"), "d",
-            rx.alias("rx"), ry.alias("ry"),
-        ).select(
-            "p", "s",
+
+    def step(acc, sv):
+        one = F.lit(1).cast("bigint")
+        zero = F.lit(0).cast("bigint")
+        rx = F.when(acc["hx"].bitwiseAND(sv) > 0, one).otherwise(zero)
+        ry = F.when(acc["hy"].bitwiseAND(sv) > 0, one).otherwise(zero)
+        hx_new = (
             F.when(
-                F.col("ry") == 0,
-                F.when(F.col("rx") == 1, F.lit(sv - 1) - F.col("oy")).otherwise(
-                    F.col("oy")
-                ),
-            ).otherwise(F.col("ox")).alias("hx"),
-            F.when(
-                F.col("ry") == 0,
-                F.when(F.col("rx") == 1, F.lit(sv - 1) - F.col("ox")).otherwise(
-                    F.col("ox")
-                ),
-            ).otherwise(F.col("oy")).alias("hy"),
-            (
-                F.col("d")
-                + F.lit(sv * sv).cast("bigint")
-                * F.expr("CAST((3 * rx) ^ ry AS BIGINT)")
-            ).alias("d"),
+                ry == 0,
+                F.when(rx == 1, sv - 1 - acc["hy"]).otherwise(acc["hy"]),
+            )
+            .otherwise(acc["hx"])
         )
-    return cur
+        hy_new = (
+            F.when(
+                ry == 0,
+                F.when(rx == 1, sv - 1 - acc["hx"]).otherwise(acc["hx"]),
+            )
+            .otherwise(acc["hy"])
+        )
+        d_new = acc["d"] + sv * sv * (rx * 3).bitwiseXOR(ry)
+        return F.struct(
+            hx_new.alias("hx"), hy_new.alias("hy"), d_new.alias("d")
+        )
+
+    d = F.aggregate(
+        svs,
+        F.struct(
+            F.col(x_col).cast("bigint").alias("hx"),
+            F.col(y_col).cast("bigint").alias("hy"),
+            F.lit(0).cast("bigint").alias("d"),
+        ),
+        step,
+        lambda acc: acc["d"],
+    )
+    return df.select(
+        F.col(x_col).alias("p"), F.col(y_col).alias("s"), d.alias("d")
+    )
 
 
 @register(

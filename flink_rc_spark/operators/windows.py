@@ -33,6 +33,7 @@ def prefix_agg_salted(
     out_sum: str = "running_sum",
     out_rn: str = "running_n",
     materialize: bool = True,
+    bounds_key=None,
 ):
     """Skew-safe cumulative sum / running count for LOW-CARDINALITY
     window partition keys — the window twin of q_agg_salted.
@@ -59,6 +60,12 @@ def prefix_agg_salted(
     """
     from flink_rc_spark.functions.exact import dec as _dec
 
+    if bounds_key is not None:
+        memo_key = (bounds_key, str(bucket_on), n_buckets, False)
+    else:
+        memo_key = _bounds_memo_key(df, bucket_on, n_buckets, False)
+    if boundaries is None and memo_key is not None:
+        boundaries = _BOUNDS_MEMO.get(memo_key)
     # single materialization of the input subtree — see
     # global_scan_salted's note (same three-read shape)
     if materialize:
@@ -66,9 +73,21 @@ def prefix_agg_salted(
     if boundaries is None:
         probs = [i / n_buckets for i in range(1, n_buckets)]
         boundaries = df.approxQuantile(bucket_on, probs, 0.001)
+        if memo_key is not None:
+            _BOUNDS_MEMO[memo_key] = boundaries
+    # non-null bucket contract enforced at RUNTIME (r8 advice: the old
+    # otherwise(0) silently placed NULL keys in bucket 0, corrupting
+    # every later bucket's offset): raise_error fires lazily only for
+    # an actual null row.
+    src = F.coalesce(
+        F.col(bucket_on),
+        F.raise_error(
+            F.lit("prefix_agg_salted: bucket_on must be non-null")
+        ),
+    )
     bkt = F.lit(0)
     for b in boundaries:
-        bkt = bkt + F.when(F.col(bucket_on) >= F.lit(b), 1).otherwise(0)
+        bkt = bkt + F.when(src >= F.lit(b), 1).otherwise(0)
     bucketed = df.withColumn("_bkt", bkt)
 
     w_local = (
@@ -105,6 +124,35 @@ def prefix_agg_salted(
     )
 
 
+def _bounds_memo_key(df, bucket_on, n_buckets: int, descending: bool):
+    """Memo key for planning-time bucket boundaries: the INPUT plan's
+    semantic hash (computed before any checkpoint, so it is stable
+    across repeated builder invocations of the same query in a
+    session) + the bucketing parameters. Boundaries are pure planning
+    metadata — ANY monotone bucketing yields the identical result
+    (the equivalence the oracle hash proves), so a stale hit can only
+    affect bucket balance, never values; the q_win_salted mtime-keyed
+    cache established the pattern. Returns None (no memoization) when
+    the plan contains a LogicalRDD leaf (a caller's own checkpoint,
+    whose RDD id — and so its hash — changes per call: memoizing
+    would only grow the dict, never hit; such callers pass
+    `bounds_key` instead)."""
+    try:
+        if "LogicalRDD" in df._jdf.queryExecution().analyzed().toString():
+            return None
+        return (
+            df.semanticHash(),
+            str(bucket_on),
+            int(n_buckets),
+            bool(descending),
+        )
+    except Exception:  # pragma: no cover - defensive
+        return None
+
+
+_BOUNDS_MEMO: dict[tuple, list] = {}
+
+
 def global_scan_salted(
     df,
     bucket_on,
@@ -113,6 +161,8 @@ def global_scan_salted(
     n_buckets: int = 32,
     descending: bool = False,
     materialize: bool = True,
+    boundaries: list | None = None,
+    bounds_key=None,
 ):
     """Skew-safe GLOBAL window scan — the empty-partition-spec twin of
     `prefix_agg_salted`, for cumulative aggregates / ranks over a
@@ -151,15 +201,36 @@ def global_scan_salted(
     # at +0.7-7.6 s per converted key at sf0.1. Callers that already
     # checkpointed (e.g. to share the frame with a separate totals
     # agg) pass materialize=False.
+    if bounds_key is not None:
+        # caller-stable key (e.g. (query, sf_dir, mtime)) for inputs
+        # whose plan hash is per-call unstable (own checkpoint)
+        memo_key = (bounds_key, str(bucket_on), n_buckets, descending)
+    else:
+        memo_key = _bounds_memo_key(df, bucket_on, n_buckets, descending)
+    if boundaries is None and memo_key is not None:
+        boundaries = _BOUNDS_MEMO.get(memo_key)
     if materialize:
         df = df.localCheckpoint(eager=True)
     src = F.col(bucket_on) if isinstance(bucket_on, str) else bucket_on
     src = src.cast("double")
     if descending:
         src = -src
+    # non-null bucket contract enforced at RUNTIME (r8 advice: the old
+    # otherwise(0) silently routed NULL keys to bucket 0, polluting
+    # every later bucket's offsets and the null rows' own cumulative
+    # values): raise_error fires lazily, only if a null row exists.
+    src = F.coalesce(
+        src,
+        F.raise_error(
+            F.lit("global_scan_salted: bucket_on must be non-null")
+        ).cast("double"),
+    )
     work = df.withColumn("_gss_src", src)
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    boundaries = work.approxQuantile("_gss_src", probs, 0.001)
+    if boundaries is None:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        boundaries = work.approxQuantile("_gss_src", probs, 0.001)
+        if memo_key is not None:
+            _BOUNDS_MEMO[memo_key] = boundaries
     bkt = F.lit(0)
     for bb in boundaries:
         bkt = bkt + F.when(F.col("_gss_src") >= F.lit(bb), 1).otherwise(0)

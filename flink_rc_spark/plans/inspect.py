@@ -85,7 +85,14 @@ def global_window_violations(df: DataFrame) -> list[str]:
             names = [
                 os_.apply(i).child().toString() for i in range(os_.size())
             ]
-            salted = any("_gss_bkt" in n or "_bkt" in n for n in names)
+            # exact helper-attribute match only (r8 advice: a plain
+            # substring check let any user column whose NAME contains
+            # "_bkt", e.g. n_bkts, bypass the guardrail). Attribute
+            # toString is "<name>#<exprId>"; require the whole name.
+            salted = any(
+                re.search(r"(?<![A-Za-z0-9_])(_gss_bkt|_bkt)#\d+", n)
+                for n in names
+            )
             bounded = False
             if not salted and node.children().size() == 1:
                 cur = node.children().apply(0)
