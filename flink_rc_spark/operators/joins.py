@@ -510,6 +510,7 @@ def pair_support_salted(
         )
     a = cached.select(key_col, F.col(item_col).alias(out_a))
     b = cached.select(key_col, F.col(item_col).alias(out_b))
+    hot: list = []
     if factor > 1:
         hot = [
             r[0]
@@ -519,6 +520,7 @@ def pair_support_salted(
             .select(key_col)
             .collect()  # <= parts/2 rows by construction
         ]
+    if hot:
         is_hot = F.col(key_col).isin(hot)
         a = a.withColumn(
             "_ps",
@@ -528,14 +530,17 @@ def pair_support_salted(
             .otherwise(0)
             .cast("int"),
         )
+        # explode is a generator — it cannot sit inside another
+        # expression (no .cast() around it); emit it bare, then cast
+        # in a separate projection so the join key types match
         b = b.withColumn(
             "_ps",
             F.explode(
                 F.when(
                     is_hot, F.sequence(F.lit(0), F.lit(factor - 1))
                 ).otherwise(F.array(F.lit(0)))
-            ).cast("int"),
-        )
+            ),
+        ).withColumn("_ps", F.col("_ps").cast("int"))
         joined = a.join(b, [key_col, "_ps"]).drop("_ps")
     else:
         joined = a.join(b, key_col)

@@ -410,8 +410,6 @@ GLOBAL_WINDOW_EXEMPT = {
     # frame = contingency cells: |event_type| x |region| vocabulary
     "q_chi2_test": "contingency-cell frame (category vocabulary)",
     "q_cramers_v": "contingency-cell frame (category vocabulary)",
-    # frame = one row per marketing channel (vocabulary)
-    "q_attribution_markov": "per-channel removal-effect frame",
     # frame = one row per language in the mixture target (constant map)
     "q_mixture_plan": "per-language mixture frame (constant domain)",
     # frame = n_boot resample means (constant 200)
