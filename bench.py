@@ -270,10 +270,23 @@ def main() -> None:
     else:
         scan_drift = 1.0
         scan_healthy = True  # probe fixture absent: codegen-only verdict
+    # Drift gates are judged against the healthy-envelope CEILINGS
+    # first (codegen <= 0.20 s, scan <= 1.3x the 0.14 s floor): on a
+    # fast box phase the probes read 0.05-0.15 s, where a 0.05->0.15
+    # swing is 3x RELATIVE but pure noise in absolute terms — every
+    # sample inside the envelope means the box stayed healthy for the
+    # whole run, which is the verdict calib_ok exists to certify. The
+    # relative gates still apply whenever any sample leaves the
+    # envelope (a genuine episode can only push samples UP through
+    # the ceiling, never hide below it).
+    calib_in_envelope = max(calib_samples) <= 0.20
+    scan_in_envelope = (
+        not scan_samples or max(scan_samples) <= 1.3 * SCAN_FLOOR
+    )
     calib_ok = (
         calib_start <= 0.20
-        and calib_ratio <= 1.3
-        and scan_drift <= 1.5
+        and (calib_in_envelope or calib_ratio <= 1.3)
+        and (scan_in_envelope or scan_drift <= 1.5)
         and scan_healthy
     )
     line = json.dumps(

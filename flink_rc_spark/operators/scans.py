@@ -353,60 +353,61 @@ def _hilbert_rounds_cte(xor) -> str:
     return ",".join(parts)
 
 
+# Table-driven Hilbert FSM: the rotate-and-flip loop is equivalent to
+# a 4-state automaton over the RAW coordinate bits MSB->LSB — state =
+# the composite (swap?, complement-x?, complement-y?) transform the
+# rotations have accumulated so far (only 4 of the 8 signed swaps are
+# reachable from identity). DIGIT[state*4 + q] is the emitted base-4
+# digit and NEXT[state*4 + q] the successor state for raw bit pair
+# q = 2*x_bit + y_bit. Derived by composing the classic loop's
+# rotations and verified EXHAUSTIVELY against it for all 6-bit coords
+# plus 200k random 16-bit pairs (tests/test_plans.py re-pins the curve
+# against an independent Python reference on real data).
+_HILBERT_DIGIT = (0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0)
+_HILBERT_NEXT = (1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2)
+
+
 def hilbert_index(df, x_col: str, y_col: str):
     """DataFrame helper: append column `d` = Hilbert index of the
     {_HILBERT_BITS}-bit coords (x_col, y_col), carrying (p, s)
     through. The Spark twin of _hilbert_rounds_cte.
 
-    r9 rework: the 16 integer rounds used to be CHAINED PROJECTIONS —
-    Catalyst stacked 32 Project nodes whose collapsed expression
-    trees and generated code grew with every round (5.8 s at sf0.1
-    for what is ~50 integer ops/row). Now they are ONE `aggregate`
-    higher-order fold over the 16 literal quadrant sizes with a
-    (hx, hy, d) struct accumulator: a constant-size JVM expression
-    evaluated 16× per row — same integers, same oracle, no
-    expression-tree blowup and no UDF."""
-    svs = F.array(
-        *[
-            F.lit(1 << i).cast("bigint")
-            for i in range(_HILBERT_BITS - 1, -1, -1)
-        ]
-    )
-
-    def step(acc, sv):
-        one = F.lit(1).cast("bigint")
-        zero = F.lit(0).cast("bigint")
-        rx = F.when(acc["hx"].bitwiseAND(sv) > 0, one).otherwise(zero)
-        ry = F.when(acc["hy"].bitwiseAND(sv) > 0, one).otherwise(zero)
-        hx_new = (
-            F.when(
-                ry == 0,
-                F.when(rx == 1, sv - 1 - acc["hy"]).otherwise(acc["hy"]),
-            )
-            .otherwise(acc["hx"])
-        )
-        hy_new = (
-            F.when(
-                ry == 0,
-                F.when(rx == 1, sv - 1 - acc["hx"]).otherwise(acc["hx"]),
-            )
-            .otherwise(acc["hy"])
-        )
-        d_new = acc["d"] + sv * sv * (rx * 3).bitwiseXOR(ry)
-        return F.struct(
-            hx_new.alias("hx"), hy_new.alias("hy"), d_new.alias("d")
-        )
-
-    d = F.aggregate(
-        svs,
-        F.struct(
-            F.col(x_col).cast("bigint").alias("hx"),
-            F.col(y_col).cast("bigint").alias("hy"),
-            F.lit(0).cast("bigint").alias("d"),
-        ),
-        step,
-        lambda acc: acc["d"],
-    )
+    r9 rework, take 2: the rotate-loop forms (16 chained projections
+    in r8, one `aggregate` HOF fold in early r9) were both slow for
+    the same underlying reason — each round's hx/hy reference BOTH
+    previous coords, so the collapsed Catalyst expression tree doubles
+    per round (2^16 leaf copies), and the HOF fold trades that for
+    per-element interpreted lambda evaluation (5.3 s at sf0.1 for ~50
+    integer ops/row). The FSM form never mutates the coordinates:
+    digit k is a constant-table lookup on (state, raw bit pair k), so
+    the state chain grows LINEARLY and the whole transform stays one
+    small whole-stage-codegen expression. Identical integers to the
+    oracle's unrolled rotate-loop CTE — the driver hash pins that."""
+    hx = F.col(x_col).cast("bigint")
+    hy = F.col(y_col).cast("bigint")
+    # tables bit-packed into one 64-bit literal each (entry j at bits
+    # 2j..2j+1): a lookup is then shift+mask — no array materialization
+    digit_packed = F.lit(
+        sum(v << (2 * j) for j, v in enumerate(_HILBERT_DIGIT))
+    ).cast("bigint")
+    next_packed = F.lit(
+        sum(v << (2 * j) for j, v in enumerate(_HILBERT_NEXT))
+    ).cast("bigint")
+    d = F.lit(0).cast("bigint")
+    state = F.lit(0).cast("bigint")
+    for i in range(_HILBERT_BITS - 1, -1, -1):
+        q = F.shiftright(hx, i).bitwiseAND(F.lit(1)) * 2 + F.shiftright(
+            hy, i
+        ).bitwiseAND(F.lit(1))
+        shift = ((state * 4 + q) * 2).cast("int")
+        # F.shiftright only takes a literal shift; the SQL function
+        # accepts a column expression for it
+        d = d * 4 + F.call_function(
+            "shiftright", digit_packed, shift
+        ).bitwiseAND(F.lit(3))
+        state = F.call_function(
+            "shiftright", next_packed, shift
+        ).bitwiseAND(F.lit(3))
     return df.select(
         F.col(x_col).alias("p"), F.col(y_col).alias("s"), d.alias("d")
     )

@@ -67,9 +67,13 @@ def prefix_agg_salted(
     if boundaries is None and memo_key is not None:
         boundaries = _BOUNDS_MEMO.get(memo_key)
     # single materialization of the input subtree — see
-    # global_scan_salted's note (same three-read shape)
+    # global_scan_salted's note (same three-read shape). LAZY: the
+    # checkpoint persists during the first job that touches it (the
+    # approxQuantile planning pass, or the final job on a memo hit),
+    # so the helper never schedules a separate materialize-only job —
+    # measured ~0.3-0.6 s of fixed per-call overhead at sf0.1.
     if materialize:
-        df = df.localCheckpoint(eager=True)
+        df = df.localCheckpoint(eager=False)
     if boundaries is None:
         probs = [i / n_buckets for i in range(1, n_buckets)]
         boundaries = df.approxQuantile(bucket_on, probs, 0.001)
@@ -210,7 +214,10 @@ def global_scan_salted(
     if boundaries is None and memo_key is not None:
         boundaries = _BOUNDS_MEMO.get(memo_key)
     if materialize:
-        df = df.localCheckpoint(eager=True)
+        # LAZY checkpoint: persisted by whichever job touches it first
+        # (quantile pass, or the final job on a memo hit) — the
+        # separate eager materialize-only job was pure fixed overhead
+        df = df.localCheckpoint(eager=False)
     src = F.col(bucket_on) if isinstance(bucket_on, str) else bucket_on
     src = src.cast("double")
     if descending:
