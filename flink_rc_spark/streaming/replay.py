@@ -113,6 +113,12 @@ def _stream_dir(sf_dir: str, n_splits: int = 1) -> str:
     return cached_fixture_dir("events_stream", f"{sf_dir}::{n_splits}", build)
 
 
+# input volume of the most recent events_stream() call, read by
+# run_to_memory's auto state-partition sizing (builders call the two
+# back-to-back on one thread; see run_to_memory's docstring)
+_LAST_REPLAY_BYTES: int | None = None
+
+
 def events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -122,6 +128,15 @@ def events_stream(
     """Replay events as a stream. With n_splits>1 the replay defaults
     to one file per trigger (``maxFilesPerTrigger`` is a file-source
     OPTION, not a SQL conf), i.e. n_splits real micro-batches."""
+    import os
+
+    global _LAST_REPLAY_BYTES
+    try:
+        _LAST_REPLAY_BYTES = sum(
+            os.path.getsize(f) for f in _events_parquet_files(sf_dir)
+        )
+    except OSError:  # pragma: no cover - defensive
+        _LAST_REPLAY_BYTES = None
     ts_is_nanos = _events_ts_is_nanos(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(events_raw_schema(ts_is_nanos))
@@ -141,7 +156,7 @@ def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",
     stats: dict | None = None,
-    state_partitions: int | None = 8,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Execute a bounded streaming query to completion; return results.
 
@@ -158,8 +173,25 @@ def run_to_memory(
     (harness queries run sequentially). At 100 TB the same knob goes UP
     with key cardinality — the point is sizing it to the data, which
     batch AQE does automatically and streaming does not.
+
+    ``"auto"`` (the default) sizes the knob to the replay's INPUT
+    VOLUME recorded by the last ``events_stream`` call: the r9 split
+    probe (tools/streaming_split_probe.py, BASELINE.md) measured the
+    NULL-kernel state-API overhead at sf1 dropping 6.1 s -> 2.9 s
+    when partitions went 8 -> 32 while sf0.1 was flat — the fixed
+    8 that was right for sf0.1 is the bottleneck at 10x. One state
+    partition per ~512 KB of compressed input, clamped to [8, 32]
+    locally (the cap is the local core count; on a real cluster it
+    scales with executor cores).
     """
     spark = stream_df.sparkSession
+    if state_partitions == "auto":
+        if _LAST_REPLAY_BYTES is not None:
+            state_partitions = max(
+                8, min(32, _LAST_REPLAY_BYTES // (512 * 1024))
+            )
+        else:
+            state_partitions = 8
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     prev_parts = None
     if state_partitions is not None:
