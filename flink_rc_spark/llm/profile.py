@@ -66,7 +66,14 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     case/punctuation-only duplicates that q_dedup_exact misses). Both
     regexes use constructs with identical Java/RE2 semantics; DuckDB
     needs the 'g' flag for replace-all, Spark replaces all by default.
-    Scale: per-row map, no shuffle until the consumer aggregates.
+
+    Scale: per-row map; the total order comes from range-partitioning
+    the INPUT on doc_id and sorting within partitions AFTER the regex
+    projection — a trailing orderBy would make the range partitioner's
+    sample pass re-evaluate the whole regex chain (measured 1.9 s ->
+    3.7 s at sf1, i.e. the normalization computed twice). Range
+    exchange on (doc_id, text) before the map keeps the regex at
+    exactly one evaluation per row with no materialization.
     """
     docs = load(spark, sf_dir, "documents")
     norm = F.trim(
@@ -77,7 +84,9 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        docs.select("doc_id", norm.alias("norm_text"))
+        docs.select("doc_id", "text")
+        .repartitionByRange(F.col("doc_id"))
+        .select("doc_id", norm.alias("norm_text"))
         .select(
             "doc_id",
             F.md5("norm_text").alias("norm_hash"),
@@ -87,7 +96,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_tok_norm"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 

@@ -208,7 +208,9 @@ def q_geo_radius_join(spark, sf_dir):
         .filter(F.col("d2") <= tg * tg)
         .distinct()
     )
-    fine = fine.localCheckpoint(eager=True)
+    # lazy: the count() below materializes and persists it in ONE job
+    # (eager=True scheduled a separate materialize-only pass first)
+    fine = fine.localCheckpoint(eager=False)
     if fine.count() >= 20:
         return fine.orderBy("d2", "id_a", "id_b").limit(20)
 

@@ -31,6 +31,21 @@ def get_spark(app: str = "flink_rc_spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Scan-split granularity sized to the LOCAL data, not the
+        # 128 MB cluster default: the multi-file local tables (sf1
+        # lineitem = 16 x 6.5 MB) otherwise pack into ONE split
+        # (16 files x (6.5 MB + 4 MB openCost) fits one 128 MB bin),
+        # serializing every scan stage — filters, projections,
+        # partial aggs — onto a single core; measured q_tpch_q6 at
+        # sf1 2.7 s -> 0.4 s with 16-way scans, and the 2 MB bin gives
+        # the 8 x 0.7 MB sf1 documents table file-per-split regex
+        # parallelism too. Single-file tables
+        # are one row group, so this cannot over-split them. On a
+        # real lake the defaults are right (files are many and
+        # 128 MB amortizes task overhead); these two lines are the
+        # local stand-in for that file multiplicity.
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
