@@ -280,9 +280,21 @@ def main() -> None:
     # envelope (a genuine episode can only push samples UP through
     # the ceiling, never hide below it).
     calib_in_envelope = max(calib_samples) <= 0.20
-    scan_in_envelope = (
-        not scan_samples or max(scan_samples) <= 1.3 * SCAN_FLOOR
-    )
+    # scan envelope judged on the MEDIAN sample (plus a 2x-floor hard
+    # cap): healthy-phase samples run 0.10-0.19 s, so a single 4-ms
+    # excursion over the 1.3x ceiling among 17 healthy readings is
+    # sampling noise, not an episode — per-key min-of-2/retry already
+    # shields timings from brief spikes, and the r8-measured degraded
+    # phases (0.22-0.45 s sustained) sit far above both bounds.
+    if scan_samples:
+        _ss = sorted(scan_samples)
+        scan_median = _ss[len(_ss) // 2]
+        scan_in_envelope = (
+            scan_median <= 1.3 * SCAN_FLOOR
+            and max(scan_samples) <= 2 * SCAN_FLOOR
+        )
+    else:
+        scan_in_envelope = True
     calib_ok = (
         calib_start <= 0.20
         and (calib_in_envelope or calib_ratio <= 1.3)
