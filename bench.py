@@ -111,15 +111,27 @@ def main() -> None:
     # sibling sf0.01 (small, fixed-size probe regardless of bench SF);
     # fall back to the bench SF's own lineitem; None disables the probe
     # and calib_ok records the codegen-only verdict.
+    # The probe must be FIXED-SIZE at every bench SF: the r9 sf1 sweep
+    # resolved the fallback (the bench SF's own lineitem — 104 MB at
+    # sf1) and recorded scan samples of 0.18-0.35 s, which the 0.14 s
+    # sf0.01-floor gate then read as a whole-run degraded episode —
+    # calib_ok=false was a probe-fixture artifact, not the box. The
+    # canonical /root/testdata/sf0.01 candidate keeps the probe
+    # identical regardless of where the bench data lives.
     _root = os.path.dirname(sf_dir.rstrip("/"))
     _scan_fixture = None
     for cand in (
         os.path.join(_root, "sf0.01", "lineitem.parquet"),
+        "/root/testdata/sf0.01/lineitem.parquet",
         os.path.join(sf_dir, "lineitem.parquet"),
     ):
         if os.path.exists(cand):
             _scan_fixture = cand
             break
+    # the 0.14 s floor is calibrated to the sf0.01 fixture; if we had
+    # to fall back to the bench SF's own (bigger) lineitem the
+    # absolute-floor gates are meaningless — judge drift only
+    _scan_floor_valid = _scan_fixture is not None and "sf0.01" in _scan_fixture
 
     def calibrate_scan() -> float | None:
         """Parquet-scan probe (~0.15 s healthy): reads the fixed
@@ -150,6 +162,17 @@ def main() -> None:
         spark._jvm.System.gc()
 
     execute(HEADLINE[0])  # warm-up (JVM + codegen + parquet footer cache)
+    # Warm the Python DataSource path too: the session's FIRST use of
+    # the pyspark.sql.datasource API pays ~3 s of one-time cost
+    # (dataSource.register into the JVM manager + spawning the Python
+    # planning runner for schema()/partitions()) — session warm-up by
+    # the same policy that keeps JVM/codegen warm-up out of the first
+    # headline key, not plan cost of the one key that uses the API
+    # (q_pyds_source generates a FIXED 6x512-row frame; r9 recorded
+    # 3.66 s for it purely because its in-sweep call was also the
+    # session's first API use).
+    if "q_pyds_source" in REGISTRY:
+        execute("q_pyds_source")
     calibrate()
     calibrate_scan()
 
@@ -181,7 +204,9 @@ def main() -> None:
         scan_samples.clear()
         calib_start, scan_start = probe_pair()
         if calib_start <= 0.20 and (
-            scan_start is None or scan_start <= 1.3 * SCAN_FLOOR
+            scan_start is None
+            or not _scan_floor_valid
+            or scan_start <= 1.3 * SCAN_FLOOR
         ):
             break
         preflight_waits += 1
@@ -266,7 +291,10 @@ def main() -> None:
     # inside an episode, however flat its drift.
     if scan_samples:
         scan_drift = round(max(scan_samples) / min(scan_samples), 3)
-        scan_healthy = min(scan_samples) <= 1.3 * SCAN_FLOOR
+        scan_healthy = (
+            not _scan_floor_valid
+            or min(scan_samples) <= 1.3 * SCAN_FLOOR
+        )
     else:
         scan_drift = 1.0
         scan_healthy = True  # probe fixture absent: codegen-only verdict
@@ -286,14 +314,26 @@ def main() -> None:
     # sampling noise, not an episode — per-key min-of-2/retry already
     # shields timings from brief spikes, and the r8-measured degraded
     # phases (0.22-0.45 s sustained) sit far above both bounds.
-    if scan_samples:
+    # Hard cap at 1.5x the floor (0.21 s) — BELOW the r8-measured
+    # degraded band's own floor (0.22-0.45 s sustained), so a run
+    # where even a minority of samples sit inside the degraded band
+    # can never report calib_ok=true through this branch (r9 advice:
+    # the old 2x cap overlapped the band). scan_median and
+    # scan_in_envelope are emitted in the JSON so a reader can audit
+    # the verdict instead of trusting the boolean.
+    if scan_samples and _scan_floor_valid:
         _ss = sorted(scan_samples)
         scan_median = _ss[len(_ss) // 2]
         scan_in_envelope = (
             scan_median <= 1.3 * SCAN_FLOOR
-            and max(scan_samples) <= 2 * SCAN_FLOOR
+            and max(scan_samples) <= 1.5 * SCAN_FLOOR
         )
+    elif scan_samples:
+        _ss = sorted(scan_samples)
+        scan_median = _ss[len(_ss) // 2]
+        scan_in_envelope = False  # floor invalid: drift gate decides
     else:
+        scan_median = None
         scan_in_envelope = True
     calib_ok = (
         calib_start <= 0.20
@@ -312,6 +352,10 @@ def main() -> None:
                 "start": calib_start,
                 "samples": calib_samples,
                 "scan_samples": scan_samples,
+                "scan_median": scan_median,
+                "scan_in_envelope": scan_in_envelope,
+                "scan_fixture": _scan_fixture,
+                "scan_floor_valid": _scan_floor_valid,
                 "ratio": calib_ratio,
                 "preflight_waits": preflight_waits,
                 "ok": calib_ok,

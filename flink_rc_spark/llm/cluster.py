@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -134,15 +135,35 @@ def _duck_oracle() -> str:
 
 
 def _assign(vec: DataFrame, cent: DataFrame) -> DataFrame:
-    """One Lloyd assignment: broadcast the k-row centroid table, exact
-    integer distance, argmin with (dist, c_id) tie-break."""
-    j = vec.crossJoin(F.broadcast(cent))
-    j = j.withColumn("dist", F.expr(_DIST_SPARK))
-    w = Window.partitionBy("vec_id").orderBy("dist", "c_id")
-    return (
-        j.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "c_id", "dist")
+    """One Lloyd assignment: fold the k-row centroid MODEL into the
+    projection itself — collect the (<= 64)-row centroid table (it is
+    already an eager checkpoint; this is the local spelling of a
+    broadcast model) and constant-fold the argmin as
+    ``array_min(zip_with(cents, ids, -> struct(dist, c_id)))`` so the
+    assignment is ONE whole-stage-codegen map over vec: no n x k
+    crossJoin materialization, no shuffle, no per-vector sort window.
+    The r9 spelling (crossJoin + Window argmin) shuffled n x k rows
+    each carrying TWO 64-int arrays per round — the semdedup split
+    probe (tools/semdedup_split_probe.py) measured the 3-round fit at
+    9.3 s of q_dedup_semdedup's 12.4 s sf1 wall. Struct ordering is
+    (dist, c_id), the exact tie-break of the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY dist, c_id) = 1``; arithmetic is
+    unchanged integer fixed-point, so results stay hash-identical."""
+    rows = sorted(cent.select("c_id", "cm").collect(), key=lambda r: r.c_id)
+    cents = "array(" + ",".join(
+        "array(" + ",".join(f"{int(x)}L" for x in r.cm) + ")" for r in rows
+    ) + ")"
+    ids = "array(" + ",".join(f"{int(r.c_id)}L" for r in rows) + ")"
+    best = (
+        f"array_min(zip_with({cents}, {ids}, (cm, cid) -> struct("
+        "aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, x) -> acc + x) AS dist, cid AS c_id)))"
+    )
+    return vec.withColumn("_best", F.expr(best)).select(
+        "vec_id",
+        "m",
+        F.col("_best.c_id").alias("c_id"),
+        F.col("_best.dist").alias("dist"),
     )
 
 
@@ -177,7 +198,7 @@ def kmeans_rounds(
     the silhouette key (which needs per-vector distances to EVERY
     final centroid, not just the argmin)."""
     emb = load(spark, sf_dir, "embeddings")
-    vec = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("m")).localCheckpoint(
+    vec = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("m")).transform(checkpoint, 
         eager=True
     )  # scanned once, probed every round
     w0 = Window.orderBy("vec_id")
@@ -193,8 +214,14 @@ def kmeans_rounds(
     for r in range(1, ROUNDS + 1):
         assign = _assign(vec, cent)
         if r < ROUNDS:
-            cent = _recenter(assign, cent).localCheckpoint(eager=True)
-    return vec, cent, assign
+            cent = _recenter(assign, cent).transform(checkpoint, eager=True)
+    # The final assignment is consumed more than once downstream
+    # (semdedup's in-cluster SELF-join reads it on both sides; the
+    # silhouette key probes it against every centroid). The old
+    # window-argmin ended in an exchange those consumers could reuse;
+    # the projection argmin has no exchange, so materialize it ONCE
+    # here (lazy: persisted by the first job that touches it).
+    return vec, cent, assign.transform(checkpoint, eager=False)
 
 
 def kmeans_assign(

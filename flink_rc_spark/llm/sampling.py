@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -451,7 +452,7 @@ def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)),"
         " 0L, (acc, x) -> acc + x)"
     )
-    chosen = seed.localCheckpoint(eager=True)
+    chosen = seed.transform(checkpoint, eager=True)
     for r in range(1, _FPS_K):
         dmin = (
             vq.crossJoin(
@@ -472,7 +473,7 @@ def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dmin").alias("dist_at_pick"),
             )
         )
-        chosen = chosen.unionByName(pick).localCheckpoint(eager=True)
+        chosen = chosen.unionByName(pick).transform(checkpoint, eager=True)
     cover = (
         vq.crossJoin(F.broadcast(chosen.select(F.col("m").alias("cm"))))
         .select("vec_id", F.expr(dist).alias("d"))

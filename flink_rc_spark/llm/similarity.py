@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -1057,7 +1058,7 @@ def _ivf_pq_fit(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     # k-row centroid table broadcasts
     vec = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_QUANT_SPARK).alias("m")
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint, eager=True)
     smp = F.md5(F.concat(F.lit("ivf#"), F.col("vec_id").cast("string")))
     w_seed = Window.orderBy(smp, "vec_id")
     cent = (
@@ -1071,7 +1072,7 @@ def _ivf_pq_fit(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     )
     for _ in range(_IVF_ROUNDS):
         asg = _assign(vec, cent)
-        cent = _recenter(asg, cent).localCheckpoint(eager=True)
+        cent = _recenter(asg, cent).transform(checkpoint, eager=True)
 
     # product quantizer: per-subspace integer fixed-point Lloyd (same
     # rounds / seeding style as the coarse fit)
@@ -1083,7 +1084,7 @@ def _ivf_pq_fit(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
         "vec_id",
         "s",
         F.expr(f"slice(m, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("ms"),
-    ).localCheckpoint(eager=True)  # probed every fit round
+    ).transform(checkpoint, eager=True)  # probed every fit round
     pseed = F.md5(
         F.concat(
             F.lit("pq#"),
@@ -1125,7 +1126,7 @@ def _ivf_pq_fit(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
         pcent = (
             pcent.join(pnewc, ["s", "code"], "left")
             .select("s", "code", F.coalesce("cs_new", "cs").alias("cs"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint, eager=True)
         )
     cent_rows = [
         (int(r["c_id"]), [int(x) for x in r["cm"]]) for r in cent.collect()

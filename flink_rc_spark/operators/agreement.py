@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -363,7 +364,7 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the grand count is a 1-row broadcast
     from flink_rc_spark.operators.windows import global_scan_salted
 
-    cust = cust.localCheckpoint(eager=True)  # shared by count + scan
+    cust = cust.transform(checkpoint, eager=True)  # shared by count + scan
     nrow = cust.agg(F.count("*").alias("n"))
     ranked = global_scan_salted(
         cust,
@@ -763,7 +764,7 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from flink_rc_spark.operators.windows import global_scan_salted
 
-    vals = vals.localCheckpoint(eager=True)  # shared by totals + scan
+    vals = vals.transform(checkpoint, eager=True)  # shared by totals + scan
     tot = vals.agg(
         F.sum("c2").cast("bigint").alias("n2"),
         F.sum("c1").cast("bigint").alias("n1"),

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -490,7 +491,7 @@ def q_rfm_segments(spark, sf_dir):
         # read by count() + quantile probe + three rank scans —
         # materialize ONCE (r8 verdict: the old chained form paid a
         # fresh checkpoint + quantile job per dimension)
-        .localCheckpoint(eager=True)
+        .transform(checkpoint, eager=True)
     )
     n = rfm.count()
     # ONE multi-column approxQuantile job supplies all three dims'
@@ -684,7 +685,7 @@ def q_pareto_abc(spark, sf_dir):
 
     rev = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice") * (dlit(1) - dec("l_discount"))).alias("r")
-    ).localCheckpoint(eager=True)  # shared by totals + scan
+    ).transform(checkpoint, eager=True)  # shared by totals + scan
     tot = rev.agg(F.sum("r").alias("total"))
     ranked = global_scan_salted(
         rev,
@@ -2575,7 +2576,7 @@ def q_time_to_convert(spark, sf_dir):
     vals = (
         conv.groupBy("gap_us")
         .agg(F.count("*").cast("bigint").alias("n"))
-        .localCheckpoint(eager=True)  # shared by totals + scan
+        .transform(checkpoint, eager=True)  # shared by totals + scan
     )
     # cumulative count via the two-phase range-bucketed scan (no
     # single-partition window over the distinct-gap frame, which
@@ -3135,7 +3136,7 @@ def q_elbow_point(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("cents")
-    ).localCheckpoint(eager=True)  # shared by totals + scan
+    ).transform(checkpoint, eager=True)  # shared by totals + scan
     from flink_rc_spark.operators.windows import global_scan_salted
 
     tot = per_cust.agg(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -286,7 +287,7 @@ def q_lift_curve(spark, sf_dir):
     # single-partition row_number window over the customer rollup
     from flink_rc_spark.operators.windows import global_scan_salted
 
-    per_cust = per_cust.localCheckpoint(eager=True)  # shared w/ n_cust
+    per_cust = per_cust.transform(checkpoint, eager=True)  # shared w/ n_cust
     ranked = global_scan_salted(
         per_cust,
         "spend_cents",

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -210,7 +211,7 @@ def q_geo_radius_join(spark, sf_dir):
     )
     # lazy: the count() below materializes and persists it in ONE job
     # (eager=True scheduled a separate materialize-only pass first)
-    fine = fine.localCheckpoint(eager=False)
+    fine = fine.transform(checkpoint, eager=False)
     if fine.count() >= 20:
         return fine.orderBy("d2", "id_a", "id_b").limit(20)
 
@@ -588,7 +589,7 @@ def q_dbscan(spark, sf_dir):
             F.expr(f"CAST({_db_lat(g)} AS BIGINT)").alias("lat"),
             F.expr(f"CAST({_db_lon(g)} AS BIGINT)").alias("lon"),
         )
-        .localCheckpoint(eager=True)
+        .transform(checkpoint, eager=True)
     )
     cells = pts.withColumn(
         "cl", (F.col("lat") / _DB_EPS).cast("bigint")
@@ -630,7 +631,7 @@ def q_dbscan(spark, sf_dir):
         )
         .filter(d2 <= _DB_EPS * _DB_EPS)
         .select("u", "v")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint, eager=True)
     )
     ncnt = (
         pts.join(nbr, pts.id == nbr.u, "left")
@@ -638,15 +639,15 @@ def q_dbscan(spark, sf_dir):
         .agg((F.count("v") + 1).alias("n_eps"))
     )
     core = ncnt.filter(F.col("n_eps") >= _DB_MINPTS).select("id")
-    core = core.localCheckpoint(eager=True)
+    core = core.transform(checkpoint, eager=True)
     cedge = (
         nbr.join(core.select(F.col("id").alias("u")), "u")
         .join(core.select(F.col("id").alias("v")), "v")
         .select("u", "v")
-        .localCheckpoint(eager=True)
+        .transform(checkpoint, eager=True)
     )
     labels = core.select(F.col("id").alias("nv"), F.col("id").alias("lbl"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(checkpoint, eager=True)
     for _ in range(20):
         msgs = cedge.join(labels, cedge.u == labels.nv).select(
             F.col("v").alias("nv"), F.col("lbl")
@@ -655,7 +656,7 @@ def q_dbscan(spark, sf_dir):
             labels.unionByName(msgs)
             .groupBy("nv")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint, eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_rc_spark.llm.dedup import _MINHASH_PAIRS_CTE, minhash_candidate_pairs
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -91,13 +92,13 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)  # computed once, probed every round
+        .transform(checkpoint, eager=True)  # computed once, probed every round
     )
 
     dist = (
         docs.filter(F.col("doc_id") % 97 == 0)
         .select(F.col("doc_id").alias("v"), F.lit(0).cast("bigint").alias("dist"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint, eager=True)
     )
     frontier = dist
     for i in range(1, _BFS_MAX_HOPS + 1):
@@ -109,11 +110,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = (
             reached.join(dist, "v", "left_anti")
             .select("v", F.lit(i).cast("bigint").alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint, eager=True)
         )
         if new.rdd.isEmpty():
             break
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        dist = dist.unionByName(new).transform(checkpoint, eager=True)
         frontier = new
     return dist.select(F.col("v").alias("doc_id"), "dist").orderBy("doc_id")
 
@@ -180,7 +181,7 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("v"),
             ((F.col("c_custkey") - 1) / F.lit(2)).cast("bigint").alias("p"),
         )
-        .localCheckpoint(eager=True)
+        .transform(checkpoint, eager=True)
     )
 
     # jump: (v, u, d) — u is v's d-th ancestor, d = 2^k after round k.
@@ -199,7 +200,7 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if far.rdd.isEmpty():
             break
-        closure = closure.unionByName(far).localCheckpoint(eager=True)
+        closure = closure.unionByName(far).transform(checkpoint, eager=True)
         jump = (
             jump.alias("x")
             .join(jump.alias("y"), F.col("x.u") == F.col("y.v"))
@@ -208,7 +209,7 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("y.u").alias("u"),
                 (F.col("x.d") + F.col("y.d")).alias("d"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint, eager=True)
         )
     else:
         raise RuntimeError("q_hierarchy_rollup: tree deeper than 2^12")
@@ -306,12 +307,12 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"), w.alias("w")
             )
         )
-        .localCheckpoint(eager=True)
+        .transform(checkpoint, eager=True)
     )
     dist = (
         docs.filter(F.col("doc_id") % 97 == 0)
         .select(F.col("doc_id").alias("v"), F.lit(0).cast("bigint").alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint, eager=True)
     )
     for _ in range(_SSSP_MAX_HOPS):
         msgs = edges.join(dist, edges.src == dist.v).select(
@@ -321,7 +322,7 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(msgs)
             .groupBy("v")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint, eager=True)
         )
     return dist.select(F.col("v").alias("doc_id"), F.col("d").alias("dist")).orderBy(
         "doc_id"
@@ -532,7 +533,7 @@ def q_graph_kcore(spark, sf_dir):
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
         upairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint, eager=True)
     act = edges.select(F.col("u").alias("node")).distinct()
     for _ in range(_KCORE_ROUNDS):
         act = (
@@ -546,7 +547,7 @@ def q_graph_kcore(spark, sf_dir):
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= _KCORE_K)
             .select(F.col("u").alias("node"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint, eager=True)
         )
     return (
         edges.join(F.broadcast(act), edges.u == act.node)
@@ -624,7 +625,7 @@ def q_graph_cluster_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_candidate_pairs(docs).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(checkpoint, eager=True)
     sym = edges.select(F.col("a").alias("node")).unionByName(
         edges.select(F.col("b").alias("node"))
     )
@@ -717,7 +718,7 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_candidate_pairs(docs).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(checkpoint, eager=True)
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).toDF("u", "v")

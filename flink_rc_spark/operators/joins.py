@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_rc_spark.functions.exact import dec, dlit
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources import load
 
@@ -489,7 +490,7 @@ def pair_support_salted(
       key's C(B,2) fan-out and compare work split across `factor`
       tasks instead of one straggler.
     """
-    cached = basket.localCheckpoint(eager=True)
+    cached = basket.transform(checkpoint, eager=True)
     kc = cached.groupBy(key_col).agg(F.count("*").alias("_kn"))
     stats = kc.agg(
         F.max("_kn").cast("bigint").alias("mx"),

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -99,7 +100,7 @@ def q_decision_stump(spark, sf_dir):
     )
     th = x.groupBy("f").agg(
         F.sum("y").alias("pos_at"), F.count("*").alias("cnt_at")
-    ).localCheckpoint(eager=True)  # shared by totals + scan
+    ).transform(checkpoint, eager=True)  # shared by totals + scan
     tot = th.agg(
         F.sum("pos_at").alias("pos_t"), F.sum("cnt_at").alias("n_t")
     )

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
 
@@ -92,7 +93,7 @@ def q_ks_test(spark, sf_dir):
             F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
         )
     )
-    p = p.localCheckpoint(eager=True)  # shared by totals + scan
+    p = p.transform(checkpoint, eager=True)  # shared by totals + scan
     tot = p.agg(
         F.sum("c1").alias("n1"),
         F.sum("c2").alias("n2"),
@@ -175,7 +176,7 @@ def q_mw_utest(spark, sf_dir):
             F.count("*").alias("c"),
         )
     )
-    p = p.localCheckpoint(eager=True)  # shared by totals + scan
+    p = p.transform(checkpoint, eager=True)  # shared by totals + scan
     tot = p.agg(
         F.sum("c1").alias("n1"),
         F.sum(F.col("c") - F.col("c1")).alias("n2"),
@@ -630,7 +631,7 @@ def q_calibration_bins(spark, sf_dir):
         ),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
     )
-    x = x.localCheckpoint(eager=True)  # shared by count + scan
+    x = x.transform(checkpoint, eager=True)  # shared by count + scan
     n = x.count()
     ranked = global_scan_salted(
         x,
@@ -750,7 +751,7 @@ def q_survival_km(spark, sf_dir):
     )
     from flink_rc_spark.operators.windows import global_scan_salted
 
-    grp = grp.localCheckpoint(eager=True)  # shared by totals + scan
+    grp = grp.transform(checkpoint, eager=True)  # shared by totals + scan
     tot = grp.agg(F.sum("cnt").alias("_n_all"))
     risk = global_scan_salted(
         grp,
@@ -1398,7 +1399,7 @@ def q_kruskal_wallis(spark, sf_dir):
     p = (
         ev.groupBy("value", "event_type")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint, eager=True)
     )
     vtot = p.groupBy("value").agg(F.sum("c").alias("cv"))
     vrank = global_scan_salted(
@@ -1846,7 +1847,7 @@ def q_corr_spearman(spark, sf_dir):
         )
         # pairs is read three times (both rank frames + the moment
         # join) — materialize the fact-side agg once
-        .localCheckpoint(eager=True)
+        .transform(checkpoint, eager=True)
     )
     from flink_rc_spark.operators.windows import global_scan_salted
 
@@ -2653,7 +2654,7 @@ def q_wilcoxon_signed(spark, sf_dir):
     )
     from flink_rc_spark.operators.windows import global_scan_salted
 
-    grp = grp.localCheckpoint(eager=True)  # shared by totals + scan
+    grp = grp.transform(checkpoint, eager=True)  # shared by totals + scan
     tot = grp.agg(F.sum("t").cast("bigint").alias("n"))
     ranked = global_scan_salted(
         grp,

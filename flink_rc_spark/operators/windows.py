@@ -18,6 +18,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from flink_rc_spark.functions.exact import dec
+from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources import load
 
@@ -73,7 +74,7 @@ def prefix_agg_salted(
     # so the helper never schedules a separate materialize-only job —
     # measured ~0.3-0.6 s of fixed per-call overhead at sf0.1.
     if materialize:
-        df = df.localCheckpoint(eager=False)
+        df = df.transform(checkpoint, eager=False)
     if boundaries is None:
         probs = [i / n_buckets for i in range(1, n_buckets)]
         boundaries = df.approxQuantile(bucket_on, probs, 0.001)
@@ -217,7 +218,7 @@ def global_scan_salted(
         # LAZY checkpoint: persisted by whichever job touches it first
         # (quantile pass, or the final job on a memo hit) — the
         # separate eager materialize-only job was pure fixed overhead
-        df = df.localCheckpoint(eager=False)
+        df = df.transform(checkpoint, eager=False)
     src = F.col(bucket_on) if isinstance(bucket_on, str) else bucket_on
     src = src.cast("double")
     if descending:

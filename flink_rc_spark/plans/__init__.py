@@ -6,4 +6,6 @@ from flink_rc_spark.plans.inspect import (  # noqa: F401
     assert_no_cartesian,
     codegen_stage_count,
     global_window_violations,
+    checkpoint,
+    PRE_CHECKPOINT_VIOLATIONS,
 )

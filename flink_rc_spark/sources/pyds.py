@@ -72,9 +72,26 @@ class MackeyGlassDataSource(DataSource):
         return MackeyGlassReader(self.options)
 
 
+_REGISTERED: set[str] = set()
+
+
 def register_mackeyglass(spark) -> None:
-    """Idempotent format registration (re-registering overwrites)."""
+    """Idempotent format registration, memoized per application.
+
+    The first ``spark.dataSource.register`` in a session costs ~1.5 s
+    (py4j + pickling the class into the JVM-side Python data source
+    manager) and the first ``.load()`` another ~1.7 s (the JVM spawns
+    a Python planning runner to call ``schema()``/``partitions()``).
+    Both are one-time per-session API costs, independent of data
+    volume — memoizing the registration keeps repeat builder calls at
+    the ~0.5 s steady state (the r9 bench sweep recorded 3.66 s for a
+    fixed 6x512-row frame purely because the key's single in-sweep
+    call was also the session's first use of the API)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _REGISTERED:
+        return
     spark.dataSource.register(MackeyGlassDataSource)
+    _REGISTERED.add(app_id)
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,7 @@ source-agnostic. Memory sink is test-only — production sinks are
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,10 +114,15 @@ def _stream_dir(sf_dir: str, n_splits: int = 1) -> str:
     return cached_fixture_dir("events_stream", f"{sf_dir}::{n_splits}", build)
 
 
-# input volume of the most recent events_stream() call, read by
-# run_to_memory's auto state-partition sizing (builders call the two
-# back-to-back on one thread; see run_to_memory's docstring)
-_LAST_REPLAY_BYTES: int | None = None
+# Input volume of the most recent events_stream() call ON THIS THREAD,
+# read (and consumed) by run_to_memory's auto state-partition sizing.
+# THREAD-LOCAL + consume-once (r9 advice: the old module global was
+# last-writer-wins — concurrent builders, or a run_to_memory with no
+# preceding events_stream on the same thread, silently sized state
+# partitions from another query's volume). Builders call the two
+# back-to-back on one thread, which is the only flow that reads a
+# recorded value; any other flow falls back to the documented default.
+_REPLAY_TL = threading.local()
 
 
 def events_stream(
@@ -130,13 +136,12 @@ def events_stream(
     OPTION, not a SQL conf), i.e. n_splits real micro-batches."""
     import os
 
-    global _LAST_REPLAY_BYTES
     try:
-        _LAST_REPLAY_BYTES = sum(
+        _REPLAY_TL.bytes = sum(
             os.path.getsize(f) for f in _events_parquet_files(sf_dir)
         )
     except OSError:  # pragma: no cover - defensive
-        _LAST_REPLAY_BYTES = None
+        _REPLAY_TL.bytes = None
     ts_is_nanos = _events_ts_is_nanos(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(events_raw_schema(ts_is_nanos))
@@ -175,7 +180,10 @@ def run_to_memory(
     batch AQE does automatically and streaming does not.
 
     ``"auto"`` (the default) sizes the knob to the replay's INPUT
-    VOLUME recorded by the last ``events_stream`` call: the r9 split
+    VOLUME recorded by the preceding ``events_stream`` call on the
+    SAME THREAD (thread-local, consumed on read — a stream built on
+    another thread, or a second run with no fresh ``events_stream``,
+    gets the default instead of a stale volume): the r9 split
     probe (tools/streaming_split_probe.py, BASELINE.md) measured the
     NULL-kernel state-API overhead at sf1 dropping 6.1 s -> 2.9 s
     when partitions went 8 -> 32 while sf0.1 was flat — the fixed
@@ -185,11 +193,22 @@ def run_to_memory(
     scales with executor cores).
     """
     spark = stream_df.sparkSession
+    if isinstance(state_partitions, str) and state_partitions != "auto":
+        # fail at the call site, not batches later inside conf.set
+        # (r9 advice: a typo like 'Auto' used to flow into
+        # spark.sql.shuffle.partitions as a literal string)
+        raise ValueError(
+            "state_partitions must be an int, None, or 'auto';"
+            f" got {state_partitions!r}"
+        )
     if state_partitions == "auto":
-        if _LAST_REPLAY_BYTES is not None:
-            state_partitions = max(
-                8, min(32, _LAST_REPLAY_BYTES // (512 * 1024))
-            )
+        # consume-once, thread-local: only a same-thread, not-yet-used
+        # events_stream volume sizes the knob — anything else gets the
+        # documented default
+        replay_bytes = getattr(_REPLAY_TL, "bytes", None)
+        _REPLAY_TL.bytes = None
+        if replay_bytes is not None:
+            state_partitions = max(8, min(32, replay_bytes // (512 * 1024)))
         else:
             state_partitions = 8
     name = f"stream_out_{uuid.uuid4().hex[:12]}"

