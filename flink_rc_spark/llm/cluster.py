@@ -59,6 +59,16 @@ _DIST_SPARK = (
     "aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)),"
     " 0L, (acc, x) -> acc + x)"
 )
+# The SAME integer distance as 64 FLAT squared-difference terms: the
+# higher-order-function form above evaluates INTERPRETED (HOF lambdas
+# are CodegenFallback), measured ~3.5 s per n x k evaluation at sf1
+# k=64 — the whole Lloyd-fit wall. DIM is a fixed contract (64), so
+# the unrolled form compiles into whole-stage codegen like any other
+# arithmetic (the q_dedup_simhash 60-flat-columns trick); int64
+# addition is associative/exact, so the value is bit-identical.
+_DIST_SPARK_FLAT = " + ".join(
+    f"(m[{i}] - cm[{i}]) * (m[{i}] - cm[{i}])" for i in range(DIM)
+)
 _DIST_DUCK = (
     f"list_sum(list_transform(range(1, {DIM + 1}),"
     " i -> (m[i] - cm[i]) * (m[i] - cm[i])))"
@@ -135,35 +145,33 @@ def _duck_oracle() -> str:
 
 
 def _assign(vec: DataFrame, cent: DataFrame) -> DataFrame:
-    """One Lloyd assignment: fold the k-row centroid MODEL into the
-    projection itself — collect the (<= 64)-row centroid table (it is
-    already an eager checkpoint; this is the local spelling of a
-    broadcast model) and constant-fold the argmin as
-    ``array_min(zip_with(cents, ids, -> struct(dist, c_id)))`` so the
-    assignment is ONE whole-stage-codegen map over vec: no n x k
-    crossJoin materialization, no shuffle, no per-vector sort window.
-    The r9 spelling (crossJoin + Window argmin) shuffled n x k rows
-    each carrying TWO 64-int arrays per round — the semdedup split
-    probe (tools/semdedup_split_probe.py) measured the 3-round fit at
-    9.3 s of q_dedup_semdedup's 12.4 s sf1 wall. Struct ordering is
-    (dist, c_id), the exact tie-break of the oracle's
-    ``ROW_NUMBER() OVER (ORDER BY dist, c_id) = 1``; arithmetic is
-    unchanged integer fixed-point, so results stay hash-identical."""
-    rows = sorted(cent.select("c_id", "cm").collect(), key=lambda r: r.c_id)
-    cents = "array(" + ",".join(
-        "array(" + ",".join(f"{int(x)}L" for x in r.cm) + ")" for r in rows
-    ) + ")"
-    ids = "array(" + ",".join(f"{int(r.c_id)}L" for r in rows) + ")"
-    best = (
-        f"array_min(zip_with({cents}, {ids}, (cm, cid) -> struct("
-        "aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)),"
-        " 0L, (acc, x) -> acc + x) AS dist, cid AS c_id)))"
-    )
-    return vec.withColumn("_best", F.expr(best)).select(
-        "vec_id",
-        "m",
-        F.col("_best.c_id").alias("c_id"),
-        F.col("_best.dist").alias("dist"),
+    """One Lloyd assignment: broadcast the k-row centroid table, exact
+    integer distance, argmin as ``min(struct(dist, c_id, m))`` — a
+    HASH AGGREGATE, not a window. The struct's lexicographic order is
+    (dist, c_id, ...), the exact tie-break of the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY dist, c_id) = 1`` (m rides in the
+    tail and can never decide: c_id is unique per candidate). Every
+    vec_id's k candidates are born in ONE partition (broadcast join),
+    so the partial aggregate reduces n x k -> n map-side and the
+    shuffle carries n single-struct rows — the r9 window spelling
+    shuffled all n x k rows (each with TWO 64-int arrays) into a
+    per-vector sort, which the semdedup split probe
+    (tools/semdedup_split_probe.py) measured as the dominant cost of
+    the 3-round fit. A constant-folded projection argmin
+    (array_min over a centroid literal) was probed too and lost: the
+    nested HOF lambda evaluates interpreted per row x per centroid,
+    ~2x slower than this flat codegen distance + hash agg."""
+    j = vec.crossJoin(F.broadcast(cent))
+    j = j.withColumn("dist", F.expr(_DIST_SPARK_FLAT))
+    return (
+        j.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "c_id", "m")).alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.m").alias("m"),
+            F.col("_b.c_id").alias("c_id"),
+            F.col("_b.dist").alias("dist"),
+        )
     )
 
 
@@ -591,7 +599,7 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     vec, cent, _ = kmeans_rounds(spark, sf_dir)
     j = vec.crossJoin(F.broadcast(cent)).withColumn(
-        "dist", F.expr(_DIST_SPARK)
+        "dist", F.expr(_DIST_SPARK_FLAT)
     )
     per = j.groupBy("vec_id").agg(
         F.sort_array(F.collect_list(F.struct("dist", "c_id"))).alias("ds")
