@@ -503,10 +503,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = n.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
-    dot = F.expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-    )
-    cos = dot / (F.col("na") * F.col("nb"))
+    from flink_rc_spark.llm.similarity import _DOT_SPARK as _dot_flat
+
+    cos = F.expr(_dot_flat) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.35)
@@ -1323,10 +1322,9 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    dot = F.expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-    )
-    cosv = dot / (F.col("na") * F.col("nb"))
+    from flink_rc_spark.llm.similarity import _DOT_SPARK as _dot_flat
+
+    cosv = F.expr(_dot_flat) / (F.col("na") * F.col("nb"))
     pairs = (
         a.join(b, "c_id")
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -448,10 +448,9 @@ def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("dist_at_pick"),
         )
     )
-    dist = (
-        "aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)),"
-        " 0L, (acc, x) -> acc + x)"
-    )
+    from flink_rc_spark.llm.cluster import _DIST_SPARK_FLAT
+
+    dist = _DIST_SPARK_FLAT  # flat codegen form; exact int64 either way
     chosen = seed.transform(checkpoint, eager=True)
     for r in range(1, _FPS_K):
         dmin = (

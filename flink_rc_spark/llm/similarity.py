@@ -35,8 +35,19 @@ from flink_rc_spark.sources.tables import load
 _DIM = 64
 _N_PLANES = 8
 
-_DOT_SPARK = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
-_NORM_SPARK = "sqrt(aggregate(transform(e, x -> x*x), 0d, (acc, x) -> acc + x))"
+# Dot and norm kernels UNROLLED into flat arithmetic: the
+# higher-order-function spelling (aggregate over zip_with) evaluates
+# INTERPRETED (HOF lambdas are CodegenFallback) — measured ~2-3 s per
+# ~1M-pair evaluation at sf1 — while the unrolled form compiles into
+# whole-stage codegen (the llm/cluster.py _DIST_SPARK_FLAT finding,
+# r10). Values are bit-identical: both fold in index order
+# left-associatively, and the HOF's leading `0.0d +` is IEEE-exact
+# (0.0 + x == x), so the repo's sequential-fold double policy — what
+# the DuckDB oracles' list_reduce mirrors — is unchanged.
+_DOT_SPARK = " + ".join(f"(ea[{i}] * eb[{i}])" for i in range(_DIM))
+_NORM_SPARK = (
+    "sqrt(" + " + ".join(f"(e[{i}] * e[{i}])" for i in range(_DIM)) + ")"
+)
 
 _DOT_DUCK = (
     f"list_reduce(list_transform(range(1, {_DIM + 1}),"
@@ -768,14 +779,18 @@ _PQ_SUBDIM = _DIM // _PQ_SUBS
 _PQ_K = 16            # centroids per subspace (4-bit codes)
 
 # squared L2 distance between a vector's subspace slice and a centroid's,
-# as a sequential left fold (bit-identical across engines; the (a-b)
-# term is spelled twice because DuckDB lambdas have no LET and ** / ^
-# power operators differ between engines)
-_PQ_DIST_SPARK = (
-    f"aggregate(transform(sequence(1, {_PQ_SUBDIM}), i ->"
-    f" (element_at(e, s * {_PQ_SUBDIM} + i) - element_at(ce, s * {_PQ_SUBDIM} + i))"
-    f" * (element_at(e, s * {_PQ_SUBDIM} + i) - element_at(ce, s * {_PQ_SUBDIM} + i))),"
-    " 0d, (acc, x) -> acc + x)"
+# UNROLLED into 8 flat terms (whole-stage codegen; the HOF fold is
+# interpreted — see _DOT_SPARK) in the same index order + left
+# associativity, so the value is bit-identical to the sequential fold
+# the DuckDB oracle mirrors; the (a-b) term is spelled twice because
+# DuckDB lambdas have no LET and ** / ^ power operators differ
+# between engines
+_PQ_DIST_SPARK = " + ".join(
+    f"((element_at(e, s * {_PQ_SUBDIM} + {i})"
+    f" - element_at(ce, s * {_PQ_SUBDIM} + {i}))"
+    f" * (element_at(e, s * {_PQ_SUBDIM} + {i})"
+    f" - element_at(ce, s * {_PQ_SUBDIM} + {i})))"
+    for i in range(1, _PQ_SUBDIM + 1)
 )
 _PQ_DIST_DUCK = (
     f"list_reduce(list_transform(range(1, {_PQ_SUBDIM + 1}), i ->"
@@ -939,10 +954,11 @@ def _ivf_coarse_cte() -> str:
 
 # fitted-PQ integer subspace distance (columns ms = vector slice,
 # cs = centroid slice, both on the 1e6 fixed-point grid) — exact
-# bigint sum of squares, order-independent, so no fold policy needed
-_PQI_DIST_SPARK = (
-    "aggregate(zip_with(ms, cs, (a, b) -> (a - b) * (a - b)),"
-    " 0L, (acc, x) -> acc + x)"
+# bigint sum of squares, order-independent, so no fold policy needed;
+# unrolled flat for whole-stage codegen (the HOF fold is interpreted)
+_PQI_DIST_SPARK = " + ".join(
+    f"((ms[{i}] - cs[{i}]) * (ms[{i}] - cs[{i}]))"
+    for i in range(_PQ_SUBDIM)
 )
 _PQI_DIST_DUCK = (
     f"list_sum(list_transform(range(1, {_PQ_SUBDIM + 1}),"
@@ -1261,7 +1277,7 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from flink_rc_spark.llm.cluster import (
-        _DIST_SPARK as _IDIST_SPARK,
+        _DIST_SPARK_FLAT as _IDIST_SPARK,
         _QUANT_SPARK,
     )
 
