@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_rc_spark.llm.similarity import _NORM_SPARK as _NORM_FLAT
 from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
@@ -495,7 +496,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = v.withColumn(
         "nrm",
-        F.expr("sqrt(aggregate(transform(e, x -> x*x), 0d, (acc, x) -> acc + x))"),
+        F.expr(_NORM_FLAT),
     )
     a = n.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
@@ -1307,7 +1308,7 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nv = emb.withColumn(
         "nrm",
-        F.expr("sqrt(aggregate(transform(e, x -> x*x), 0d, (acc, x) -> acc + x))"),
+        F.expr(_NORM_FLAT),
     )
     mem = asg.join(nv, "vec_id")
     a = mem.select(

@@ -1155,13 +1155,13 @@ def _ivf_pq_fit(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     return cent_rows, pcent_rows
 
 
-# full-vector squared L2 between aliased columns e and ce, as the
-# engine-parity sequential left fold (same policy as _PQ_DIST_*)
-_L2_FULL_SPARK = (
-    f"aggregate(transform(sequence(1, {_DIM}), i ->"
-    " (element_at(e, i) - element_at(ce, i))"
-    " * (element_at(e, i) - element_at(ce, i))),"
-    " 0d, (acc, x) -> acc + x)"
+# full-vector squared L2 between aliased columns e and ce — flat
+# unrolled (whole-stage codegen; HOF folds are interpreted), same
+# index order + left associativity as the sequential-fold policy
+_L2_FULL_SPARK = " + ".join(
+    f"((element_at(e, {i}) - element_at(ce, {i}))"
+    f" * (element_at(e, {i}) - element_at(ce, {i})))"
+    for i in range(1, _DIM + 1)
 )
 _L2_FULL_DUCK = (
     f"list_reduce(list_transform(range(1, {_DIM + 1}), i ->"
@@ -1679,15 +1679,17 @@ _MAT_SHORTLIST_DIV = 50  # shortlist scales as max(floor, n/50):
 # smaller prefix/shortlist; the floor covers that case.
 _MAT_TOPK = 5
 
-_MAT_PDOT_SPARK = (
-    f"aggregate(transform(sequence(1, {_MAT_PREFIX}),"
-    " i -> element_at(ea, i) * element_at(eb, i)),"
-    " 0d, (acc, x) -> acc + x)"
+_MAT_PDOT_SPARK = " + ".join(
+    f"(element_at(ea, {i}) * element_at(eb, {i}))"
+    for i in range(1, _MAT_PREFIX + 1)
 )
 _MAT_PNORM_SPARK = (
-    f"sqrt(aggregate(transform(sequence(1, {_MAT_PREFIX}),"
-    " i -> element_at(e, i) * element_at(e, i)),"
-    " 0d, (acc, x) -> acc + x))"
+    "sqrt("
+    + " + ".join(
+        f"(element_at(e, {i}) * element_at(e, {i}))"
+        for i in range(1, _MAT_PREFIX + 1)
+    )
+    + ")"
 )
 _MAT_PDOT_DUCK = (
     f"list_reduce(list_transform(range(1, {_MAT_PREFIX + 1}),"
