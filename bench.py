@@ -264,6 +264,23 @@ def main() -> None:
                 break
     headline_total = round(sum(timings.values()), 4)
 
+    # Optional per-key reference walls from a PRIOR artifact
+    # (SPARK_GRAFT_BENCH_REF=<path to a previous bench JSON at the
+    # SAME sf>): a tail key whose single run exceeds 2x its reference
+    # is re-executed once and the min kept — the same
+    # min-of-executions shield headline keys get, extended to the
+    # sub-4 s tail keys a brief box flap inflates without tripping
+    # the absolute retry. Retrying only re-executes the identical
+    # plan, so the recorded number is always a true wall.
+    ref_walls: dict[str, float] = {}
+    _ref_path = os.environ.get("SPARK_GRAFT_BENCH_REF")
+    if _ref_path and os.path.exists(_ref_path):
+        try:
+            with open(_ref_path) as f:
+                ref_walls = json.load(f).get("queries", {}) or {}
+        except (OSError, ValueError):
+            ref_walls = {}
+
     if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
         for i, k in enumerate(sorted(REGISTRY.keys() - set(HEADLINE))):
             if i % 10 == 0:
@@ -282,6 +299,8 @@ def main() -> None:
                 t = min(t, execute(k))
                 if t > 4.0 and calibrate() > 2 * calib_start:
                     t = min(t, execute(k))
+            elif k in ref_walls and t > max(2 * ref_walls[k], 0.5):
+                t = min(t, execute(k))
             timings[k] = round(t, 4)
         calib_samples.append(min(calibrate(), calibrate()))
         scan_sample()
