@@ -161,6 +161,7 @@ def main() -> None:
         isolation a fresh-process-per-key harness would buy."""
         spark._jvm.System.gc()
 
+    _prewarmed = [HEADLINE[0]]
     execute(HEADLINE[0])  # warm-up (JVM + codegen + parquet footer cache)
     # Warm the Python DataSource path too: the session's FIRST use of
     # the pyspark.sql.datasource API pays ~3 s of one-time cost
@@ -172,6 +173,7 @@ def main() -> None:
     # 3.66 s for it purely because its in-sweep call was also the
     # session's first API use).
     if "q_pyds_source" in REGISTRY:
+        _prewarmed.append("q_pyds_source")
         execute("q_pyds_source")
     calibrate()
     calibrate_scan()
@@ -197,7 +199,25 @@ def main() -> None:
     # degraded episodes; starting inside one produced three rounds of
     # calib_ok=false artifacts. Bounded: up to 10 cool-downs of 60 s,
     # then proceed anyway and let calib_ok mark the episode.
+    # SPARK_GRAFT_BENCH_PREFLIGHT_MAX caps TOTAL sleep seconds across
+    # the pre-flight loop AND the mid-run episode cool-downs (r10
+    # verdict #1: the uncapped 600 s worst case exceeded the contract
+    # test's subprocess timeout, so the suite went red whenever the
+    # box sat in its degraded band; the contract test validates stdout
+    # FORMAT, not box health, and sets this to 0).
     SCAN_FLOOR = 0.14
+    _sleep_left = float(
+        os.environ.get("SPARK_GRAFT_BENCH_PREFLIGHT_MAX", "600")
+    )
+
+    def cooldown(sec: float) -> float:
+        nonlocal _sleep_left
+        take = min(sec, max(_sleep_left, 0.0))
+        if take > 0:
+            time.sleep(take)
+            _sleep_left -= take
+        return take
+
     preflight_waits = 0
     for _ in range(10):
         jvm_gc()
@@ -209,8 +229,10 @@ def main() -> None:
             or scan_start <= 1.3 * SCAN_FLOOR
         ):
             break
+        if _sleep_left <= 0:
+            break  # budget spent: proceed and let calib_ok mark it
         preflight_waits += 1
-        time.sleep(60)
+        cooldown(60)
     calib_samples = [calib_start]
 
     # Headline keys are timed as min-of-2 executions: the first pass
@@ -251,7 +273,7 @@ def main() -> None:
         for attempt in range(2):
             probe = min(calibrate(), calibrate())
             if probe > 0.20 and attempt == 0:
-                time.sleep(60)
+                cooldown(60)
                 probe = min(calibrate(), calibrate())
             calib_samples.append(probe)
             for k in HEADLINE:
@@ -264,22 +286,43 @@ def main() -> None:
                 break
     headline_total = round(sum(timings.values()), 4)
 
-    # Optional per-key reference walls from a PRIOR artifact
-    # (SPARK_GRAFT_BENCH_REF=<path to a previous bench JSON at the
-    # SAME sf>): a tail key whose single run exceeds 2x its reference
-    # is re-executed once and the min kept — the same
-    # min-of-executions shield headline keys get, extended to the
-    # sub-4 s tail keys a brief box flap inflates without tripping
-    # the absolute retry. Retrying only re-executes the identical
-    # plan, so the recorded number is always a true wall.
+    # Per-key reference walls from a PRIOR artifact: a tail key whose
+    # single run exceeds 2x its reference is re-executed once and the
+    # min kept — the same min-of-executions shield headline keys get,
+    # extended to the sub-4 s tail keys a brief box flap inflates
+    # without tripping the absolute retry. Retrying only re-executes
+    # the identical plan, so the recorded number is always a true
+    # wall. SPARK_GRAFT_BENCH_REF overrides the path; when unset the
+    # shield defaults to the repo's committed same-SF artifact
+    # (bench_out.json / bench_sf1_out.json) so DRIVER sweeps — which
+    # set no env — get it too (r10 verdict #3: q_geo_radius_join read
+    # 12.5 s in BENCH_r10 on an untouched plan, a flap the shield was
+    # built for). One-sided by design: only slower-than-ref keys
+    # retry, so the artifact stays a true wall for every key; the
+    # retried set is emitted as calib.retried_keys for auditability.
     ref_walls: dict[str, float] = {}
-    _ref_path = os.environ.get("SPARK_GRAFT_BENCH_REF")
-    if _ref_path and os.path.exists(_ref_path):
+    ref_source: str | None = None
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _ref_candidates = [os.environ.get("SPARK_GRAFT_BENCH_REF")] if (
+        os.environ.get("SPARK_GRAFT_BENCH_REF")
+    ) else [
+        os.path.join(_here, "bench_out.json"),
+        os.path.join(_here, "bench_sf1_out.json"),
+    ]
+    for _ref_path in _ref_candidates:
+        if not (_ref_path and os.path.exists(_ref_path)):
+            continue
         try:
             with open(_ref_path) as f:
-                ref_walls = json.load(f).get("queries", {}) or {}
+                _ref_rec = json.load(f)
         except (OSError, ValueError):
-            ref_walls = {}
+            continue
+        # a reference is only meaningful at the SAME scale factor
+        if _ref_rec.get("sf") == sf and _ref_rec.get("queries"):
+            ref_walls = _ref_rec["queries"]
+            ref_source = _ref_path
+            break
+    retried_keys: list[str] = []
 
     if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
         for i, k in enumerate(sorted(REGISTRY.keys() - set(HEADLINE))):
@@ -296,10 +339,12 @@ def main() -> None:
             # a DEGRADED episode (calibration probe > 2x its start),
             # one extra retry — both prior runs were likely polluted.
             if t > 4.0:
+                retried_keys.append(k)
                 t = min(t, execute(k))
                 if t > 4.0 and calibrate() > 2 * calib_start:
                     t = min(t, execute(k))
             elif k in ref_walls and t > max(2 * ref_walls[k], 0.5):
+                retried_keys.append(k)
                 t = min(t, execute(k))
             timings[k] = round(t, 4)
         calib_samples.append(min(calibrate(), calibrate()))
@@ -402,6 +447,17 @@ def main() -> None:
                 "ratio": calib_ratio,
                 "preflight_waits": preflight_waits,
                 "ok": calib_ok,
+                # audit surface (r10 advice): which keys were executed
+                # before their measured runs (session warm-up, NOT in
+                # their recorded walls), which tail keys the flap
+                # shield re-executed, where the shield's reference
+                # walls came from, and which gate-policy revision
+                # produced this verdict — so round-over-round headline
+                # comparisons are recognizably apples-to-apples.
+                "prewarmed_keys": _prewarmed,
+                "retried_keys": retried_keys,
+                "ref_source": ref_source,
+                "gate_policy": "r11",
             },
             "sf": sf,
         }

@@ -21,6 +21,12 @@ def test_bench_stdout_final_line_is_compact_json():
     out_json = os.path.join(tempfile.mkdtemp(prefix="bench_contract_"),
                             "bench_out.json")
     env["SPARK_GRAFT_BENCH_OUT"] = out_json  # keep the committed artifact
+    # This test validates stdout FORMAT, not box health: zero out the
+    # pre-flight/cool-down sleep budget so a degraded box phase cannot
+    # push bench past the subprocess timeout (r10 verdict #1 — the
+    # uncapped 600 s worst-case preflight exceeded the old 540 s
+    # budget whenever the box sat in its documented degraded band).
+    env["SPARK_GRAFT_BENCH_PREFLIGHT_MAX"] = "0"
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
         capture_output=True,
