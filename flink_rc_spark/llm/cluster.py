@@ -598,8 +598,13 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-row hash aggregate.
     """
     vec, cent, _ = kmeans_rounds(spark, sf_dir)
+    # HOF distance here (int64 fold — bit-identical to the flat form):
+    # this key regressed ~2x at sf0.1 when the r10 unroll was applied
+    # blanket; its own assignment join is one extra 64-term tree on
+    # top of the fit's three, and the per-build planning cost exceeds
+    # the interpreted-eval cost at the probe's block size (r11 A/B).
     j = vec.crossJoin(F.broadcast(cent)).withColumn(
-        "dist", F.expr(_DIST_SPARK_FLAT)
+        "dist", F.expr(_DIST_SPARK)
     )
     per = j.groupBy("vec_id").agg(
         F.sort_array(F.collect_list(F.struct("dist", "c_id"))).alias("ds")

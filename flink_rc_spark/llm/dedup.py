@@ -33,7 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_rc_spark.llm.similarity import _NORM_SPARK as _NORM_FLAT
+# norm spellings chosen per consumer (see similarity.py kernel note):
+# _NORM_HOF for the small-block q_dedup_embedding, _NORM_FLAT for the
+# many-rows-per-build semdedup pair kernel.
+from flink_rc_spark.llm.similarity import _NORM_FLAT, _NORM_HOF
 from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
@@ -496,7 +499,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = v.withColumn(
         "nrm",
-        F.expr(_NORM_FLAT),
+        F.expr(_NORM_HOF),
     )
     a = n.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
@@ -504,9 +507,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = n.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
-    from flink_rc_spark.llm.similarity import _DOT_SPARK as _dot_flat
+    # small fixed block (vec_id < 200): HOF kernel — the r10 unroll
+    # regressed this key 0.79 -> 2.20 s at sf0.1 (plan-build cost)
+    from flink_rc_spark.llm.similarity import _DOT_HOF as _dot
 
-    cos = F.expr(_dot_flat) / (F.col("na") * F.col("nb"))
+    cos = F.expr(_dot) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.35)
@@ -1323,7 +1328,10 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    from flink_rc_spark.llm.similarity import _DOT_SPARK as _dot_flat
+    # many rows per build (all within-cluster pairs, n x avg-cluster
+    # rows at sf1): the FLAT codegen kernel — part of the r10
+    # split-probed semdedup win (sf1 13.5 -> 6.8 s), kept per-consumer
+    from flink_rc_spark.llm.similarity import _DOT_FLAT as _dot_flat
 
     cosv = F.expr(_dot_flat) / (F.col("na") * F.col("nb"))
     pairs = (
@@ -1691,6 +1699,17 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixture_mtime(sf_dir: str) -> float:
+    """documents.parquet mtime — data-version component for memo keys
+    (the global_scan_salted bounds memo convention: path + mtime)."""
+    import os as _os
+
+    try:
+        return _os.path.getmtime(_os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        return 0.0
+
+
 @register(
     "q_join_setsim",
     oracle=f"""
@@ -1795,6 +1814,10 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to any injective order-consistent relabeling — which the
     # completeness test (tests/test_wave14.py) proves against the
     # unfiltered enumeration.
+    # _ord is exact while dfc < 2^32 (double has 52 mantissa bits for
+    # the 20-bit fraction + integer part); past that, rounding can
+    # merge adjacent keys — still MONOTONE in (dfc, _h), so bucketing
+    # stays order-consistent and correct, only balance coarsens.
     keyed = df.withColumn(
         "_h", F.pmod(F.xxhash64("w"), F.lit(1 << 20))
     ).withColumn("_ord", F.col("dfc") + F.col("_h") / F.lit(float(1 << 20)))
@@ -1803,7 +1826,12 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_on="_ord",
         order_cols=["dfc", "_h", "w"],
         specs=[{"kind": "count", "out": "rnk"}],
-        bounds_key=("q_join_setsim", sf_dir),
+        # mtime fingerprints the fixture (helper convention): path
+        # alone would reuse stale boundaries if data is regenerated
+        # in place — still correct (bucketing is comparison-based and
+        # order_cols give the exact total order), but bucket balance
+        # would silently degrade.
+        bounds_key=("q_join_setsim", sf_dir, _fixture_mtime(sf_dir)),
     ).select("w", F.col("rnk").cast("long").alias("rnk"))
     docs_t = (
         flat.join(ranked, "w")

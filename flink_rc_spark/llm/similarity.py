@@ -35,19 +35,37 @@ from flink_rc_spark.sources.tables import load
 _DIM = 64
 _N_PLANES = 8
 
-# Dot and norm kernels UNROLLED into flat arithmetic: the
-# higher-order-function spelling (aggregate over zip_with) evaluates
-# INTERPRETED (HOF lambdas are CodegenFallback) — measured ~2-3 s per
-# ~1M-pair evaluation at sf1 — while the unrolled form compiles into
-# whole-stage codegen (the llm/cluster.py _DIST_SPARK_FLAT finding,
-# r10). Values are bit-identical: both fold in index order
-# left-associatively, and the HOF's leading `0.0d +` is IEEE-exact
+# TWO spellings of the same dot/norm fold, chosen PER CONSUMER
+# (r10 verdict: the blanket unroll regressed every small-block
+# similarity key ~2x — per-consumer A/B in BASELINE.md r11):
+#
+#  - _DOT_FLAT/_NORM_FLAT — 64 flat terms, whole-stage codegen. Wins
+#    where one build's expression is evaluated over MANY rows (the
+#    Lloyd-fit / PQ-ADC kernels: n x k rows x rounds; the
+#    llm/cluster.py _DIST_SPARK_FLAT finding, ~2x fit win at sf1).
+#  - _DOT_HOF/_NORM_HOF — aggregate over zip_with. HOF lambdas are
+#    CodegenFallback (interpreted), but the expression tree is tiny;
+#    for the small fixed-size blocks the similarity keys probe
+#    (~200-vector block, ~10-query probe) the 64-term tree's
+#    per-build planning/codegen cost dominates the whole key —
+#    judge-A/B'd r10: HOF 2.0-2.3x faster on q_sim_cosine_topk /
+#    q_knn_label at sf0.1, re-probed per consumer this round.
+#
+# Values are bit-identical either way: both fold in index order
+# left-associatively, and the HOF's leading `0d +` is IEEE-exact
 # (0.0 + x == x), so the repo's sequential-fold double policy — what
-# the DuckDB oracles' list_reduce mirrors — is unchanged.
-_DOT_SPARK = " + ".join(f"(ea[{i}] * eb[{i}])" for i in range(_DIM))
-_NORM_SPARK = (
+# the DuckDB oracles' list_reduce mirrors — is unchanged by the
+# choice. _DOT_SPARK/_NORM_SPARK are the small-block default used by
+# the similarity consumers in this module; the fit kernels import the
+# _FLAT forms explicitly.
+_DOT_FLAT = " + ".join(f"(ea[{i}] * eb[{i}])" for i in range(_DIM))
+_NORM_FLAT = (
     "sqrt(" + " + ".join(f"(e[{i}] * e[{i}])" for i in range(_DIM)) + ")"
 )
+_DOT_HOF = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)"
+_NORM_HOF = "sqrt(aggregate(transform(e, x -> x*x), 0d, (acc, x) -> acc + x))"
+_DOT_SPARK = _DOT_HOF
+_NORM_SPARK = _NORM_HOF
 
 _DOT_DUCK = (
     f"list_reduce(list_transform(range(1, {_DIM + 1}),"
