@@ -59,13 +59,18 @@ _DIST_SPARK = (
     "aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)),"
     " 0L, (acc, x) -> acc + x)"
 )
-# The SAME integer distance as 64 FLAT squared-difference terms: the
-# higher-order-function form above evaluates INTERPRETED (HOF lambdas
-# are CodegenFallback), measured ~3.5 s per n x k evaluation at sf1
-# k=64 — the whole Lloyd-fit wall. DIM is a fixed contract (64), so
-# the unrolled form compiles into whole-stage codegen like any other
-# arithmetic (the q_dedup_simhash 60-flat-columns trick); int64
-# addition is associative/exact, so the value is bit-identical.
+# The SAME integer distance as 64 FLAT squared-difference terms
+# (int64 addition is exact/associative, so values are bit-identical
+# either way). The r10 claim that this form beat the HOF on the fit
+# was a count()-probe artifact: r11 noop-sink A/Bs measured the
+# 64-term tree EQUAL at sf1 (10.5 vs 10.3 s fit) and 1.5-5x SLOWER
+# everywhere else (q_kmeans 3.1 vs 2.0 s sf0.1, q_sample_coreset 5.4
+# vs 3.8, q_ivf_pq_search 3.4 vs 2.3, semdedup pairs 18 vs 3.3 s at
+# sf1) — a 64-term tree blows the whole-stage-codegen budget of its
+# enclosing stage, and an INTERPRETED flat tree (per-node dispatch)
+# is slower than the interpreted HOF fold. 16-term trees (PQ subdims,
+# matryoshka prefix) stay under the budget and DO win — see
+# similarity.py. Kept for the probe tools; no production consumer.
 _DIST_SPARK_FLAT = " + ".join(
     f"(m[{i}] - cm[{i}]) * (m[{i}] - cm[{i}])" for i in range(DIM)
 )
@@ -159,10 +164,13 @@ def _assign(vec: DataFrame, cent: DataFrame) -> DataFrame:
     (tools/semdedup_split_probe.py) measured as the dominant cost of
     the 3-round fit. A constant-folded projection argmin
     (array_min over a centroid literal) was probed too and lost: the
-    nested HOF lambda evaluates interpreted per row x per centroid,
-    ~2x slower than this flat codegen distance + hash agg."""
+    nested HOF lambda evaluates interpreted per row x per centroid.
+    The distance itself is the HOF fold — the r11 noop A/B measured
+    the 64-term flat unroll equal at sf1 and slower at sf0.1 (the
+    r10 flat switch here was a count()-probe artifact; see the
+    _DIST_SPARK_FLAT note)."""
     j = vec.crossJoin(F.broadcast(cent))
-    j = j.withColumn("dist", F.expr(_DIST_SPARK_FLAT))
+    j = j.withColumn("dist", F.expr(_DIST_SPARK))
     return (
         j.groupBy("vec_id")
         .agg(F.min(F.struct("dist", "c_id", "m")).alias("_b"))
@@ -598,11 +606,10 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-row hash aggregate.
     """
     vec, cent, _ = kmeans_rounds(spark, sf_dir)
-    # HOF distance here (int64 fold — bit-identical to the flat form):
-    # this key regressed ~2x at sf0.1 when the r10 unroll was applied
-    # blanket; its own assignment join is one extra 64-term tree on
-    # top of the fit's three, and the per-build planning cost exceeds
-    # the interpreted-eval cost at the probe's block size (r11 A/B).
+    # HOF distance (int64 fold — bit-identical to the flat form):
+    # this key regressed ~2x at sf0.1 under the r10 blanket unroll;
+    # r11 A/B measured HOF faster here at both SFs (see the
+    # _DIST_SPARK_FLAT note).
     j = vec.crossJoin(F.broadcast(cent)).withColumn(
         "dist", F.expr(_DIST_SPARK)
     )

@@ -33,10 +33,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-# norm spellings chosen per consumer (see similarity.py kernel note):
-# _NORM_HOF for the small-block q_dedup_embedding, _NORM_FLAT for the
-# many-rows-per-build semdedup pair kernel.
-from flink_rc_spark.llm.similarity import _NORM_FLAT, _NORM_HOF
+# HOF norm everywhere: 64-term flat trees lose at every probed shape
+# (similarity.py kernel note, r11 A/B)
+from flink_rc_spark.llm.similarity import _NORM_HOF
 from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
@@ -1313,7 +1312,7 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nv = emb.withColumn(
         "nrm",
-        F.expr(_NORM_FLAT),
+        F.expr(_NORM_HOF),
     )
     mem = asg.join(nv, "vec_id")
     a = mem.select(
@@ -1328,12 +1327,13 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    # many rows per build (all within-cluster pairs, n x avg-cluster
-    # rows at sf1): the FLAT codegen kernel — part of the r10
-    # split-probed semdedup win (sf1 13.5 -> 6.8 s), kept per-consumer
-    from flink_rc_spark.llm.similarity import _DOT_FLAT as _dot_flat
+    # HOF kernel: the r11 noop A/B measured the 64-term flat unroll
+    # 5x SLOWER on this pair stage (18.1 vs 3.3 s at sf1, ~3.1M
+    # in-cluster pairs) — the r10 "flat win" here was a count()-probe
+    # artifact (see similarity.py kernel note)
+    from flink_rc_spark.llm.similarity import _DOT_HOF as _dot
 
-    cosv = F.expr(_dot_flat) / (F.col("na") * F.col("nb"))
+    cosv = F.expr(_dot) / (F.col("na") * F.col("nb"))
     pairs = (
         a.join(b, "c_id")
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -448,9 +448,12 @@ def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("dist_at_pick"),
         )
     )
-    from flink_rc_spark.llm.cluster import _DIST_SPARK_FLAT
+    from flink_rc_spark.llm.cluster import _DIST_SPARK
 
-    dist = _DIST_SPARK_FLAT  # flat codegen form; exact int64 either way
+    # HOF int64 fold (exact either way): the 64-term flat form was
+    # 1.4x slower here in the r11 noop A/B (5.4 vs 3.8 s sf0.1) —
+    # oversized codegen trees interpret; see cluster._DIST_SPARK_FLAT
+    dist = _DIST_SPARK
     chosen = seed.transform(checkpoint, eager=True)
     for r in range(1, _FPS_K):
         dmin = (

@@ -35,29 +35,31 @@ from flink_rc_spark.sources.tables import load
 _DIM = 64
 _N_PLANES = 8
 
-# TWO spellings of the same dot/norm fold, chosen PER CONSUMER
-# (r10 verdict: the blanket unroll regressed every small-block
-# similarity key ~2x — per-consumer A/B in BASELINE.md r11):
+# Kernel-spelling policy (r11, measured — BASELINE.md r11 section):
+# the r10 blanket unroll of all vector kernels into flat arithmetic
+# was built on a count()-probe artifact and regressed every consumer
+# it touched with a 64-TERM tree. The r11 noop-sink A/Bs
+# (tools/kernel_ab_probe.py + per-stage probes) show a clean
+# tree-size threshold:
 #
-#  - _DOT_FLAT/_NORM_FLAT — 64 flat terms, whole-stage codegen. Wins
-#    where one build's expression is evaluated over MANY rows (the
-#    Lloyd-fit / PQ-ADC kernels: n x k rows x rounds; the
-#    llm/cluster.py _DIST_SPARK_FLAT finding, ~2x fit win at sf1).
-#  - _DOT_HOF/_NORM_HOF — aggregate over zip_with. HOF lambdas are
-#    CodegenFallback (interpreted), but the expression tree is tiny;
-#    for the small fixed-size blocks the similarity keys probe
-#    (~200-vector block, ~10-query probe) the 64-term tree's
-#    per-build planning/codegen cost dominates the whole key —
-#    judge-A/B'd r10: HOF 2.0-2.3x faster on q_sim_cosine_topk /
-#    q_knn_label at sf0.1, re-probed per consumer this round.
+#  - 64-term flat trees LOSE everywhere (q_sim_cosine_topk 2.5 vs
+#    1.7 s, semdedup pairs 18 vs 3.3 s sf1, q_ivf_pq_search 3.4 vs
+#    2.3 s, Lloyd fit equal at sf1 / slower at sf0.1): the giant
+#    generated method blows the enclosing stage's whole-stage-codegen
+#    budget, and an INTERPRETED 64-node flat tree (per-node dispatch)
+#    is slower than the interpreted HOF fold — plus each build pays
+#    the big tree's Catalyst/Janino cost.
+#  - 16-term flat trees WIN (PQ subspace ADC, matryoshka prefix:
+#    q_sim_pq_topk 2.0 flat vs 3.0 HOF): small enough to codegen.
 #
-# Values are bit-identical either way: both fold in index order
-# left-associatively, and the HOF's leading `0d +` is IEEE-exact
-# (0.0 + x == x), so the repo's sequential-fold double policy — what
-# the DuckDB oracles' list_reduce mirrors — is unchanged by the
-# choice. _DOT_SPARK/_NORM_SPARK are the small-block default used by
-# the similarity consumers in this module; the fit kernels import the
-# _FLAT forms explicitly.
+# So: _DOT_SPARK/_NORM_SPARK (the HOF fold) is THE full-dim kernel
+# for every consumer; only the 16-term subspace kernels below are
+# flat. Values are bit-identical either way: both fold in index
+# order left-associatively, and the HOF's leading `0d +` is
+# IEEE-exact (0.0 + x == x), so the repo's sequential-fold double
+# policy — what the DuckDB oracles' list_reduce mirrors — is
+# unchanged by the choice. The _FLAT forms are kept for the probe
+# tools (no production consumer).
 _DOT_FLAT = " + ".join(f"(ea[{i}] * eb[{i}])" for i in range(_DIM))
 _NORM_FLAT = (
     "sqrt(" + " + ".join(f"(e[{i}] * e[{i}])" for i in range(_DIM)) + ")"
@@ -797,12 +799,14 @@ _PQ_SUBDIM = _DIM // _PQ_SUBS
 _PQ_K = 16            # centroids per subspace (4-bit codes)
 
 # squared L2 distance between a vector's subspace slice and a centroid's,
-# UNROLLED into 8 flat terms (whole-stage codegen; the HOF fold is
-# interpreted — see _DOT_SPARK) in the same index order + left
-# associativity, so the value is bit-identical to the sequential fold
-# the DuckDB oracle mirrors; the (a-b) term is spelled twice because
-# DuckDB lambdas have no LET and ** / ^ power operators differ
-# between engines
+# UNROLLED into {_PQ_SUBDIM} flat terms — SMALL trees like this stay
+# inside the stage's codegen budget and genuinely win (r11 A/B:
+# q_sim_pq_topk 2.0 s flat vs 3.0 s HOF, q_embedding_pq 1.1 vs 1.9;
+# the 64-term full-dim trees are the ones that lose — see the kernel
+# note at the top). Same index order + left associativity, so the
+# value is bit-identical to the sequential fold the DuckDB oracle
+# mirrors; the (a-b) term is spelled twice because DuckDB lambdas
+# have no LET and ** / ^ power operators differ between engines
 _PQ_DIST_SPARK = " + ".join(
     f"((element_at(e, s * {_PQ_SUBDIM} + {i})"
     f" - element_at(ce, s * {_PQ_SUBDIM} + {i}))"
@@ -1173,13 +1177,17 @@ def _ivf_pq_fit(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
     return cent_rows, pcent_rows
 
 
-# full-vector squared L2 between aliased columns e and ce — flat
-# unrolled (whole-stage codegen; HOF folds are interpreted), same
-# index order + left associativity as the sequential-fold policy
-_L2_FULL_SPARK = " + ".join(
-    f"((element_at(e, {i}) - element_at(ce, {i}))"
-    f" * (element_at(e, {i}) - element_at(ce, {i})))"
-    for i in range(1, _DIM + 1)
+# full-vector squared L2 between aliased columns e and ce, as the
+# engine-parity sequential left fold. HOF spelling: the r11 noop A/B
+# measured the 64-term flat unroll SLOWER on q_ivf_pq_search at both
+# SFs (3.4 vs 2.3 s sf0.1) — 64-term trees overflow the enclosing
+# stage's codegen budget and interpret worse than the HOF fold
+# (16-term trees like _PQ_DIST_* are under it and stay flat).
+_L2_FULL_SPARK = (
+    f"aggregate(transform(sequence(1, {_DIM}), i ->"
+    " (element_at(e, i) - element_at(ce, i))"
+    " * (element_at(e, i) - element_at(ce, i))),"
+    " 0d, (acc, x) -> acc + x)"
 )
 _L2_FULL_DUCK = (
     f"list_reduce(list_transform(range(1, {_DIM + 1}), i ->"
@@ -1295,7 +1303,7 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from flink_rc_spark.llm.cluster import (
-        _DIST_SPARK_FLAT as _IDIST_SPARK,
+        _DIST_SPARK as _IDIST_SPARK,  # HOF fold: 64-term flat loses (r11 A/B)
         _QUANT_SPARK,
     )
 

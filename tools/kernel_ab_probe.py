@@ -56,33 +56,33 @@ def main() -> None:
     spark = get_spark(app="kernel_ab_probe")
 
     # snapshot the as-committed bindings so variant "committed" is
-    # restorable; "hof"/"flat" force one spelling everywhere the
-    # similarity/dedup/cluster consumers resolve their kernel at call
-    # time (module globals + the dedup module-level norm binding)
+    # restorable; "hof"/"flat" force one 64-term spelling everywhere
+    # the similarity/dedup/cluster consumers resolve their kernel at
+    # call time (module globals + the dedup module-level norm binding)
+    _FLAT_DIST = C._DIST_SPARK_FLAT
+    _FLAT_L2 = " + ".join(
+        f"((element_at(e, {i}) - element_at(ce, {i}))"
+        f" * (element_at(e, {i}) - element_at(ce, {i})))"
+        for i in range(1, S._DIM + 1)
+    )
     committed = {
         "S._DOT_SPARK": S._DOT_SPARK,
         "S._NORM_SPARK": S._NORM_SPARK,
         "S._DOT_HOF": S._DOT_HOF,
         "S._NORM_HOF": S._NORM_HOF,
+        "S._L2_FULL_SPARK": S._L2_FULL_SPARK,
         "D._NORM_HOF": D._NORM_HOF,
-        "D._NORM_FLAT": D._NORM_FLAT,
         "C._DIST_SPARK": C._DIST_SPARK,
     }
 
     def set_variant(name: str) -> None:
-        if name == "hof":
-            S._DOT_SPARK, S._NORM_SPARK = S._DOT_HOF, committed["S._NORM_HOF"]
-            S._DOT_HOF, S._NORM_HOF = committed["S._DOT_HOF"], committed["S._NORM_HOF"]
-            D._NORM_HOF = committed["D._NORM_HOF"]
-            D._NORM_FLAT = committed["D._NORM_HOF"]
-            C._DIST_SPARK = committed["C._DIST_SPARK"]
-        elif name == "flat":
-            S._DOT_SPARK, S._NORM_SPARK = S._DOT_FLAT, S._NORM_FLAT
-            S._DOT_HOF, S._NORM_HOF = S._DOT_FLAT, S._NORM_FLAT
-            D._NORM_HOF = committed["D._NORM_FLAT"]
-            D._NORM_FLAT = committed["D._NORM_FLAT"]
-            C._DIST_SPARK = C._DIST_SPARK_FLAT
-        else:  # committed
+        if name == "flat":
+            S._DOT_SPARK = S._DOT_HOF = S._DOT_FLAT
+            S._NORM_SPARK = S._NORM_HOF = S._NORM_FLAT
+            S._L2_FULL_SPARK = _FLAT_L2
+            D._NORM_HOF = S._NORM_FLAT
+            C._DIST_SPARK = _FLAT_DIST
+        else:  # "hof" == the committed per-consumer state
             for k, v in committed.items():
                 mod, attr = k.split(".")
                 setattr({"S": S, "D": D, "C": C}[mod], attr, v)

@@ -29,16 +29,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _t(fn):
+def _noop(df):
     t0 = time.perf_counter()
-    out = fn()
-    return out, round(time.perf_counter() - t0, 2)
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
 
 
 def _min2(fn):
-    (n1, t1), (n2, t2) = _t(fn), _t(fn)
-    assert n1 == n2, (n1, n2)
-    return n1, min(t1, t2)
+    """fn builds and returns the stage DataFrame. Timing is the NOOP
+    SINK over the full column set, never .count(): Catalyst prunes
+    projections a count does not need, so count()-timing silently
+    skips the kernels under test — the r10 probe timed semdedup's
+    "full key" at 6.8 s that way while the noop wall was ~26 s (r11
+    finding, the playbook's count()-profiling trap)."""
+    df = fn()
+    rows = df.count()
+    t1, t2 = _noop(df), _noop(fn())
+    return rows, min(t1, t2)
 
 
 def probe(spark, sf_dir: str) -> list[tuple]:
@@ -65,7 +72,7 @@ def probe(spark, sf_dir: str) -> list[tuple]:
     k = _semdedup_k(n)
 
     def s1():
-        return kmeans_assign(spark, sf_dir, k=k).count()
+        return kmeans_assign(spark, sf_dir, k=k)
 
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -98,11 +105,10 @@ def probe(spark, sf_dir: str) -> list[tuple]:
             .filter(F.col("vec_a") < F.col("vec_b"))
             .select((dot / (F.col("na") * F.col("nb"))).alias("cosv"))
             .filter(F.col("cosv") >= _SEMDEDUP_TAU)
-            .count()
         )
 
     def s3():
-        return q_dedup_semdedup(spark, sf_dir).count()
+        return q_dedup_semdedup(spark, sf_dir)
 
     for name, fn in [("semdedup.S1_kmeans", s1),
                      ("semdedup.S2_pairs", s2),
@@ -118,7 +124,7 @@ def probe(spark, sf_dir: str) -> list[tuple]:
     h = nvec.withColumn("bucket", F.expr(bucket_expr).cast("bigint"))
 
     def t1():
-        return h.count()
+        return h
 
     def t2():
         a = h.select(
@@ -138,7 +144,6 @@ def probe(spark, sf_dir: str) -> list[tuple]:
             )
             .select(cos.alias("cos"))
             .filter(F.col("cos") >= 0.30)
-            .count()
         )
 
     def t2_pairs():
@@ -151,10 +156,10 @@ def probe(spark, sf_dir: str) -> list[tuple]:
             b,
             (F.col("bucket") == F.col("bucket_b"))
             & (F.col("doc_a") < F.col("doc_b")),
-        ).count()
+        )
 
     def t3():
-        return q_dedup_semantic(spark, sf_dir).count()
+        return q_dedup_semantic(spark, sf_dir)
 
     for name, fn in [("semantic.S1_bucket", t1),
                      ("semantic.S2a_collisions", t2_pairs),
