@@ -150,36 +150,62 @@ def _duck_oracle() -> str:
 
 
 def _assign(vec: DataFrame, cent: DataFrame) -> DataFrame:
-    """One Lloyd assignment: broadcast the k-row centroid table, exact
-    integer distance, argmin as ``min(struct(dist, c_id, m))`` — a
-    HASH AGGREGATE, not a window. The struct's lexicographic order is
-    (dist, c_id, ...), the exact tie-break of the oracle's
-    ``ROW_NUMBER() OVER (ORDER BY dist, c_id) = 1`` (m rides in the
-    tail and can never decide: c_id is unique per candidate). Every
-    vec_id's k candidates are born in ONE partition (broadcast join),
-    so the partial aggregate reduces n x k -> n map-side and the
-    shuffle carries n single-struct rows — the r9 window spelling
-    shuffled all n x k rows (each with TWO 64-int arrays) into a
-    per-vector sort, which the semdedup split probe
-    (tools/semdedup_split_probe.py) measured as the dominant cost of
-    the 3-round fit. A constant-folded projection argmin
-    (array_min over a centroid literal) was probed too and lost: the
-    nested HOF lambda evaluates interpreted per row x per centroid.
-    The distance itself is the HOF fold — the r11 noop A/B measured
-    the 64-term flat unroll equal at sf1 and slower at sf0.1 (the
-    r10 flat switch here was a count()-probe artifact; see the
-    _DIST_SPARK_FLAT note)."""
-    j = vec.crossJoin(F.broadcast(cent))
-    j = j.withColumn("dist", F.expr(_DIST_SPARK))
-    return (
-        j.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "c_id", "m")).alias("_b"))
-        .select(
-            "vec_id",
-            F.col("_b.m").alias("m"),
-            F.col("_b.c_id").alias("c_id"),
-            F.col("_b.dist").alias("dist"),
-        )
+    """One Lloyd assignment, Arrow-vectorized: the k-row centroid
+    table (k <= 64 by contract) is collected to the driver and
+    shipped as a numpy closure constant; each vector batch computes
+    exact int64 distances to ALL centroids with one matmul and takes
+    the (dist, c_id)-lexicographic argmin.
+
+    Exactness: |m-c|^2 = |m|^2 + |c|^2 - 2<m,c> term-by-term in
+    int64 — quantized coords are <= ~2.6e6 (the +2.0 offset grid), so
+    every intermediate is <= 64 * (2.6e6)^2 ~ 4.3e14 << 2^63; integer
+    arithmetic is associative, so the expanded form equals the SQL
+    fold bit-for-bit. Tie-break: centroid rows are sorted by c_id and
+    np.argmin returns the FIRST minimum — exactly the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY dist, c_id) = 1``.
+
+    Why not pure SQL: the k x dim per-row argmin is the one kernel
+    the built-in surface cannot express efficiently — the broadcast
+    crossJoin + HOF fold evaluates interpreted (~47 ns/element,
+    3.9 s per round over 20k x 64 at sf1) and the 64-term flat unroll
+    interprets even slower once it blows the stage's codegen budget
+    (BASELINE.md r11). One vectorized matmul per Arrow batch is the
+    shape Spark MLlib itself uses for k-means assignment.
+
+    100 TB: vectors NEVER shuffle — the model rides to every
+    partition as a k x dim closure constant (32 KB at the k=64
+    contract cap) and each task streams its Arrow batches through
+    one BLAS call; collecting the k-row centroid table is the same
+    per-round driver round-trip the re-center update already makes.
+    The collect also CUTS the plan lineage each round, so round r's
+    plan never re-chains rounds 1..r-1."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cent.orderBy("c_id").collect()
+    cids = np.array([r["c_id"] for r in rows], dtype=np.int64)
+    cm = np.array([list(r["cm"]) for r in rows], dtype=np.int64)
+    c2 = (cm * cm).sum(axis=1)
+
+    def assign_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.array([np.asarray(v) for v in pdf["m"]], dtype=np.int64)
+            d = (m * m).sum(axis=1)[:, None] + c2[None, :] - 2 * (m @ cm.T)
+            j = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "m": pdf["m"],
+                    "c_id": cids[j],
+                    "dist": d[np.arange(len(j)), j],
+                }
+            )
+
+    return vec.mapInPandas(
+        assign_batches,
+        schema="vec_id bigint, m array<bigint>, c_id bigint, dist bigint",
     )
 
 
