@@ -631,21 +631,41 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), per-vector top-2 via a k-element in-row sort, then a
     k-row hash aggregate.
     """
+    import numpy as np
+    import pandas as pd
+
     vec, cent, _ = kmeans_rounds(spark, sf_dir)
-    # HOF distance (int64 fold — bit-identical to the flat form):
-    # this key regressed ~2x at sf0.1 under the r10 blanket unroll;
-    # r11 A/B measured HOF faster here at both SFs (see the
-    # _DIST_SPARK_FLAT note).
-    j = vec.crossJoin(F.broadcast(cent)).withColumn(
-        "dist", F.expr(_DIST_SPARK)
-    )
-    per = j.groupBy("vec_id").agg(
-        F.sort_array(F.collect_list(F.struct("dist", "c_id"))).alias("ds")
-    )
-    ab = per.select(
-        F.col("ds")[0]["c_id"].alias("own"),
-        F.col("ds")[0]["dist"].alias("a"),
-        F.col("ds")[1]["dist"].alias("b"),
+    # Arrow-vectorized per-vector top-2 over the (tiny, collected)
+    # centroid table — the _assign shape; the crossJoin + interpreted
+    # HOF dist + collect_list sort it replaces was the key's dominant
+    # cost. np.lexsort((c_id, dist)) reproduces the SQL
+    # sort_array(struct(dist, c_id)) lexicographic tie-break exactly;
+    # int64 expansion is exact at the grid's magnitudes (see _assign).
+    rows = cent.orderBy("c_id").collect()
+    cids = np.array([r["c_id"] for r in rows], dtype=np.int64)
+    cm = np.array([list(r["cm"]) for r in rows], dtype=np.int64)
+    c2 = (cm * cm).sum(axis=1)
+
+    def top2_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.array([np.asarray(v) for v in pdf["m"]], dtype=np.int64)
+            d = (m * m).sum(axis=1)[:, None] + c2[None, :] - 2 * (m @ cm.T)
+            # two smallest (dist, c_id) per row, exact lexicographic
+            ordk = np.argsort(d, axis=1, kind="stable")  # ties -> lower idx = lower c_id
+            i0, i1 = ordk[:, 0], ordk[:, 1]
+            r_idx = np.arange(len(m))
+            yield pd.DataFrame(
+                {
+                    "own": cids[i0],
+                    "a": d[r_idx, i0],
+                    "b": d[r_idx, i1],
+                }
+            )
+
+    ab = vec.mapInPandas(
+        top2_batches, schema="own bigint, a bigint, b bigint"
     )
     sm = ab.select("own", F.expr(_SIL_MICRO).alias("s_micro"))
     return (

@@ -420,14 +420,25 @@ def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical — an order-sensitive iterative selection made
     hash-verifiable.
 
-    Plan: k−1 rounds of [broadcast the ≤ k-row chosen set → per-vector
-    min-distance map → TakeOrdered(1)]; vectors never shuffle. The
-    coverage pass is one more broadcast map + max-reduce.
+    Plan: the chosen set (<= k = {_FPS_K} rows) lives ON THE DRIVER;
+    each round ships it as a numpy closure constant into one
+    Arrow-vectorized min-distance map (the cluster._assign shape —
+    exact int64 expansion, see that docstring) and TakeOrdered(1)s
+    the farthest vector back. Vectors never shuffle, nothing is
+    re-checkpointed per round (the r10 form paid 8 eager checkpoints
+    + 8 broadcast crossJoin plans with the interpreted HOF fold —
+    r11: sf1 8.3 -> ~3 s). The coverage pass is one more vectorized
+    map + max-reduce.
     """
+    import numpy as np
+    import pandas as pd
+
     from flink_rc_spark.llm.cluster import _QUANT_SPARK
 
     emb = load(spark, sf_dir, "embeddings")
-    vq = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("m"))
+    vq = emb.select("vec_id", F.expr(_QUANT_SPARK).alias("m")).transform(
+        checkpoint, eager=True
+    )  # scanned once, probed every round
     seed = (
         vq.withColumn(
             "rn",
@@ -441,50 +452,51 @@ def q_sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "m",
-            F.lit(0).alias("sel_rank"),
-            F.lit(None).cast("long").alias("dist_at_pick"),
-        )
+        .select("vec_id", "m")
+        .collect()[0]
     )
-    from flink_rc_spark.llm.cluster import _DIST_SPARK
+    # (vec_id, m, sel_rank, dist_at_pick) — the greedy state, driver-side
+    chosen: list = [(int(seed["vec_id"]), list(seed["m"]), 0, None)]
 
-    # HOF int64 fold (exact either way): the 64-term flat form was
-    # 1.4x slower here in the r11 noop A/B (5.4 vs 3.8 s sf0.1) —
-    # oversized codegen trees interpret; see cluster._DIST_SPARK_FLAT
-    dist = _DIST_SPARK
-    chosen = seed.transform(checkpoint, eager=True)
+    def dmin_map():
+        cm = np.array([c[1] for c in chosen], dtype=np.int64)
+        c2 = (cm * cm).sum(axis=1)
+
+        def batches(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                m = np.array(
+                    [np.asarray(v) for v in pdf["m"]], dtype=np.int64
+                )
+                d = (
+                    (m * m).sum(axis=1)[:, None] + c2[None, :] - 2 * (m @ cm.T)
+                ).min(axis=1)
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "dmin": d})
+
+        return vq.mapInPandas(batches, schema="vec_id bigint, dmin bigint")
+
     for r in range(1, _FPS_K):
-        dmin = (
-            vq.crossJoin(
-                F.broadcast(chosen.select(F.col("m").alias("cm")))
-            )
-            .select("vec_id", F.expr(dist).alias("d"))
-            .groupBy("vec_id")
-            .agg(F.min("d").alias("dmin"))
-        )
         pick = (
-            dmin.orderBy(F.desc("dmin"), "vec_id")
-            .limit(1)
-            .join(vq, "vec_id")
-            .select(
-                "vec_id",
-                "m",
-                F.lit(r).alias("sel_rank"),
-                F.col("dmin").alias("dist_at_pick"),
-            )
+            dmin_map().orderBy(F.desc("dmin"), "vec_id").limit(1).collect()[0]
         )
-        chosen = chosen.unionByName(pick).transform(checkpoint, eager=True)
-    cover = (
-        vq.crossJoin(F.broadcast(chosen.select(F.col("m").alias("cm"))))
-        .select("vec_id", F.expr(dist).alias("d"))
-        .groupBy("vec_id")
-        .agg(F.min("d").alias("dmin"))
-        .agg(F.max("dmin").cast("long").alias("cover_radius_sq"))
+        # fetch just the picked row's vector (collecting the whole
+        # vector column keyed by id would not scale)
+        m_row = vq.filter(F.col("vec_id") == int(pick["vec_id"])).select(
+            "m"
+        ).collect()[0]
+        chosen.append(
+            (int(pick["vec_id"]), list(m_row["m"]), r, int(pick["dmin"]))
+        )
+    cover = dmin_map().agg(
+        F.max("dmin").cast("long").alias("cover_radius_sq")
+    )
+    chosen_df = spark.createDataFrame(
+        [(c[2], c[0], c[3]) for c in chosen],
+        "sel_rank int, vec_id bigint, dist_at_pick bigint",
     )
     return (
-        chosen.crossJoin(F.broadcast(cover))
+        chosen_df.crossJoin(F.broadcast(cover))
         .select("sel_rank", "vec_id", "dist_at_pick", "cover_radius_sq")
         .orderBy("sel_rank")
     )
