@@ -787,34 +787,73 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     attach only to the ≤|candidates| surviving docs via two hash
     joins.
     """
-    from flink_rc_spark.llm.similarity import (
-        _DOT_SPARK,
-        _lsh_bit_spark,
-        _vectors,
-    )
+    import numpy as np
+    import pandas as pd
+
+    from flink_rc_spark.llm.similarity import _lsh_bit_spark, _vectors
 
     n = _vectors(spark, sf_dir)
     bucket_expr = " + ".join(
         f"({_lsh_bit_spark(j)}) * {2 ** j}" for j in range(8)
     )
     h = n.withColumn("bucket", F.expr(bucket_expr).cast("bigint"))
-    a = h.select(
-        F.col("vec_id").alias("doc_a"), F.col("e").alias("ea"),
-        F.col("nrm").alias("na"), "bucket",
-    )
-    b = h.select(
-        F.col("vec_id").alias("doc_b"), F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"),
-    )
-    cos = F.expr(_DOT_SPARK) / (F.col("na") * F.col("nb"))
-    close = (
-        a.join(
-            b,
-            (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+
+    # In-bucket pair cosines, Arrow-vectorized per bucket group: the
+    # bucket self-join + interpreted HOF dot evaluated each of the
+    # ~894k collision pairs' 64-dim fold row-at-a-time (7.6 s of the
+    # key's 11-13 s at sf1, r11 noop split). Each bucket's vectors
+    # now cross the Arrow boundary ONCE, and the dot accumulates as a
+    # per-dimension SEQUENTIAL fold of vectorized outer products —
+    # dot = ((0 + a1*b1) + a2*b2) + ... in index order, bit-identical
+    # to the HOF fold / DuckDB list_reduce the oracle runs, then
+    # cos = dot / (na*nb) in the same operation order. Pairs emit
+    # only above the 0.30 floor. Memory per task is bounded by
+    # ROW-BLOCKS of the pair matrix (block x k), so a hot bucket
+    # costs time, not memory — same occupancy bound as the join.
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = len(pdf)
+        if k < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "cos": pd.Series([], dtype="float64")}
+            )
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        nrm = pdf["nrm"].to_numpy()[order]
+        m = np.array(
+            [np.asarray(v) for v in pdf["e"]], dtype=np.float64
+        )[order]
+        out_a, out_b, out_c = [], [], []
+        blk = 1024
+        for s in range(0, k - 1, blk):
+            e_ = min(s + blk, k - 1)
+            rows = slice(s, e_)
+            nrows = e_ - s
+            dot = np.zeros((nrows, k))
+            for i in range(m.shape[1]):  # sequential fold over dims
+                dot += np.outer(m[rows, i], m[:, i])
+            cosm = dot / np.outer(nrm[rows], nrm)
+            # strict upper triangle relative to absolute indices
+            ri, ci = np.nonzero(
+                (np.arange(k)[None, :] > np.arange(s, e_)[:, None])
+                & (cosm >= 0.30)
+            )
+            out_a.append(ids[ri + s])
+            out_b.append(ids[ci])
+            out_c.append(cosm[ri, ci])
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
         )
-        .select("doc_a", "doc_b", cos.alias("cos"))
-        .filter(F.col("cos") >= 0.30)
+
+    close = (
+        h.select("vec_id", "e", "nrm", "bucket")
+        .groupBy("bucket")
+        .applyInPandas(_bucket_pairs, "doc_a bigint, doc_b bigint, cos double")
     )
     docs = load(spark, sf_dir, "documents")
     sh = (
@@ -1315,40 +1354,68 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_NORM_HOF),
     )
     mem = asg.join(nv, "vec_id")
-    a = mem.select(
-        F.col("vec_id").alias("vec_a"),
-        "c_id",
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = mem.select(
-        F.col("vec_id").alias("vec_b"),
-        "c_id",
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    # HOF kernel: the r11 noop A/B measured the 64-term flat unroll
-    # 5x SLOWER on this pair stage (18.1 vs 3.3 s at sf1, ~3.1M
-    # in-cluster pairs) — the r10 "flat win" here was a count()-probe
-    # artifact (see similarity.py kernel note)
-    from flink_rc_spark.llm.similarity import _DOT_HOF as _dot
 
-    cosv = F.expr(_dot) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(b, "c_id")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosv.alias("cosv"))
-    )
-    w_nbr = Window.partitionBy("vec_b").orderBy("vec_a")
-    nbr = (
-        pairs.filter(F.col("cosv") >= _SEMDEDUP_TAU)
-        .withColumn("rn", F.row_number().over(w_nbr))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("vec_b").alias("vec_id"),
-            F.col("vec_a").alias("dup_of"),
-            "cosv",
+    # In-cluster nearest-smaller-id neighbor, Arrow-vectorized per
+    # cluster group (the q_dedup_semantic _bucket_pairs shape): the
+    # c_id self-join + per-pair kernel + vec_b window collapse into
+    # ONE applyInPandas — each cluster's vectors cross Arrow once,
+    # the cosine accumulates as a per-dimension SEQUENTIAL fold of
+    # vectorized outer products (bit-identical to the HOF fold /
+    # DuckDB list_reduce), and the window's ROW_NUMBER()=1 is the
+    # first qualifying row index per column (rows sorted by vec_id,
+    # scanned in ascending blocks — first hit IS min vec_a). Memory
+    # per task is bounded by row-blocks of the pair matrix. Replaces
+    # 3.3 s of pair join + window at sf1 (r11 noop split).
+    import numpy as np
+    import pandas as pd
+
+    _tau = _SEMDEDUP_TAU
+
+    def _cluster_nbr(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = len(pdf)
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "dup_of": pd.Series([], dtype="int64"),
+             "cosv": pd.Series([], dtype="float64")}
         )
+        if k < 2:
+            return empty
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        nrm = pdf["nrm"].to_numpy()[order]
+        m = np.array(
+            [np.asarray(v) for v in pdf["e"]], dtype=np.float64
+        )[order]
+        best_i = np.full(k, -1, dtype=np.int64)
+        best_c = np.zeros(k)
+        blk = 1024
+        for s in range(0, k - 1, blk):
+            e_ = min(s + blk, k - 1)
+            nrows = e_ - s
+            dot = np.zeros((nrows, k))
+            for d in range(m.shape[1]):  # sequential fold over dims
+                dot += np.outer(m[s:e_, d], m[:, d])
+            cosm = dot / np.outer(nrm[s:e_], nrm)
+            mask = (
+                np.arange(k)[None, :] > np.arange(s, e_)[:, None]
+            ) & (cosm >= _tau)
+            newly = mask.any(axis=0) & (best_i < 0)
+            if newly.any():
+                cols = np.nonzero(newly)[0]
+                first = mask[:, cols].argmax(axis=0)
+                best_i[cols] = first + s
+                best_c[cols] = cosm[first, cols]
+        sel = np.nonzero(best_i >= 0)[0]
+        if len(sel) == 0:
+            return empty
+        return pd.DataFrame(
+            {"vec_id": ids[sel], "dup_of": ids[best_i[sel]],
+             "cosv": best_c[sel]}
+        )
+
+    nbr = (
+        mem.groupBy("c_id")
+        .applyInPandas(_cluster_nbr, "vec_id bigint, dup_of bigint, cosv double")
     )
     return (
         mem.select("vec_id", "c_id")
