@@ -723,18 +723,52 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.unpersist(blocking=False)
 
 
+# q_dedup_semantic's LSH blocking scales its plane count with the
+# corpus (r11 verdict #1, the q_dedup_semdedup clamp-formula protocol):
+# planes = clamp(floor(log2(n / 64)), 8, 24), so bucket count ~= n/64
+# and in-bucket pair work stays occupancy-bounded (~O(n x 64), never
+# ~n^2/2^planes) at any corpus size. floor(log2(x)) is evaluated in
+# EXACT integer arithmetic on both engines — Python bit_length() - 1,
+# DuckDB length(bin(x)) - 1 — so the bucket hash, and therefore the
+# value hash, can never diverge on a log2 rounding edge. At the test
+# fixtures (n//64 < 2^8) the clamp floors at 8 planes = the r10
+# behavior; the formula engages at probe scale (see
+# tools/scale_probe_llm.py) and beyond.
+_SEMANTIC_TARGET_OCC = 64
+_SEMANTIC_MIN_PLANES = 8
+_SEMANTIC_MAX_PLANES = 24
+_SEMANTIC_COS_FLOOR = 0.30
+_SEMANTIC_PLANES_SQL = (
+    f"LEAST(GREATEST(length(bin(GREATEST(COUNT(*) // {_SEMANTIC_TARGET_OCC},"
+    f" 1))) - 1, {_SEMANTIC_MIN_PLANES}), {_SEMANTIC_MAX_PLANES})"
+)
+
+
+def _semantic_planes(n: int) -> int:
+    """clamp(floor(log2(max(n // 64, 1))), 8, 24) — the exact-integer
+    twin of _SEMANTIC_PLANES_SQL (bit_length == length(bin))."""
+    return min(
+        max(
+            max(n // _SEMANTIC_TARGET_OCC, 1).bit_length() - 1,
+            _SEMANTIC_MIN_PLANES,
+        ),
+        _SEMANTIC_MAX_PLANES,
+    )
+
+
 @register(
     "q_dedup_semantic",
     oracle=f"""
     WITH v AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                FROM embeddings),
+    np AS (SELECT {_SEMANTIC_PLANES_SQL} AS p FROM embeddings),
     n AS (SELECT vec_id, e,
                  sqrt(list_reduce(list_transform(e, x -> x*x),
                                   (acc, x) -> acc + x)) AS nrm
           FROM v),
     h AS (SELECT vec_id, e, nrm,
-                 CAST(list_sum(list_transform(range(0, 8), j ->
+                 CAST(list_sum(list_transform(range(0, (SELECT p FROM np)), j ->
                       (CASE WHEN list_reduce(list_transform(range(1, 65), i ->
                          (strpos('0123456789abcdef',
                           substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 8.5)
@@ -772,88 +806,56 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup — the cross-MODAL composition: embedding-space
-    candidates (8-plane LSH bucket join + exact cosine ≥ 0.30) are
-    verified against the TEXT with exact 3-gram-shingle Jaccard, and
-    each pair reports both signals plus the combined verdict. This is
-    the production near-dup architecture when embeddings and text
-    disagree (paraphrases score high cosine / low Jaccard; boilerplate
-    scores low cosine / high Jaccard) — the engine must join the two
-    modalities, not pick one.
+    candidates (corpus-scaled-plane LSH bucket join + exact cosine
+    ≥ 0.30) are verified against the TEXT with exact 3-gram-shingle
+    Jaccard, and each pair reports both signals plus the combined
+    verdict. This is the production near-dup architecture when
+    embeddings and text disagree (paraphrases score high cosine / low
+    Jaccard; boilerplate scores low cosine / high Jaccard) — the
+    engine must join the two modalities, not pick one.
 
     Both stages reuse already-hash-verified machinery (the ANN bucket
-    join of q_sim_ann_lsh; the shingle sets of q_dedup_ngram_jaccard),
-    so the whole composition keeps an exact oracle. Scale: candidates
-    come from the bucket equi-join (never all-pairs); shingle sets
+    join of q_sim_ann_lsh; the shingle sets of q_dedup_ngram_jaccard;
+    the shared per-group pair kernel of llm/pairkern.py), so the
+    whole composition keeps an exact oracle. Scale: candidates come
+    from the bucket grouping (never all-pairs), and the plane count
+    grows with the corpus — planes = clamp(floor(log2(n/64)), 8, 24),
+    the SAME exact-integer formula the oracle's np CTE evaluates — so
+    bucket occupancy holds near 64 and in-bucket pair work is
+    O(n x occupancy), not n^2/2^planes, at any scale. Shingle sets
     attach only to the ≤|candidates| surviving docs via two hash
-    joins.
+    joins. Recall is pinned by tools/ann_recall_audit.py: more planes
+    = stricter AND-blocking, the deliberate LSH-blocking trade
+    re-measured whenever the formula or floor moves.
     """
-    import numpy as np
-    import pandas as pd
-
+    from flink_rc_spark.llm.pairkern import (
+        PAIRS_SCHEMA,
+        make_group_pair_kernel,
+    )
     from flink_rc_spark.llm.similarity import _lsh_bit_spark, _vectors
 
+    n_vec = load(spark, sf_dir, "embeddings").count()  # planning-time scalar
     n = _vectors(spark, sf_dir)
     bucket_expr = " + ".join(
-        f"({_lsh_bit_spark(j)}) * {2 ** j}" for j in range(8)
+        f"({_lsh_bit_spark(j)}) * {2 ** j}"
+        for j in range(_semantic_planes(n_vec))
     )
     h = n.withColumn("bucket", F.expr(bucket_expr).cast("bigint"))
 
-    # In-bucket pair cosines, Arrow-vectorized per bucket group: the
-    # bucket self-join + interpreted HOF dot evaluated each of the
-    # ~894k collision pairs' 64-dim fold row-at-a-time (7.6 s of the
-    # key's 11-13 s at sf1, r11 noop split). Each bucket's vectors
-    # now cross the Arrow boundary ONCE, and the dot accumulates as a
-    # per-dimension SEQUENTIAL fold of vectorized outer products —
-    # dot = ((0 + a1*b1) + a2*b2) + ... in index order, bit-identical
-    # to the HOF fold / DuckDB list_reduce the oracle runs, then
-    # cos = dot / (na*nb) in the same operation order. Pairs emit
-    # only above the 0.30 floor. Memory per task is bounded by
-    # ROW-BLOCKS of the pair matrix (block x k), so a hot bucket
-    # costs time, not memory — same occupancy bound as the join.
-    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        k = len(pdf)
-        if k < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "cos": pd.Series([], dtype="float64")}
-            )
-        order = pdf["vec_id"].to_numpy().argsort()
-        ids = pdf["vec_id"].to_numpy()[order]
-        nrm = pdf["nrm"].to_numpy()[order]
-        m = np.array(
-            [np.asarray(v) for v in pdf["e"]], dtype=np.float64
-        )[order]
-        out_a, out_b, out_c = [], [], []
-        blk = 1024
-        for s in range(0, k - 1, blk):
-            e_ = min(s + blk, k - 1)
-            rows = slice(s, e_)
-            nrows = e_ - s
-            dot = np.zeros((nrows, k))
-            for i in range(m.shape[1]):  # sequential fold over dims
-                dot += np.outer(m[rows, i], m[:, i])
-            cosm = dot / np.outer(nrm[rows], nrm)
-            # strict upper triangle relative to absolute indices
-            ri, ci = np.nonzero(
-                (np.arange(k)[None, :] > np.arange(s, e_)[:, None])
-                & (cosm >= 0.30)
-            )
-            out_a.append(ids[ri + s])
-            out_b.append(ids[ci])
-            out_c.append(cosm[ri, ci])
-        return pd.DataFrame(
-            {
-                "doc_a": np.concatenate(out_a),
-                "doc_b": np.concatenate(out_b),
-                "cos": np.concatenate(out_c),
-            }
-        )
-
+    # In-bucket pair cosines via the shared Arrow-vectorized kernel
+    # (llm/pairkern.py): each bucket's vectors cross the Arrow
+    # boundary ONCE and the pair matrix is tiled, replacing the r10
+    # bucket self-join whose interpreted HOF dot evaluated ~894k
+    # collision pairs' 64-dim fold row-at-a-time (7.6 s of the key's
+    # 11-13 s at sf1, r11 noop split). Bit-exactness and the per-task
+    # memory bound are the kernel module's contract.
     close = (
         h.select("vec_id", "e", "nrm", "bucket")
         .groupBy("bucket")
-        .applyInPandas(_bucket_pairs, "doc_a bigint, doc_b bigint, cos double")
+        .applyInPandas(
+            make_group_pair_kernel(_SEMANTIC_COS_FLOOR, "pairs"),
+            PAIRS_SCHEMA,
+        )
     )
     docs = load(spark, sf_dir, "documents")
     sh = (
@@ -1355,67 +1357,27 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mem = asg.join(nv, "vec_id")
 
-    # In-cluster nearest-smaller-id neighbor, Arrow-vectorized per
-    # cluster group (the q_dedup_semantic _bucket_pairs shape): the
-    # c_id self-join + per-pair kernel + vec_b window collapse into
-    # ONE applyInPandas — each cluster's vectors cross Arrow once,
-    # the cosine accumulates as a per-dimension SEQUENTIAL fold of
-    # vectorized outer products (bit-identical to the HOF fold /
-    # DuckDB list_reduce), and the window's ROW_NUMBER()=1 is the
-    # first qualifying row index per column (rows sorted by vec_id,
-    # scanned in ascending blocks — first hit IS min vec_a). Memory
-    # per task is bounded by row-blocks of the pair matrix. Replaces
-    # 3.3 s of pair join + window at sf1 (r11 noop split).
-    import numpy as np
-    import pandas as pd
-
-    _tau = _SEMDEDUP_TAU
-
-    def _cluster_nbr(pdf: pd.DataFrame) -> pd.DataFrame:
-        k = len(pdf)
-        empty = pd.DataFrame(
-            {"vec_id": pd.Series([], dtype="int64"),
-             "dup_of": pd.Series([], dtype="int64"),
-             "cosv": pd.Series([], dtype="float64")}
-        )
-        if k < 2:
-            return empty
-        order = pdf["vec_id"].to_numpy().argsort()
-        ids = pdf["vec_id"].to_numpy()[order]
-        nrm = pdf["nrm"].to_numpy()[order]
-        m = np.array(
-            [np.asarray(v) for v in pdf["e"]], dtype=np.float64
-        )[order]
-        best_i = np.full(k, -1, dtype=np.int64)
-        best_c = np.zeros(k)
-        blk = 1024
-        for s in range(0, k - 1, blk):
-            e_ = min(s + blk, k - 1)
-            nrows = e_ - s
-            dot = np.zeros((nrows, k))
-            for d in range(m.shape[1]):  # sequential fold over dims
-                dot += np.outer(m[s:e_, d], m[:, d])
-            cosm = dot / np.outer(nrm[s:e_], nrm)
-            mask = (
-                np.arange(k)[None, :] > np.arange(s, e_)[:, None]
-            ) & (cosm >= _tau)
-            newly = mask.any(axis=0) & (best_i < 0)
-            if newly.any():
-                cols = np.nonzero(newly)[0]
-                first = mask[:, cols].argmax(axis=0)
-                best_i[cols] = first + s
-                best_c[cols] = cosm[first, cols]
-        sel = np.nonzero(best_i >= 0)[0]
-        if len(sel) == 0:
-            return empty
-        return pd.DataFrame(
-            {"vec_id": ids[sel], "dup_of": ids[best_i[sel]],
-             "cosv": best_c[sel]}
-        )
+    # In-cluster nearest-smaller-id neighbor via the shared
+    # Arrow-vectorized kernel (llm/pairkern.py, first_neighbor mode):
+    # the c_id self-join + per-pair cosine + vec_b ROW_NUMBER()=1
+    # window collapse into ONE applyInPandas — replaces 3.3 s of pair
+    # join + window at sf1 (r11 noop split). Bit-exactness (sorted
+    # ids, sequential dim fold, first-hit == min vec_a) and the tiled
+    # per-task memory bound are the kernel module's contract; project
+    # to exactly the kernel's inputs before the groupBy so the group
+    # exchange carries nothing else (r11 advice).
+    from flink_rc_spark.llm.pairkern import (
+        FIRST_NEIGHBOR_SCHEMA,
+        make_group_pair_kernel,
+    )
 
     nbr = (
-        mem.groupBy("c_id")
-        .applyInPandas(_cluster_nbr, "vec_id bigint, dup_of bigint, cosv double")
+        mem.select("c_id", "vec_id", "e", "nrm")
+        .groupBy("c_id")
+        .applyInPandas(
+            make_group_pair_kernel(_SEMDEDUP_TAU, "first_neighbor"),
+            FIRST_NEIGHBOR_SCHEMA,
+        )
     )
     return (
         mem.select("vec_id", "c_id")

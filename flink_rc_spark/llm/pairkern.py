@@ -1,0 +1,157 @@
+"""Shared Arrow-vectorized per-group pair-cosine kernel.
+
+ONE parameterized kernel backs every "enumerate in-group vector pairs
+above a cosine floor" consumer — q_dedup_semantic's LSH buckets and
+q_dedup_semdedup's k-means clusters today (each previously carried its
+own ~80%-identical copy; r11 verdict #4 asked for this promotion), any
+future per-group cosine work next.
+
+Exactness contract (the repo's cross-engine float policy): the group's
+vectors are sorted ascending by ``vec_id``; every pair dot accumulates
+as a per-dimension SEQUENTIAL fold of vectorized outer products —
+dot = ((0 + a1*b1) + a2*b2) + ... in index order — bit-identical to
+the Spark HOF fold and DuckDB's ``list_reduce``, then
+cos = dot / (na*nb) in the same operation order. Tiling partitions the
+OUTPUT elements of the pair matrix, never the per-element summation
+order, so the doubles are unchanged by any tile size.
+
+Memory contract (r11 advice): ``applyInPandas`` materializes the whole
+group once — that linear O(group_rows x dim) input term is bounded
+UPSTREAM by the occupancy-bounded blocking that feeds this kernel
+(corpus-scaled LSH plane count in q_dedup_semantic, corpus-scaled k in
+q_dedup_semdedup: both hold group occupancy near a constant via the
+same clamp formula the oracle evaluates). The QUADRATIC term — the
+pair matrix — is tiled ROW_BLK x COL_BLK here, so per-task scratch is
+<= 32 MB of doubles regardless of group size. A hot group therefore
+costs time linear in its pair count, never more than the tile plus its
+own linear input in memory; if an upstream blocking stage were ever
+removed, the failure mode is a slow task, not an executor OOM from the
+k x k matrix.
+
+100 TB: the kernel runs inside one ``groupBy(key).applyInPandas``
+exchange — the only shuffle is the group key + (vec_id, e, nrm)
+payload (project BEFORE the groupBy; extra columns widen the exchange
+for nothing). Work distributes by group; the upstream occupancy bound
+is what keeps per-group pair counts flat as the corpus grows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+# Pair-matrix tile: ROW_BLK x COL_BLK doubles = 32 MiB of scratch.
+ROW_BLK = 1024
+COL_BLK = 4096
+
+# Arrow schemas for the two emit modes.
+PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, cos double"
+FIRST_NEIGHBOR_SCHEMA = "vec_id bigint, dup_of bigint, cosv double"
+
+
+def make_group_pair_kernel(
+    threshold: float, mode: str
+) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    """Build an ``applyInPandas`` kernel over group columns
+    (vec_id bigint, e array<double>, nrm double [, group key]).
+
+    mode='pairs'          -> one row per ascending-id pair with
+                             cos >= threshold: (doc_a, doc_b, cos) —
+                             the SQL bucket self-join a.vec_id < b.vec_id.
+    mode='first_neighbor' -> one row per vector that HAS a smaller-id
+                             in-group neighbor with cos >= threshold:
+                             (vec_id, dup_of, cosv) where dup_of is the
+                             SMALLEST such id — the SQL
+                             ROW_NUMBER() OVER (PARTITION BY vec_b
+                             ORDER BY vec_a) = 1 collapse. Row tiles
+                             scan ascending and each column records
+                             only its first hit, so first hit IS min
+                             vec_a.
+    """
+    if mode not in ("pairs", "first_neighbor"):
+        raise ValueError(f"unknown pair-kernel mode: {mode}")
+    cols = (
+        ("doc_a", "doc_b", "cos")
+        if mode == "pairs"
+        else ("vec_id", "dup_of", "cosv")
+    )
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                cols[0]: pd.Series([], dtype="int64"),
+                cols[1]: pd.Series([], dtype="int64"),
+                cols[2]: pd.Series([], dtype="float64"),
+            }
+        )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = len(pdf)
+        if k < 2:
+            return _empty()
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        nrm = pdf["nrm"].to_numpy()[order]
+        m = np.array([np.asarray(v) for v in pdf["e"]], dtype=np.float64)[
+            order
+        ]
+        if mode == "pairs":
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+        else:
+            best_i = np.full(k, -1, dtype=np.int64)
+            best_c = np.zeros(k)
+        for rs in range(0, k - 1, ROW_BLK):
+            re_ = min(rs + ROW_BLK, k - 1)
+            nr = re_ - rs
+            rows_m = m[rs:re_]
+            rows_n = nrm[rs:re_]
+            # columns <= rs are on/below the triangle for every row in
+            # this tile; start the column sweep at rs + 1.
+            for cs in range(rs + 1, k, COL_BLK):
+                ce = min(cs + COL_BLK, k)
+                dot = np.zeros((nr, ce - cs))
+                for d in range(m.shape[1]):  # sequential fold over dims
+                    dot += np.outer(rows_m[:, d], m[cs:ce, d])
+                cosm = dot / np.outer(rows_n, nrm[cs:ce])
+                mask = (
+                    np.arange(cs, ce)[None, :] > np.arange(rs, re_)[:, None]
+                ) & (cosm >= threshold)
+                if mode == "pairs":
+                    ri, ci = np.nonzero(mask)
+                    if len(ri):
+                        out_a.append(ids[ri + rs])
+                        out_b.append(ids[ci + cs])
+                        out_c.append(cosm[ri, ci])
+                else:
+                    newly = mask.any(axis=0) & (best_i[cs:ce] < 0)
+                    if newly.any():
+                        hit = np.nonzero(newly)[0]
+                        first = mask[:, hit].argmax(axis=0)
+                        best_i[cs + hit] = first + rs
+                        best_c[cs + hit] = cosm[first, hit]
+        if mode == "pairs":
+            if not out_a:
+                return _empty()
+            return pd.DataFrame(
+                {
+                    "doc_a": np.concatenate(out_a),
+                    "doc_b": np.concatenate(out_b),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+        sel = np.nonzero(best_i >= 0)[0]
+        if len(sel) == 0:
+            return _empty()
+        return pd.DataFrame(
+            {
+                "vec_id": ids[sel],
+                "dup_of": ids[best_i[sel]],
+                "cosv": best_c[sel],
+            }
+        )
+
+    return kernel
