@@ -332,13 +332,25 @@ def main() -> None:
                 calib_samples.append(min(calibrate(), calibrate()))
                 scan_sample()
             t = execute(k)
+            # Streaming-replay keys get the HEADLINE treatment —
+            # min-of-2 always, plus a third run if still >1.5x the
+            # committed same-SF wall (r11 verdict #3: the driver's
+            # r11 sweep showed plan-unchanged q_stream_* keys
+            # 1.6-3.3x inflated even AFTER the single shield retry;
+            # replay pays multi-second fixed session costs with high
+            # box-noise sensitivity, so one run is never evidence).
+            if k.startswith("q_stream_"):
+                retried_keys.append(k)
+                t = min(t, execute(k))
+                if k in ref_walls and t > 1.5 * ref_walls[k]:
+                    t = min(t, execute(k))
             # retry-if-slow: this box shows 2-5x single-run noise
             # spikes (a 2.5 s key has benched at 13 s); one retry on
             # outliers separates noise from real plan cost while
             # keeping the sweep's wall clock bounded. If the box is in
             # a DEGRADED episode (calibration probe > 2x its start),
             # one extra retry — both prior runs were likely polluted.
-            if t > 4.0:
+            elif t > 4.0:
                 retried_keys.append(k)
                 t = min(t, execute(k))
                 if t > 4.0 and calibrate() > 2 * calib_start:
@@ -457,7 +469,11 @@ def main() -> None:
                 "prewarmed_keys": _prewarmed,
                 "retried_keys": retried_keys,
                 "ref_source": ref_source,
-                "gate_policy": "r11",
+                # r12: q_stream_* tail keys run min-of-2 always (+1
+                # run if still >1.5x the committed same-SF wall) —
+                # the headline treatment, extended to streaming
+                # replay per r11 verdict #3.
+                "gate_policy": "r12-stream-min2",
             },
             "sf": sf,
         }

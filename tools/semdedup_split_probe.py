@@ -42,10 +42,13 @@ def _min2(fn):
     skips the kernels under test — the r10 probe timed semdedup's
     "full key" at 6.8 s that way while the noop wall was ~26 s (r11
     finding, the playbook's count()-profiling trap)."""
-    df = fn()
-    rows = df.count()
-    t1, t2 = _noop(df), _noop(fn())
-    return rows, min(t1, t2)
+    df1, df2 = fn(), fn()
+    n1, n2 = df1.count(), df2.count()
+    # cross-run determinism check (r11 advice): the two independently
+    # built frames must agree before their walls are compared
+    assert n1 == n2, f"nondeterministic stage: {n1} != {n2} rows"
+    t1, t2 = _noop(df1), _noop(df2)
+    return n1, min(t1, t2)
 
 
 def probe(spark, sf_dir: str) -> list[tuple]:
