@@ -756,6 +756,47 @@ def _semantic_planes(n: int) -> int:
     )
 
 
+def semantic_candidates(
+    spark: SparkSession, sf_dir: str, planes: int | None = None
+) -> DataFrame:
+    """q_dedup_semantic's candidate stage: corpus-scaled LSH bucket
+    assignment + in-bucket pair cosines via the shared Arrow kernel
+    (llm/pairkern.py, pairs mode, cos >= 0.30). Factored out so the
+    scale probe (tools/semantic_scale_probe.py) and the recall audit
+    can measure exactly the shipped stage, including with a pinned
+    ``planes`` for the fixed-vs-scaled counterfactual.
+
+    Each bucket's vectors cross the Arrow boundary ONCE and the pair
+    matrix is tiled, replacing the r10 bucket self-join whose
+    interpreted HOF dot evaluated ~894k collision pairs' 64-dim fold
+    row-at-a-time (7.6 s of the key's 11-13 s at sf1, r11 noop
+    split). Bit-exactness and the per-task memory bound are the
+    kernel module's contract.
+    """
+    from flink_rc_spark.llm.pairkern import (
+        PAIRS_SCHEMA,
+        make_group_pair_kernel,
+    )
+    from flink_rc_spark.llm.similarity import _lsh_bit_spark, _vectors
+
+    if planes is None:
+        # planning-time scalar (one count, not a data pass per row)
+        planes = _semantic_planes(load(spark, sf_dir, "embeddings").count())
+    n = _vectors(spark, sf_dir)
+    bucket_expr = " + ".join(
+        f"({_lsh_bit_spark(j)}) * {2 ** j}" for j in range(planes)
+    )
+    h = n.withColumn("bucket", F.expr(bucket_expr).cast("bigint"))
+    return (
+        h.select("vec_id", "e", "nrm", "bucket")
+        .groupBy("bucket")
+        .applyInPandas(
+            make_group_pair_kernel(_SEMANTIC_COS_FLOOR, "pairs"),
+            PAIRS_SCHEMA,
+        )
+    )
+
+
 @register(
     "q_dedup_semantic",
     oracle=f"""
@@ -828,35 +869,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     = stricter AND-blocking, the deliberate LSH-blocking trade
     re-measured whenever the formula or floor moves.
     """
-    from flink_rc_spark.llm.pairkern import (
-        PAIRS_SCHEMA,
-        make_group_pair_kernel,
-    )
-    from flink_rc_spark.llm.similarity import _lsh_bit_spark, _vectors
-
-    n_vec = load(spark, sf_dir, "embeddings").count()  # planning-time scalar
-    n = _vectors(spark, sf_dir)
-    bucket_expr = " + ".join(
-        f"({_lsh_bit_spark(j)}) * {2 ** j}"
-        for j in range(_semantic_planes(n_vec))
-    )
-    h = n.withColumn("bucket", F.expr(bucket_expr).cast("bigint"))
-
-    # In-bucket pair cosines via the shared Arrow-vectorized kernel
-    # (llm/pairkern.py): each bucket's vectors cross the Arrow
-    # boundary ONCE and the pair matrix is tiled, replacing the r10
-    # bucket self-join whose interpreted HOF dot evaluated ~894k
-    # collision pairs' 64-dim fold row-at-a-time (7.6 s of the key's
-    # 11-13 s at sf1, r11 noop split). Bit-exactness and the per-task
-    # memory bound are the kernel module's contract.
-    close = (
-        h.select("vec_id", "e", "nrm", "bucket")
-        .groupBy("bucket")
-        .applyInPandas(
-            make_group_pair_kernel(_SEMANTIC_COS_FLOOR, "pairs"),
-            PAIRS_SCHEMA,
-        )
-    )
+    close = semantic_candidates(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     sh = (
         docs.select("doc_id", F.split("text", " ").alias("t"))

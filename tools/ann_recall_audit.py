@@ -59,6 +59,50 @@ def matryoshka_recall5(spark, sf_dir, emb) -> float:
     return sum(recalls) / len(recalls)
 
 
+def semantic_block_recall(emb: dict) -> dict:
+    """Pair recall of q_dedup_semantic's AND-over-planes LSH blocking
+    (llm/dedup.py semantic_candidates) vs brute-force cosine ground
+    truth, at the candidate floor (0.30) and the near-dup band (0.90),
+    with the corpus-scaled plane count the formula picks for THIS
+    corpus — the r11 verdict's re-pin whenever the formula or floor
+    moves. Measurement harness only: the O(n^2) truth runs here, never
+    in a shipped plan."""
+    import numpy as np
+
+    from flink_rc_spark.llm.dedup import _semantic_planes
+    from flink_rc_spark.llm.similarity import _plane_weight
+
+    ids = sorted(emb)
+    X = np.stack([emb[i] for i in ids])
+    nrm = np.sqrt((X * X).sum(axis=1))
+    planes = _semantic_planes(len(ids))
+    W = np.array(
+        [[_plane_weight(j, i) for i in range(1, X.shape[1] + 1)]
+         for j in range(planes)]
+    )
+    buckets = (((X @ W.T) >= 0) * (1 << np.arange(planes))).sum(axis=1)
+    n = len(ids)
+    tot = {0.30: 0, 0.90: 0}
+    hit = {0.30: 0, 0.90: 0}
+    blk = 2048
+    for s in range(0, n, blk):
+        e = min(s + blk, n)
+        cos = (X[s:e] @ X.T) / np.outer(nrm[s:e], nrm)
+        same = buckets[s:e, None] == buckets[None, :]
+        upper = np.arange(n)[None, :] > np.arange(s, e)[:, None]
+        for thr in tot:
+            m = upper & (cos >= thr)
+            tot[thr] += int(m.sum())
+            hit[thr] += int((m & same).sum())
+    return {
+        "planes": int(planes),
+        "true_pairs_030": tot[0.30],
+        "recall_030": round(hit[0.30] / max(tot[0.30], 1), 4),
+        "true_pairs_090": tot[0.90],
+        "recall_090": round(hit[0.90] / max(tot[0.90], 1), 4),
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -84,6 +128,7 @@ def main() -> None:
         "ivf_recall50_probe4": round(ivf_recall(spark, sf_dir, 50, 16, 4, gt=gt), 4),
         "ivf_pq_recall5": round(ivf_pq_recall5(spark, sf_dir, emb), 4),
         "matryoshka_recall5": round(matryoshka_recall5(spark, sf_dir, emb), 4),
+        "semantic_block_recall": semantic_block_recall(emb),
         "wall_sec": round(time.time() - t0, 1),
     }
     print(json.dumps(out))
