@@ -318,27 +318,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("m"))
         .filter(F.size("m") >= 2)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(m, (a, i) ->"
-                " transform(slice(m, i + 2, size(m)), b -> struct(a AS pa, b AS pb))))"
-            )
-        ).alias("p")
+    # In-bucket pairs via the shared Arrow hamming kernel
+    # (llm/pairkern.py): the previous interpreted nested-HOF pair
+    # explode paid ~570 ns per candidate pair (35.2M at sf1 = the
+    # bulk of the 20.8 s pair stage, r8 split probe) and then a
+    # distinct() shuffle to collapse multi-band collisions. The
+    # kernel popcounts xor tiles with a byte lookup table and emits
+    # each pair only from its MINIMUM agreeing band — exactly-once by
+    # construction, so the distinct() shuffle is gone entirely. One
+    # bucket row per mapInPandas iteration step: tiny buckets pay no
+    # per-group Python dispatch (they ride the Arrow batch), hot
+    # buckets are tile-bounded.
+    from flink_rc_spark.llm.pairkern import (
+        BAND_HAMMING_SCHEMA,
+        make_band_hamming_kernel,
     )
-    hamming = F.bit_count(F.col("p.pa.simhash").bitwiseXOR(F.col("p.pb.simhash")))
-    return (
-        pairs.select(
-            F.col("p.pa.doc_id").alias("doc_a"),
-            F.col("p.pb.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .distinct()  # a pair can collide in several bands
-        # no ORDER BY: the driver compare is order-insensitive and the
-        # result is 178k rows at sf0.1 / 3.2M at the 10x probe — a
-        # global sort of the output would be pure waste
+
+    bl = buckets.select(
+        "band",
+        F.expr("transform(m, x -> x.doc_id)").alias("ids"),
+        F.expr("transform(m, x -> x.simhash)").alias("sigs"),
     )
+    return bl.mapInPandas(
+        make_band_hamming_kernel(3, 15, 4), BAND_HAMMING_SCHEMA
+    )
+    # no ORDER BY: the driver compare is order-insensitive and the
+    # result is 178k rows at sf0.1 / 3.2M at the 10x probe — a
+    # global sort of the output would be pure waste
 
 
 def shingle_candidate_pairs(docs: DataFrame) -> DataFrame:

@@ -46,9 +46,37 @@ import pandas as pd
 ROW_BLK = 1024
 COL_BLK = 4096
 
-# Arrow schemas for the two emit modes.
+# Arrow schemas for the emit modes.
 PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, cos double"
 FIRST_NEIGHBOR_SCHEMA = "vec_id bigint, dup_of bigint, cosv double"
+BAND_HAMMING_SCHEMA = "doc_a bigint, doc_b bigint, hamming int"
+
+
+def _make_tiles(row_blk: int, col_blk: int):
+    """Return a generator over the strict upper triangle of a k x k
+    pair matrix in (row_start, row_end, col_start, col_end) blocks of
+    at most row_blk x col_blk. Columns <= row_start are on/below the
+    triangle for every row in a tile, so the column sweep starts at
+    row_start + 1.
+
+    PICKLING CONTRACT: kernels cross to executors via cloudpickle,
+    which serializes NESTED closures by value but module-level
+    functions BY MODULE REFERENCE — and the grading driver may launch
+    Python workers without this repo on their import path. Every
+    kernel factory therefore captures this returned closure (and any
+    other helper state) in a closure cell at factory-call time; a
+    kernel must never reference a module-level function or the
+    executor dies with ModuleNotFoundError. The factory reads the
+    module's ROW_BLK/COL_BLK at call time so tests can monkeypatch
+    them."""
+
+    def tiles(k: int):
+        for rs in range(0, k - 1, row_blk):
+            re_ = min(rs + row_blk, k - 1)
+            for cs in range(rs + 1, k, col_blk):
+                yield rs, re_, cs, min(cs + col_blk, k)
+
+    return tiles
 
 
 def make_group_pair_kernel(
@@ -87,6 +115,8 @@ def make_group_pair_kernel(
             }
         )
 
+    tiles = _make_tiles(ROW_BLK, COL_BLK)  # closure capture, see _make_tiles
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         k = len(pdf)
         if k < 2:
@@ -104,35 +134,27 @@ def make_group_pair_kernel(
         else:
             best_i = np.full(k, -1, dtype=np.int64)
             best_c = np.zeros(k)
-        for rs in range(0, k - 1, ROW_BLK):
-            re_ = min(rs + ROW_BLK, k - 1)
-            nr = re_ - rs
-            rows_m = m[rs:re_]
-            rows_n = nrm[rs:re_]
-            # columns <= rs are on/below the triangle for every row in
-            # this tile; start the column sweep at rs + 1.
-            for cs in range(rs + 1, k, COL_BLK):
-                ce = min(cs + COL_BLK, k)
-                dot = np.zeros((nr, ce - cs))
-                for d in range(m.shape[1]):  # sequential fold over dims
-                    dot += np.outer(rows_m[:, d], m[cs:ce, d])
-                cosm = dot / np.outer(rows_n, nrm[cs:ce])
-                mask = (
-                    np.arange(cs, ce)[None, :] > np.arange(rs, re_)[:, None]
-                ) & (cosm >= threshold)
-                if mode == "pairs":
-                    ri, ci = np.nonzero(mask)
-                    if len(ri):
-                        out_a.append(ids[ri + rs])
-                        out_b.append(ids[ci + cs])
-                        out_c.append(cosm[ri, ci])
-                else:
-                    newly = mask.any(axis=0) & (best_i[cs:ce] < 0)
-                    if newly.any():
-                        hit = np.nonzero(newly)[0]
-                        first = mask[:, hit].argmax(axis=0)
-                        best_i[cs + hit] = first + rs
-                        best_c[cs + hit] = cosm[first, hit]
+        for rs, re_, cs, ce in tiles(k):
+            dot = np.zeros((re_ - rs, ce - cs))
+            for d in range(m.shape[1]):  # sequential fold over dims
+                dot += np.outer(m[rs:re_, d], m[cs:ce, d])
+            cosm = dot / np.outer(nrm[rs:re_], nrm[cs:ce])
+            mask = (
+                np.arange(cs, ce)[None, :] > np.arange(rs, re_)[:, None]
+            ) & (cosm >= threshold)
+            if mode == "pairs":
+                ri, ci = np.nonzero(mask)
+                if len(ri):
+                    out_a.append(ids[ri + rs])
+                    out_b.append(ids[ci + cs])
+                    out_c.append(cosm[ri, ci])
+            else:
+                newly = mask.any(axis=0) & (best_i[cs:ce] < 0)
+                if newly.any():
+                    hit = np.nonzero(newly)[0]
+                    first = mask[:, hit].argmax(axis=0)
+                    best_i[cs + hit] = first + rs
+                    best_c[cs + hit] = cosm[first, hit]
         if mode == "pairs":
             if not out_a:
                 return _empty()
@@ -153,5 +175,85 @@ def make_group_pair_kernel(
                 "cosv": best_c[sel],
             }
         )
+
+    return kernel
+
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def make_band_hamming_kernel(max_dist: int, band_bits: int, n_bands: int):
+    """Build a ``mapInPandas`` kernel over BUCKET rows
+    (band int, ids array<bigint>, sigs array<bigint>) — one row per
+    LSH band bucket with >= 2 members, signatures < 2^(band_bits *
+    n_bands) so uint64 xor is exact. Emits every ascending-id member
+    pair with popcount(xor) <= max_dist — and emits it ONLY from the
+    pair's MINIMUM agreeing band, so a pair colliding in several bands
+    appears exactly once and no downstream ``distinct()`` shuffle is
+    needed (pigeonhole guarantees >= 1 agreeing band for any pair
+    within the banding's design distance, so nothing is lost).
+
+    This replaces q_dedup_simhash's interpreted nested-HOF pair
+    explode (~570 ns/pair over 35M sf1 candidates, r8 split probe)
+    with table-lookup popcount over xor tiles; buckets iterate inside
+    one mapInPandas batch, so tiny buckets pay no per-group Python
+    dispatch. Tiling is the module's shared _tiles() bound.
+    """
+
+    tiles = _make_tiles(ROW_BLK, COL_BLK)  # closure capture, see _make_tiles
+    popcnt = _POPCNT8
+
+    def kernel(batches):
+        kmask = np.uint64((1 << band_bits) - 1)
+        for pdf in batches:
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_h: list[np.ndarray] = []
+            for band, ids_l, sigs_l in zip(
+                pdf["band"], pdf["ids"], pdf["sigs"]
+            ):
+                ids = np.asarray(ids_l, dtype=np.int64)
+                k = len(ids)
+                if k < 2:
+                    continue
+                sigs = np.asarray(sigs_l, dtype=np.int64).astype(np.uint64)
+                order = ids.argsort()
+                ids, sigs = ids[order], sigs[order]
+                for rs, re_, cs, ce in tiles(k):
+                    x = sigs[rs:re_, None] ^ sigs[None, cs:ce]
+                    ham = np.zeros(x.shape, dtype=np.int64)
+                    for byte in range(8):
+                        ham += popcnt[
+                            ((x >> np.uint64(8 * byte)) & np.uint64(0xFF))
+                            .astype(np.uint8)
+                        ]
+                    mask = (
+                        np.arange(cs, ce)[None, :]
+                        > np.arange(rs, re_)[:, None]
+                    ) & (ham <= max_dist)
+                    if not mask.any():
+                        continue
+                    ri, ci = np.nonzero(mask)
+                    xs = x[ri, ci]
+                    minb = np.full(len(xs), n_bands, dtype=np.int64)
+                    for b in range(n_bands - 1, -1, -1):
+                        minb[
+                            ((xs >> np.uint64(band_bits * b)) & kmask) == 0
+                        ] = b
+                    keep = minb == band
+                    if keep.any():
+                        out_a.append(ids[ri[keep] + rs])
+                        out_b.append(ids[ci[keep] + cs])
+                        out_h.append(
+                            ham[ri[keep], ci[keep]].astype(np.int32)
+                        )
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "doc_a": np.concatenate(out_a),
+                        "doc_b": np.concatenate(out_b),
+                        "hamming": np.concatenate(out_h),
+                    }
+                )
 
     return kernel

@@ -114,6 +114,81 @@ def test_unknown_mode_rejected():
         make_group_pair_kernel(0.5, "all")
 
 
+def _hamming_fixture(n=120, seed=3):
+    """Signatures clustered so many pairs sit within Hamming<=3, plus
+    random far ones; returns (ids, sigs) and the per-band bucket rows
+    the production plan would feed the kernel."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 1 << 60, size=n // 4, dtype=np.int64)
+    sigs = []
+    for b in base:
+        sigs.append(b)
+        for _ in range(3):
+            s = int(b)
+            for bit in rng.choice(60, rng.randint(0, 5), replace=False):
+                s ^= 1 << int(bit)
+            sigs.append(s)
+    sigs = np.array(sigs[:n], dtype=np.int64)
+    ids = rng.permutation(n * 2)[:n].astype(np.int64)
+    return ids, sigs
+
+
+def _band_rows(ids, sigs, band_bits=15, n_bands=4):
+    rows = []
+    for band in range(n_bands):
+        buckets: dict[int, list[int]] = {}
+        for i in range(len(ids)):
+            key = (int(sigs[i]) >> (band_bits * band)) & ((1 << band_bits) - 1)
+            buckets.setdefault(key, []).append(i)
+        for mem in buckets.values():
+            if len(mem) >= 2:
+                rows.append(
+                    {
+                        "band": band,
+                        "ids": [int(ids[i]) for i in mem],
+                        "sigs": [int(sigs[i]) for i in mem],
+                    }
+                )
+    return pd.DataFrame(rows)
+
+
+def test_band_hamming_kernel_matches_all_pairs_exactly_once():
+    """Kernel output over the banded buckets == brute-force all-pairs
+    Hamming<=3 (the oracle's spelling), each pair EXACTLY once despite
+    multi-band collisions — with forced tiny tiles."""
+    from flink_rc_spark.llm.pairkern import make_band_hamming_kernel
+
+    ids, sigs = _hamming_fixture()
+    rows = _band_rows(ids, sigs)
+    got = list(make_band_hamming_kernel(3, 15, 4)([rows]))
+    got = (
+        pd.concat(got)
+        if got
+        else pd.DataFrame(columns=["doc_a", "doc_b", "hamming"])
+    )
+    want = {}
+    order = ids.argsort()
+    sids, ssigs = ids[order], sigs[order]
+    for a in range(len(sids)):
+        for b in range(a + 1, len(sids)):
+            h = bin(int(ssigs[a]) ^ int(ssigs[b])).count("1")
+            if h <= 3:
+                want[(sids[a], sids[b])] = h
+    got_pairs = list(zip(got["doc_a"], got["doc_b"]))
+    assert len(got_pairs) == len(set(got_pairs)), "pair emitted twice"
+    assert dict(zip(got_pairs, got["hamming"])) == want
+    assert len(want) > 10  # fixture actually exercises clusters
+
+
+def test_band_hamming_kernel_singletons_and_empty():
+    from flink_rc_spark.llm.pairkern import make_band_hamming_kernel
+
+    pdf = pd.DataFrame(
+        [{"band": 0, "ids": [5], "sigs": [123]}]
+    )
+    assert list(make_band_hamming_kernel(3, 15, 4)([pdf])) == []
+
+
 def test_semantic_planes_formula_matches_sql():
     """The Python clamp(floor(log2(n/64)), 8, 24) must equal DuckDB's
     length(bin(...))-1 spelling for every n, including the power-of-two
