@@ -97,6 +97,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, s: distinct 3-gram shingles).
+
+    The shared first stage of every shingle consumer (minhash
+    signatures, exact-Jaccard verify): factored out so a key that
+    needs BOTH (q_lsh_eval) can compute it once, checkpoint the small
+    frame, and fan out — instead of re-scanning documents and
+    re-shingling per consumer (guide §2.4: the plan had 20 parquet
+    scans of the same table)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    return toks.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, g: array of 8 min-hash hex strings).
 
@@ -105,10 +120,12 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     Catalyst-interpreted per element (~2.3x slower measured at sf0.1);
     flat HOF columns keep each min-hash in a single vectorizable pass.
     """
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= 3
-    )
-    sh = toks.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+    return minhash_signatures_from_shingles(doc_shingles(docs))
+
+
+def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, s) -> (doc_id, g) — signature stage only, for callers
+    that already hold the shingle frame."""
     return sh.select(
         "doc_id",
         *[
@@ -175,7 +192,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> distinct candidate pairs (doc_a < doc_b,
     est_jaccard). Shared by q_dedup_minhash and q_dedup_components."""
-    sig = minhash_signatures(docs)
+    return minhash_pairs_from_signatures(minhash_signatures(docs))
+
+
+def minhash_pairs_from_signatures(sig: DataFrame) -> DataFrame:
+    """(doc_id, g) -> distinct candidate pairs — banding + in-bucket
+    pair stage only, for callers that already hold the signatures."""
     bands = sig.select(
         "doc_id",
         "g",
@@ -196,25 +218,42 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
         .filter(F.size("m") >= 2)
     )
     pairs = buckets.select(
+        "band_id",
         F.explode(
             F.expr(
                 "flatten(transform(m, (a, i) ->"
                 " transform(slice(m, i + 2, size(m)), b -> struct(a AS pa, b AS pb))))"
             )
-        ).alias("p")
+        ).alias("p"),
     )
-    return pairs.select(
-        F.col("p.pa.doc_id").alias("doc_a"),
-        F.col("p.pb.doc_id").alias("doc_b"),
-        F.round(
-            F.expr(
-                f"cast(size(filter(sequence(1, {_N_HASHES}),"
-                f" i -> element_at(p.pa.g, i) = element_at(p.pb.g, i))) AS double)"
-                f" / {_N_HASHES}"
-            ),
-            4,
-        ).alias("est_jaccard"),
-    ).distinct()
+    # Exactly-once emission instead of distinct(): a pair colliding in
+    # several bands appears once PER agreeing band; keep it only at
+    # its MINIMUM agreeing band (bands agree iff their 2-row signature
+    # slices match — the same predicate the band_key hashes). That
+    # removes the full-candidate-set distinct() exchange outright
+    # (guide §2.4); the simhash key got the identical treatment in
+    # llm/pairkern.py. array_position is 1-based, band_id 0-based.
+    min_band = F.expr(
+        f"array_position(transform(sequence(0, {_N_BANDS - 1}),"
+        " j -> element_at(p.pa.g, 2*j+1) = element_at(p.pb.g, 2*j+1)"
+        " AND element_at(p.pa.g, 2*j+2) = element_at(p.pb.g, 2*j+2)),"
+        " true) - 1"
+    )
+    return (
+        pairs.filter(F.col("band_id") == min_band)
+        .select(
+            F.col("p.pa.doc_id").alias("doc_a"),
+            F.col("p.pb.doc_id").alias("doc_b"),
+            F.round(
+                F.expr(
+                    f"cast(size(filter(sequence(1, {_N_HASHES}),"
+                    f" i -> element_at(p.pa.g, i) = element_at(p.pb.g, i))) AS double)"
+                    f" / {_N_HASHES}"
+                ),
+                4,
+            ).alias("est_jaccard"),
+        )
+    )
 
 
 @register(
@@ -374,9 +413,17 @@ def shingle_candidate_pairs(docs: DataFrame) -> DataFrame:
             for j in range(_N_HASHES)
         ],
     )
+    # The full 8-hash signature rides through the buckets alongside the
+    # shingle array (mk: +8 fixed hex strings per (doc, band) row, a
+    # few % next to `s`) so a pair colliding in several bands can be
+    # emitted ONLY from its MINIMUM agreeing band — exactly-once by
+    # construction, which lets the consumers drop their full-pair-set
+    # distinct() exchange (guide §2.4; the q_dedup_minhash /
+    # q_dedup_simhash treatment).
     bands = sig.select(
         "doc_id",
         "s",
+        F.array(*[f"m{j}" for j in range(_N_HASHES)]).alias("mk"),
         F.explode(
             F.array(
                 *[
@@ -390,25 +437,40 @@ def shingle_candidate_pairs(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "s", "bb.band_id", "bb.band_key")
+    ).select("doc_id", "s", "mk", "bb.band_id", "bb.band_key")
     buckets = (
         bands.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "s"))).alias("m"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "s", "mk"))).alias(
+                "m"
+            )
+        )
         .filter(F.size("m") >= 2)
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(m, (a, i) ->"
-                " transform(slice(m, i + 2, size(m)),"
-                " b -> struct(a AS pa, b AS pb))))"
-            )
-        ).alias("p")
-    ).select(
-        F.col("p.pa.doc_id").alias("doc_a"),
-        F.col("p.pb.doc_id").alias("doc_b"),
-        F.col("p.pa.s").alias("sa"),
-        F.col("p.pb.s").alias("sb"),
+    min_band = F.expr(
+        f"array_position(transform(sequence(0, {_N_BANDS - 1}),"
+        " j -> element_at(p.pa.mk, 2*j+1) = element_at(p.pb.mk, 2*j+1)"
+        " AND element_at(p.pa.mk, 2*j+2) = element_at(p.pb.mk, 2*j+2)),"
+        " true) - 1"
+    )
+    pairs = (
+        buckets.select(
+            "band_id",
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (a, i) ->"
+                    " transform(slice(m, i + 2, size(m)),"
+                    " b -> struct(a AS pa, b AS pb))))"
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("band_id") == min_band)
+        .select(
+            F.col("p.pa.doc_id").alias("doc_a"),
+            F.col("p.pb.doc_id").alias("doc_b"),
+            F.col("p.pa.s").alias("sa"),
+            F.col("p.pb.s").alias("sb"),
+        )
     )
     return pairs
 
@@ -461,7 +523,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .distinct()  # a pair may collide in several bands
+        # no distinct(): shingle_candidate_pairs emits each colliding
+        # pair exactly once (min-agreeing-band filter), so the old
+        # full-pair-set dedup exchange is dead weight (guide §2.4)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -583,7 +647,24 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents in no pair).
     """
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    # Materialize the candidate pairs BEFORE the symmetrize union: its
+    # two arms are the same subtree and no ReusedExchange fires across
+    # union sides, so the whole minhash banding pipeline used to run
+    # twice inside the edges checkpoint (guide §2.4).
+    pairs = (
+        minhash_candidate_pairs(docs)
+        .select("doc_a", "doc_b")
+        .transform(checkpoint, eager=True)
+    )
+    return dedup_components_from_pairs(docs, pairs)
+
+
+def dedup_components_from_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """q_dedup_components' fixpoint over an already-materialized
+    (doc_a, doc_b) pair frame — factored out so q_graph_modularity can
+    share ONE pair computation between the component fixpoint and its
+    own edge/degree aggregates instead of rebuilding the banding
+    subtree per consumer."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
@@ -981,7 +1062,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window anywhere in the plan.
     """
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    # pairs materialized first: inside the single ew checkpoint the
+    # banding subtree used to run FOUR times (both union arms of
+    # `edges`, then both again under `degs`' aggregate) — no
+    # ReusedExchange fires across union sides or join sides (guide
+    # §2.4). After the checkpoint the symmetrize/degree/join replan
+    # from the slim materialized pair rows.
+    pairs = (
+        minhash_candidate_pairs(docs)
+        .select("doc_a", "doc_b")
+        .transform(checkpoint, eager=True)
+    )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
@@ -1094,7 +1185,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ca, 4).alias("contain_a"),
             F.round(cb, 4).alias("contain_b"),
         )
-        .distinct()
+        # no distinct(): shingle_candidate_pairs emits each colliding
+        # pair exactly once (min-agreeing-band filter, guide §2.4)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1618,10 +1710,15 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row class).
     """
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= 3
-    )
-    sh = toks.select("doc_id", F.expr(_SHINGLES_SPARK).alias("s"))
+    # ONE shingle pass, materialized: the eval sample is <= 1000 docs,
+    # and this frame used to be recomputed by every consumer below
+    # (inverted index both join sides, both verify sides, and the
+    # minhash signature) — the before-plan carried 20 parquet scans of
+    # documents and 36 exchanges for a 1000-row working set (guide
+    # §2.4 / §3.3: materialize the small intermediate, truncate the
+    # re-planned subtree). Values are untouched — same frame, computed
+    # once.
+    sh = doc_shingles(docs).transform(checkpoint, eager=True)
     inv = sh.select("doc_id", F.explode("s").alias("g"))
     ia = inv.select(F.col("doc_id").alias("doc_a"), "g")
     ib = inv.select(F.col("doc_id").alias("doc_b"), "g")
@@ -1636,8 +1733,19 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     withsets = cand0.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
-    truth = withsets.filter(jac >= 0.4).select("doc_a", "doc_b")
-    lsh = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    # truth and the LSH candidate set are each read TWICE below (their
+    # own count + the TP join) — materialize the slim pair frames so
+    # the inverted-index join and the banding subtree run once each.
+    truth = (
+        withsets.filter(jac >= 0.4)
+        .select("doc_a", "doc_b")
+        .transform(checkpoint, eager=True)
+    )
+    lsh = (
+        minhash_pairs_from_signatures(minhash_signatures_from_shingles(sh))
+        .select("doc_a", "doc_b")
+        .transform(checkpoint, eager=True)
+    )
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     n_cand = lsh.agg(F.count("*").alias("n_cand"))
     tp = (

@@ -1905,9 +1905,19 @@ def q_itemsets_apriori(spark, sf_dir):
         .limit(40)
         .select("w")
     )
-    incidence = tok.join(F.broadcast(vocab), "w").select(
-        "doc_id", "w"
-    ).distinct()
+    # The incidence frame feeds all THREE self-join sides and no
+    # ReusedExchange fires across them — the before-plan re-ran the
+    # scan + tokenize + vocabulary join + distinct subtree three times
+    # (12 parquet scans / 24 exchanges). It is <= 40 rows per document
+    # by construction; materialize it once (guide §2.4).
+    from flink_rc_spark.plans.inspect import checkpoint
+
+    incidence = (
+        tok.join(F.broadcast(vocab), "w")
+        .select("doc_id", "w")
+        .distinct()
+        .transform(checkpoint, eager=True)
+    )
     a = incidence.select("doc_id", F.col("w").alias("w1"))
     b = incidence.select("doc_id", F.col("w").alias("w2"))
     c = incidence.select("doc_id", F.col("w").alias("w3"))

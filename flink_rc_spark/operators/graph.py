@@ -85,7 +85,14 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovers the BFS distance).
     """
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    # pairs materialized before the symmetrize union: its two arms are
+    # the same banding subtree and no ReusedExchange fires across
+    # union sides (guide §2.4).
+    pairs = (
+        minhash_candidate_pairs(docs)
+        .select("doc_a", "doc_b")
+        .transform(checkpoint, eager=True)
+    )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -112,7 +119,11 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("v", F.lit(i).cast("bigint").alias("dist"))
             .transform(checkpoint, eager=True)
         )
-        if new.rdd.isEmpty():
+        # DataFrame.isEmpty probes the materialized checkpoint with a
+        # JVM limit(1) — .rdd.isEmpty() forced a full InternalRow ->
+        # Python pickle conversion path for the same answer (guide
+        # §1.4's df.rdd trap).
+        if new.isEmpty():
             break
         dist = dist.unionByName(new).transform(checkpoint, eager=True)
         frontier = new
@@ -198,7 +209,15 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("j.d") + F.col("c.d")).alias("d"),
             )
         )
-        if far.rdd.isEmpty():
+        # DataFrame.isEmpty (JVM executeTake(1)) instead of
+        # .rdd.isEmpty()'s InternalRow -> Python pickle conversion
+        # (guide §1.4's df.rdd trap). NOT checkpointed first: an eager
+        # localCheckpoint of this jump⋈closure(Union) shape trips a
+        # Catalyst constraint-rewrite NoSuchElementException
+        # (UnionBase.rewriteConstraints, Spark 4.1) — reproduced and
+        # reverted in r12; the emptiness probe stops at the first row,
+        # so the double-compute it keeps is one short-circuited pass.
+        if far.isEmpty():
             break
         closure = closure.unionByName(far).transform(checkpoint, eager=True)
         jump = (
@@ -298,7 +317,9 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     crushed min agg); lineage cut per round.
     """
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs)
+    # pairs materialized before the symmetrize union (guide §2.4, the
+    # q_graph_bfs note).
+    pairs = minhash_candidate_pairs(docs).transform(checkpoint, eager=True)
     w = (F.lit(10000) - F.round(F.col("est_jaccard") * 10000)).cast("bigint")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), w.alias("w"))
@@ -406,11 +427,19 @@ def q_link_predict(spark, sf_dir):
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
     )
+    # The 1500-row top cut feeds FOUR consumers (both union arms of
+    # `edges`, the wedge anti-join's right side) and `edges` itself
+    # fans out to deg/e1/e2 — without materialization the whole
+    # basket-self-join support aggregation re-ran per consumer (the
+    # before-plan carried 76 exchanges). Checkpoint the tiny frame
+    # once (guide §2.4); everything downstream re-plans from 1500
+    # rows.
     top = (
         pair_support_salted(basket, "cust", "part", "u", "v", "supp")
         .orderBy(F.desc("supp"), "u", "v")
         .limit(1500)
         .select("u", "v")
+        .transform(checkpoint, eager=True)
     )
     edges = top.unionByName(
         top.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -528,7 +557,14 @@ def q_graph_kcore(spark, sf_dir):
     signature scan.
     """
     docs = load(spark, sf_dir, "documents")
-    upairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b").distinct()
+    # pairs materialized before the symmetrize union (guide §2.4, the
+    # q_graph_bfs note: both arms are the same banding subtree).
+    upairs = (
+        minhash_candidate_pairs(docs)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .transform(checkpoint, eager=True)
+    )
     edges = upairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -822,11 +858,20 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation; degrees are one hash agg on the edge list; the
     modularity algebra runs on the |components|-row frame.
     """
-    from flink_rc_spark.llm.dedup import q_dedup_components
+    from flink_rc_spark.llm.dedup import dedup_components_from_pairs
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
-    comp = q_dedup_components(spark, sf_dir).select("doc_id", "component")
+    # ONE banding-pipeline computation for the whole key: the pair
+    # frame used to be rebuilt FOUR times (both union arms of `edges`,
+    # the n_edges count, and once more inside q_dedup_components's own
+    # builder). Materialize it, then share it with the component
+    # fixpoint via dedup_components_from_pairs (guide §2.4).
+    pairs = (
+        minhash_candidate_pairs(docs)
+        .select("doc_a", "doc_b")
+        .transform(checkpoint, eager=True)
+    )
+    comp = dedup_components_from_pairs(docs, pairs).select("doc_id", "component")
     edges = pairs.union(
         pairs.select(F.col("doc_b"), F.col("doc_a"))
     ).toDF("a", "b")

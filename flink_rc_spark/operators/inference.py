@@ -219,24 +219,31 @@ def q_assoc_rules(spark, sf_dir):
     slim); the basket count is ONE broadcast row (the q_bm25
     corpus-stats class). TakeOrdered(20) replaces a global sort.
     """
+    from flink_rc_spark.operators.joins import pair_support_salted
+    from flink_rc_spark.plans.inspect import checkpoint
+
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # The basket feeds FOUR consumers (basket count, item supports,
+    # both self-join sides) and no ReusedExchange fires across them —
+    # the before-plan re-ran the fact join + distinct subtree each
+    # time (20 parquet scans / 38 exchanges). Materialize it once
+    # (guide §2.4); the self-join then goes through the shared
+    # skew-diagnosed pair helper (q_basket_pairs' measured shape,
+    # result row-identical by its test) instead of a hand-rolled
+    # plain join.
     basket = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        .transform(checkpoint, eager=True)
     )
     n = basket.agg(F.countDistinct("cust").alias("n_baskets"))
     item = basket.groupBy("part").agg(F.count("*").alias("supp"))
-    a = basket.select("cust", F.col("part").alias("part_a"))
-    b = basket.select("cust", F.col("part").alias("part_b"))
-    pair = (
-        a.join(b, "cust")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("supp_ab"))
-        .filter(F.col("supp_ab") >= 3)
-    )
+    pair = pair_support_salted(
+        basket, "cust", "part", "part_a", "part_b", "supp_ab",
+        materialized=True,
+    ).filter(F.col("supp_ab") >= 3)
     ia = item.select(F.col("part").alias("part_a"), F.col("supp").alias("supp_a"))
     ib = item.select(F.col("part").alias("part_b"), F.col("supp").alias("supp_b"))
     return (

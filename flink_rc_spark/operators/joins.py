@@ -462,6 +462,7 @@ def pair_support_salted(
     out_b: str,
     out_n: str,
     parts: int = 32,
+    materialized: bool = False,
 ) -> DataFrame:
     """Within-key item pairs (out_a < out_b) with co-occurrence
     counts — the market-basket self-join, shared by q_basket_pairs /
@@ -489,8 +490,14 @@ def pair_support_salted(
       is IDENTICAL (tested row-for-row vs the plain join); the hot
       key's C(B,2) fan-out and compare work split across `factor`
       tasks instead of one straggler.
+
+    ``materialized=True`` skips the internal localCheckpoint for
+    callers that already hold a checkpointed basket (q_assoc_rules
+    reuses its basket frame for the item-support and basket-count
+    aggregates too — double-checkpointing would re-materialize the
+    same rows for nothing).
     """
-    cached = basket.transform(checkpoint, eager=True)
+    cached = basket if materialized else basket.transform(checkpoint, eager=True)
     kc = cached.groupBy(key_col).agg(F.count("*").alias("_kn"))
     stats = kc.agg(
         F.max("_kn").cast("bigint").alias("mx"),
