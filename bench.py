@@ -175,6 +175,32 @@ def main() -> None:
     if "q_pyds_source" in REGISTRY:
         _prewarmed.append("q_pyds_source")
         execute("q_pyds_source")
+    # Warm the ARROW PYTHON WORKER pool by the same policy: the
+    # session's first mapInPandas/applyInPandas stage pays the
+    # one-time spawn of one Python worker per core plus their
+    # numpy/pandas imports — ~4-8 s on local[32], charged entirely to
+    # whichever registry key happens to run Python first (r12 probe:
+    # q_audio_decode 8.76 s cold vs 0.86 s warm, same plan). That is
+    # session setup, not plan cost; a long-lived cluster pays it once
+    # per executor, not once per query. The warm-up must mirror what
+    # the real kernels run under: ship the package FIRST (addPyFile
+    # changes the worker environment key, so workers spawned without
+    # it would be thrown away on the first real kernel) and import it
+    # inside the warm-up kernel, one task per core. Workers are then
+    # reused across jobs (spark.python.worker.reuse defaults true).
+    _prewarmed.append("<arrow-python-workers>")
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+    def _py_warm(it):
+        import flink_rc_spark  # noqa: F401 — warm the package import
+
+        return it
+
+    spark.range(32).repartition(32).mapInPandas(
+        _py_warm, "id long"
+    ).write.format("noop").mode("overwrite").save()
     calibrate()
     calibrate_scan()
 
