@@ -198,7 +198,8 @@ def main() -> None:
 
         return it
 
-    spark.range(32).repartition(32).mapInPandas(
+    _np = spark.sparkContext.defaultParallelism
+    spark.range(_np).repartition(_np).mapInPandas(
         _py_warm, "id long"
     ).write.format("noop").mode("overwrite").save()
     calibrate()

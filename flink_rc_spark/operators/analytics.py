@@ -1905,32 +1905,92 @@ def q_itemsets_apriori(spark, sf_dir):
         .limit(40)
         .select("w")
     )
-    # The incidence frame feeds all THREE self-join sides and no
-    # ReusedExchange fires across them — the before-plan re-ran the
-    # scan + tokenize + vocabulary join + distinct subtree three times
-    # (12 parquet scans / 24 exchanges). It is <= 40 rows per document
-    # by construction; materialize it once (guide §2.4).
-    from flink_rc_spark.plans.inspect import checkpoint
-
-    incidence = (
-        tok.join(F.broadcast(vocab), "w")
-        .select("doc_id", "w")
-        .distinct()
-        .transform(checkpoint, eager=True)
-    )
-    a = incidence.select("doc_id", F.col("w").alias("w1"))
-    b = incidence.select("doc_id", F.col("w").alias("w2"))
-    c = incidence.select("doc_id", F.col("w").alias("w3"))
+    # Triple enumeration as an Arrow kernel with IN-KERNEL partial
+    # aggregation (guide §4.2 / §2.3), replacing the 3-way self-join:
+    # the join shape shuffled the incidence three times and then
+    # streamed every C(k,3) combination (~77M rows at sf0.1) through
+    # two join probes + a hash aggregate, all row-at-a-time. Here each
+    # doc becomes ONE row (its <= 40 sorted vocabulary words), the
+    # kernel gathers combination index triples (cached per k), encodes
+    # them as codes into the <= 40-word batch vocabulary (codes are
+    # string-rank-ordered, so i<j<l IS w1<w2<w3 — UTF-8 byte order ==
+    # codepoint order, the engines' binary compare), and accumulates
+    # ONE bincount per batch — so only <= C(40,3) partial-count rows
+    # per task ever reach the final shuffle. Counting is pure integer
+    # arithmetic: results identical, verified by the oracle hash.
+    incidence = tok.join(F.broadcast(vocab), "w").select("doc_id", "w").distinct()
     return (
-        a.join(b, "doc_id")
-        .filter(F.col("w1") < F.col("w2"))
-        .join(c, "doc_id")
-        .filter(F.col("w2") < F.col("w3"))
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count("*").alias("support"))
+        vocab_triple_counts(spark, incidence)
         .filter(F.col("support") >= 5)
         .orderBy(F.desc("support"), "w1", "w2", "w3")
         .limit(20)
+    )
+
+
+def vocab_triple_counts(spark, incidence):
+    """(doc_id, w) incidence over a bounded vocabulary -> exact
+    (w1 < w2 < w3, support) triple counts via the Arrow kernel —
+    factored out of q_itemsets_apriori so the kernel-vs-join equality
+    test can compare the FULL triple set, not just the key's top-20."""
+    from flink_rc_spark.util import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    per_doc = (
+        incidence.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("w")).alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("ws")
+    )
+
+    def _triple_counts(batches):
+        import numpy as np
+        import pandas as pd
+
+        comb_cache: dict = {}
+
+        def combs(k: int):
+            tri = comb_cache.get(k)
+            if tri is None:
+                idx = np.arange(k)
+                i, j, l = np.meshgrid(idx, idx, idx, indexing="ij")
+                keep = (i < j) & (j < l)
+                tri = (i[keep], j[keep], l[keep])
+                comb_cache[k] = tri
+            return tri
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # batch vocabulary: <= 40 distinct strings by construction
+            uniq = np.unique(np.concatenate([np.asarray(w) for w in pdf["ws"]]))
+            nv = len(uniq)
+            acc = np.zeros(nv * nv * nv, dtype=np.int64)
+            for w in pdf["ws"]:
+                codes = np.searchsorted(uniq, np.asarray(w))
+                k = len(codes)
+                if k < 3:
+                    continue
+                i, j, l = combs(k)
+                acc += np.bincount(
+                    (codes[i] * nv + codes[j]) * nv + codes[l],
+                    minlength=nv * nv * nv,
+                )
+            hit = np.nonzero(acc)[0]
+            if len(hit):
+                yield pd.DataFrame(
+                    {
+                        "w1": uniq[hit // (nv * nv)],
+                        "w2": uniq[(hit // nv) % nv],
+                        "w3": uniq[hit % nv],
+                        "cnt": acc[hit],
+                    }
+                )
+
+    partial = per_doc.mapInPandas(
+        _triple_counts, "w1 string, w2 string, w3 string, cnt long"
+    )
+    return partial.groupBy("w1", "w2", "w3").agg(
+        F.sum("cnt").cast("long").alias("support")
     )
 
 
