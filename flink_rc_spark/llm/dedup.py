@@ -413,17 +413,18 @@ def shingle_candidate_pairs(docs: DataFrame) -> DataFrame:
             for j in range(_N_HASHES)
         ],
     )
-    # The full 8-hash signature rides through the buckets alongside the
-    # shingle array (mk: +8 fixed hex strings per (doc, band) row, a
-    # few % next to `s`) so a pair colliding in several bands can be
-    # emitted ONLY from its MINIMUM agreeing band — exactly-once by
-    # construction, which lets the consumers drop their full-pair-set
-    # distinct() exchange (guide §2.4; the q_dedup_minhash /
-    # q_dedup_simhash treatment).
+    # NOTE (r12): the minhash pair generator switched to exactly-once
+    # min-agreeing-band emission because its signature already rides
+    # the buckets. Here that trick was TRIED and REVERTED: carrying
+    # the 8-hash signature through the bucket shuffle alongside the
+    # (much larger) shingle arrays cost MORE at sf1 than the
+    # consumers' distinct() over their slim verified-pair outputs
+    # saved (+0.58 s q_dedup_ngram_jaccard, +0.33 s
+    # q_dedup_containment at sf1, min-of-3 A/B; the sf0.1 walls were
+    # a wash). Multi-band duplicates stay collapsed downstream.
     bands = sig.select(
         "doc_id",
         "s",
-        F.array(*[f"m{j}" for j in range(_N_HASHES)]).alias("mk"),
         F.explode(
             F.array(
                 *[
@@ -437,40 +438,25 @@ def shingle_candidate_pairs(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "s", "mk", "bb.band_id", "bb.band_key")
+    ).select("doc_id", "s", "bb.band_id", "bb.band_key")
     buckets = (
         bands.groupBy("band_id", "band_key")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "s", "mk"))).alias(
-                "m"
-            )
-        )
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "s"))).alias("m"))
         .filter(F.size("m") >= 2)
     )
-    min_band = F.expr(
-        f"array_position(transform(sequence(0, {_N_BANDS - 1}),"
-        " j -> element_at(p.pa.mk, 2*j+1) = element_at(p.pb.mk, 2*j+1)"
-        " AND element_at(p.pa.mk, 2*j+2) = element_at(p.pb.mk, 2*j+2)),"
-        " true) - 1"
-    )
-    pairs = (
-        buckets.select(
-            "band_id",
-            F.explode(
-                F.expr(
-                    "flatten(transform(m, (a, i) ->"
-                    " transform(slice(m, i + 2, size(m)),"
-                    " b -> struct(a AS pa, b AS pb))))"
-                )
-            ).alias("p"),
-        )
-        .filter(F.col("band_id") == min_band)
-        .select(
-            F.col("p.pa.doc_id").alias("doc_a"),
-            F.col("p.pb.doc_id").alias("doc_b"),
-            F.col("p.pa.s").alias("sa"),
-            F.col("p.pb.s").alias("sb"),
-        )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(m, (a, i) ->"
+                " transform(slice(m, i + 2, size(m)),"
+                " b -> struct(a AS pa, b AS pb))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.pa.doc_id").alias("doc_a"),
+        F.col("p.pb.doc_id").alias("doc_b"),
+        F.col("p.pa.s").alias("sa"),
+        F.col("p.pb.s").alias("sb"),
     )
     return pairs
 
@@ -523,9 +509,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        # no distinct(): shingle_candidate_pairs emits each colliding
-        # pair exactly once (min-agreeing-band filter), so the old
-        # full-pair-set dedup exchange is dead weight (guide §2.4)
+        .distinct()  # a pair may collide in several bands
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1185,8 +1169,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ca, 4).alias("contain_a"),
             F.round(cb, 4).alias("contain_b"),
         )
-        # no distinct(): shingle_candidate_pairs emits each colliding
-        # pair exactly once (min-agreeing-band filter, guide §2.4)
+        .distinct()  # a pair may collide in several bands
         .orderBy("doc_a", "doc_b")
     )
 

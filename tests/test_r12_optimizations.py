@@ -49,14 +49,11 @@ def test_minhash_pairs_exactly_once(spark):
     assert {(r.doc_a, r.doc_b, r.est_jaccard) for r in rows} == ref
 
 
-def test_shingle_pairs_exactly_once(spark):
-    from flink_rc_spark.llm.dedup import shingle_candidate_pairs
-    from flink_rc_spark.sources.tables import load
-
-    docs = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 1500)
-    pairs = shingle_candidate_pairs(docs).select("doc_a", "doc_b")
-    keys = [(r.doc_a, r.doc_b) for r in pairs.collect()]
-    assert len(keys) == len(set(keys)), "duplicate pair emitted"
+# NOTE: shingle_candidate_pairs deliberately does NOT get the
+# exactly-once treatment — carrying the 8-hash signature through its
+# bucket shuffle cost more at sf1 than the consumers' distinct() saved
+# (measured A/B, see the function's comment). Only the minhash pair
+# generator (signature already in the buckets) keeps it.
 
 
 def test_itemsets_kernel_equals_three_way_join(spark):
