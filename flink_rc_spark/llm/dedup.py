@@ -305,32 +305,39 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes exactly the all-pairs result.
     """
     docs = load(spark, sf_dir, "documents")
-    # Flattened bit voting: explode distinct tokens, then 60 plain
-    # (non-HOF) per-bit vote columns summed by a hash aggregate. The
-    # nested transform(sequence(0,59), p -> aggregate(h, ...)) form is
-    # Catalyst-interpreted per element and took 99 s at sf0.1; this
-    # shape is whole-stage-codegen'd end to end (measured ~1 s). Same
-    # math bit for bit: votes are ints, so sum order is irrelevant.
+    # Bit voting in the shared Arrow kernel (r13, guide §2.3/§4.2 —
+    # r12 verdict #2): the previous shape evaluated 60 per-bit
+    # instr/floor/cast expression trees per token row and fed a
+    # 60-bigint-column groupBy(doc_id) aggregate — the widest shuffle
+    # in the registry and the sf1 wall's bulk. Now the JVM computes
+    # only md5 per distinct token (15 hex chars — all the signature
+    # reads) and the kernel does one vectorized nibble-unpack + one
+    # grouped int64 add per batch, emitting (doc_id, simhash)
+    # directly. NO exchange remains in the signature stage: a doc's
+    # token rows stay in its scan partition (explode is narrow), so
+    # per-doc votes complete inside the task. Same integer math bit
+    # for bit (sign of the ±1 vote sum == 2*bitcount >= n_tokens);
+    # kernel-vs-JVM equality pinned in tests/test_r13_optimizations.py
+    # and the oracle hash proves the end result. (History: the nested
+    # transform(sequence(0,59), ...) HOF form was interpreted and took
+    # 99 s at sf0.1; the flat 60-column JVM form measured ~1 s at
+    # sf0.1 but 8.3 s at sf1; this kernel halves that again — see
+    # OPTIMIZATION_r13.md.)
+    from flink_rc_spark.llm.pairkern import (
+        SIMHASH_SIG_SCHEMA,
+        make_simhash_signature_kernel,
+    )
+
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("array_distinct(split(text, ' '))")).alias("tok"),
     )
-    hashed = toks.select("doc_id", F.md5("tok").alias("x"))
-    vote_cols = [
-        F.expr(
-            f"(CAST(floor((instr('0123456789abcdef', substr(x, {p // 4 + 1}, 1)) - 1)"
-            f" / {2 ** (p % 4)}) AS INT) % 2) * 2 - 1"
-        ).alias(f"v{p}")
-        for p in range(60)
-    ]
-    votes = hashed.select("doc_id", *vote_cols)
-    agg = votes.groupBy("doc_id").agg(
-        *[F.sum(f"v{p}").alias(f"s{p}") for p in range(60)]
+    hashed = toks.select(
+        "doc_id", F.substring(F.md5("tok"), 1, 15).alias("x")
     )
-    simhash_expr = " + ".join(
-        f"(CASE WHEN s{p} >= 0 THEN 1 ELSE 0 END) * {2 ** p}" for p in range(60)
+    sh = hashed.mapInPandas(
+        make_simhash_signature_kernel(60), SIMHASH_SIG_SCHEMA
     )
-    sh = agg.select("doc_id", F.expr(simhash_expr).cast("bigint").alias("simhash"))
     # 4 x 15-bit band keys; each row carries its full signature so the
     # in-bucket Hamming verify needs no join back to sh. One shuffle on
     # (band, key), pairs generated inside each bucket from the sorted
@@ -2033,22 +2040,26 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("toks").alias("tb"),
         F.col("sz").alias("sb"),
     )
-    # array_intersect is the verify's CPU cost: materialize it ONCE
-    # per pair (a projection barrier), then filter/derive from the
-    # bigint — Catalyst does not reliably CSE the repeated expression
+    # The exact-intersection verify runs in the shared Arrow kernel
+    # (r13, guide §4.2 — r12 verdict #4): the JVM `array_intersect`
+    # built an O(|ta|+|tb|) hash set PER PAIR (~2 s of the sf0.1
+    # wall over 206k pairs); the kernel instead encodes each side's
+    # (pair, rank) stream as one sorted int64 array per batch and
+    # finds every match with a single np.searchsorted — the
+    # threshold filter and the floor-div jaccard_micro are the same
+    # int64 math, pinned kernel-vs-SQL by
+    # tests/test_r13_optimizations.py and the oracle hash.
+    from flink_rc_spark.llm.pairkern import (
+        SETSIM_VERIFY_SCHEMA,
+        make_setsim_verify_kernel,
+    )
+
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
-        .withColumn(
-            "n_inter", F.size(F.array_intersect("ta", "tb")).cast("long")
-        )
-        .withColumn("n_union", F.col("sa") + F.col("sb") - F.col("n_inter"))
-        .filter(F.lit(5) * F.col("n_inter") >= F.lit(2) * F.col("n_union"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            "n_union",
-            F.expr("(n_inter * 1000000) div n_union").alias("jaccard_micro"),
+        .select("doc_a", "doc_b", "ta", "sa", "tb", "sb")
+        .mapInPandas(
+            make_setsim_verify_kernel(5, 2, 1_000_000),
+            SETSIM_VERIFY_SCHEMA,
         )
     )

@@ -1892,9 +1892,13 @@ def q_itemsets_apriori(spark, sf_dir):
     exact, output total-ordered.
     """
     docs = load(spark, sf_dir, "documents")
+    # tok feeds BOTH the vocabulary count and the incidence join — the
+    # r12 plan tokenized documents twice (the duplicate scan the fixed
+    # r13 audit regex exposed; ADVICE r12 item 1). Materialize the
+    # token stream once: measured A/B at sf0.1 in OPTIMIZATION_r13.md.
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    )
+    ).transform(checkpoint, eager=True)
     # top-40 via orderBy().limit() — Spark's TakeOrderedAndProject
     # (per-partition top-40 + driver merge), not a single-partition
     # row_number window over the full distinct vocabulary

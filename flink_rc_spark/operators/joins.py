@@ -496,6 +496,20 @@ def pair_support_salted(
     reuses its basket frame for the item-support and basket-count
     aggregates too — double-checkpointing would re-materialize the
     same rows for nothing).
+
+    r13 tried-and-REVERTED: an Arrow pair-count kernel with in-kernel
+    partial aggregation (the q_itemsets_apriori triple-kernel shape —
+    collect each basket to a sorted array, enumerate C(B,2) in numpy,
+    bincount partials). Measured min-of-3 at sf0.1: q_basket_pairs
+    3.56 -> 8.92 s, q_assoc_rules 3.52 -> 9.64 s, q_link_predict
+    3.76 -> 8.58 s. Why it loses where the triple kernel wins: partial
+    aggregation only collapses when the pair-key space is BOUNDED
+    (apriori's 40-word vocabulary caps partials at C(40,3) per task);
+    basket pairs over the 20k-part catalog are ~12M mostly-count-1
+    partials at sf0.1, so the kernel shipped the same row volume back
+    across the Python boundary (Arrow transfer + np.unique sorts) that
+    the codegen'd join feeds straight into the JVM hash aggregate.
+    The self-join spelling stays (guide §1: the measured loss decides).
     """
     cached = basket if materialized else basket.transform(checkpoint, eager=True)
     kc = cached.groupBy(key_col).agg(F.count("*").alias("_kn"))

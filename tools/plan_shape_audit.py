@@ -42,12 +42,26 @@ def main() -> None:
             continue
         finally:
             spark.catalog.clearCache()
-        tables = re.findall(r"Scan parquet[^\n]*?/(\w+)\.parquet", plan)
+        # Pair each numbered `(N) Scan parquet` detail block with its
+        # own following `Location:` line — header and path sit on
+        # DIFFERENT lines in formatted plans, so a same-line regex
+        # matches nothing (ADVICE r12 item 2: the r12 audit's primary
+        # finder was silently empty for every key).
+        tables = re.findall(
+            r"\(\d+\) Scan parquet[\s\S]*?Location:[^\n]*?/(\w+)\.parquet",
+            plan,
+        )
         counts: dict[str, int] = {}
         for t in tables:
             counts[t] = counts.get(t, 0) + 1
         dup = {t: c for t, c in counts.items() if c > 1}
-        nex = plan.count("Exchange")
+        if "Scan parquet" in plan and not tables:
+            print(f"{k}: SCAN PARSER FOUND NOTHING (plan has scans)",
+                  flush=True)
+        # numbered detail blocks only, excluding ReusedExchange (the
+        # old plan.count('Exchange') double-counted tree+detail and
+        # counted reuses as real shuffles)
+        nex = len(re.findall(r"\(\d+\) Exchange\b", plan))
         npy = (
             plan.count("BatchEvalPython")
             + plan.count("ArrowEvalPython")
