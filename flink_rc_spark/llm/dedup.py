@@ -650,12 +650,86 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components_from_pairs(docs, pairs)
 
 
+def _min_label_components(ea, eb):
+    """Vectorized min-label union over dense edge index arrays:
+    returns lbl with lbl[i] = index of the minimum vertex in i's
+    component. Min-propagation over edges + pointer jumping converges
+    in O(log n) numpy passes — each O(|E|+|V|) — so a 500k-edge graph
+    takes a few ms, not a Spark job per round."""
+    import numpy as np
+
+    n = (
+        int(max(ea.max(initial=-1), eb.max(initial=-1))) + 1
+        if len(ea)
+        else 0
+    )
+    lbl = np.arange(n, dtype=np.int64)
+    while True:
+        m = np.minimum(lbl[ea], lbl[eb])
+        new = lbl.copy()
+        np.minimum.at(new, ea, m)
+        np.minimum.at(new, eb, m)
+        new = new[new]  # pointer jumping halves label-chain depth
+        if (new == lbl).all():
+            return lbl
+        lbl = new
+
+
+# Collect-and-solve gate for the component fixpoint: the SAME scale
+# rationale as the frontier broadcast below (a <= 2M-row frontier is
+# already collected to the driver to build the broadcast relation), so
+# the driver-memory profile is unchanged — only the per-round job
+# dispatch disappears.
+_COMPONENTS_DRIVER_MAX_EDGES = 500_000
+
+
 def dedup_components_from_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """q_dedup_components' fixpoint over an already-materialized
     (doc_a, doc_b) pair frame — factored out so q_graph_modularity can
     share ONE pair computation between the component fixpoint and its
     own edge/degree aggregates instead of rebuilding the banding
-    subtree per consumer."""
+    subtree per consumer.
+
+    r13 (guide §1.2 "the distributed algorithm", r12 verdict #3): the
+    iterative min-label fixpoint pays ~0.5 s of job-dispatch + shuffle
+    latency PER ROUND regardless of data size (measured: 4 rounds x
+    0.55 s over a 907-edge graph at sf0.1 — the whole graph is smaller
+    than one task). When the materialized pair frame is under
+    _COMPONENTS_DRIVER_MAX_EDGES rows it is therefore collected and
+    solved with the vectorized numpy min-label union (exact same
+    min-reachable-id result, oracle-hash-proven), mirroring the
+    existing frontier-broadcast threshold: the distributed fixpoint
+    below remains the at-scale path and runs whenever the dup graph is
+    genuinely large."""
+    spark = docs.sparkSession
+    n_pairs = pairs.count()  # pairs is checkpointed: a cheap job
+    if n_pairs <= _COMPONENTS_DRIVER_MAX_EDGES:
+        import numpy as np
+
+        rows = pairs.select("doc_a", "doc_b").collect()
+        if rows:
+            ea_ids = np.fromiter(
+                (r[0] for r in rows), dtype=np.int64, count=len(rows)
+            )
+            eb_ids = np.fromiter(
+                (r[1] for r in rows), dtype=np.int64, count=len(rows)
+            )
+            ids = np.unique(np.concatenate([ea_ids, eb_ids]))
+            lbl = _min_label_components(
+                np.searchsorted(ids, ea_ids),
+                np.searchsorted(ids, eb_ids),
+            )
+            labels = spark.createDataFrame(
+                [
+                    (int(v), int(ids[li]))
+                    for v, li in zip(ids.tolist(), lbl.tolist())
+                ],
+                "v long, label long",
+            )
+        else:
+            labels = spark.createDataFrame([], "v long, label long")
+        return _components_output(docs, labels)
+
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
@@ -700,6 +774,12 @@ def dedup_components_from_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             ).alias("label"),
         )
 
+    return _components_output(docs, labels)
+
+
+def _components_output(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Shared tail of the component computation: singleton join-back,
+    component sizes, canonical flag, ordered output."""
     comp = docs.select("doc_id").join(
         labels, docs.doc_id == labels.v, "left"
     ).select(

@@ -116,3 +116,28 @@ def test_setsim_verify_kernel_equals_sql(spark):
     }
     assert got == ref
     assert any(r[4] == 500_000 for r in got)  # the J=0.5 pair survived
+
+
+def test_components_driver_union_equals_fixpoint(spark, monkeypatch):
+    """The bounded collect-and-solve component path == the distributed
+    min-label fixpoint it short-circuits (forced by the gate), row for
+    row including singletons, sizes, and canonical flags."""
+    from flink_rc_spark.llm import dedup as _d
+    from flink_rc_spark.sources.tables import load
+
+    docs = load(spark, SF_DIR, "documents").filter(F.col("doc_id") < 1500)
+    pairs = (
+        _d.minhash_candidate_pairs(docs)
+        .select("doc_a", "doc_b")
+        .transform(_d.checkpoint, eager=True)
+    )
+    got = {
+        tuple(r)
+        for r in _d.dedup_components_from_pairs(docs, pairs).collect()
+    }
+    monkeypatch.setattr(_d, "_COMPONENTS_DRIVER_MAX_EDGES", -1)
+    ref = {
+        tuple(r)
+        for r in _d.dedup_components_from_pairs(docs, pairs).collect()
+    }
+    assert got == ref and len(got) == docs.count()
