@@ -2120,26 +2120,31 @@ def q_join_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("toks").alias("tb"),
         F.col("sz").alias("sb"),
     )
-    # The exact-intersection verify runs in the shared Arrow kernel
-    # (r13, guide §4.2 — r12 verdict #4): the JVM `array_intersect`
-    # built an O(|ta|+|tb|) hash set PER PAIR (~2 s of the sf0.1
-    # wall over 206k pairs); the kernel instead encodes each side's
-    # (pair, rank) stream as one sorted int64 array per batch and
-    # finds every match with a single np.searchsorted — the
-    # threshold filter and the floor-div jaccard_micro are the same
-    # int64 math, pinned kernel-vs-SQL by
-    # tests/test_r13_optimizations.py and the oracle hash.
-    from flink_rc_spark.llm.pairkern import (
-        SETSIM_VERIFY_SCHEMA,
-        make_setsim_verify_kernel,
-    )
-
+    # array_intersect is the verify's CPU cost: materialize it ONCE
+    # per pair (a projection barrier), then filter/derive from the
+    # bigint — Catalyst does not reliably CSE the repeated expression.
+    # r13 tried-and-REVERTED (guide §1: the larger-SF loss decides —
+    # the r12 shingle-pairs precedent): an Arrow sorted-intersect
+    # verify kernel (np.searchsorted over encoded (pair, rank)
+    # streams) measured 6.56 -> 5.85 s at sf0.1 but 9.2 -> 12.9 s at
+    # sf1 (min-of-4 A/B vs this spelling): every candidate pair must
+    # ship BOTH full rank arrays across the Arrow boundary (~830 B x
+    # pairs), a transfer that grows with the pair count while the JVM
+    # intersect reads the join output in place. The kernel lives in
+    # r13 history (commit 15132c2) if a cheaper transport ever exists.
     return (
         cand.join(x, "doc_a")
         .join(y, "doc_b")
-        .select("doc_a", "doc_b", "ta", "sa", "tb", "sb")
-        .mapInPandas(
-            make_setsim_verify_kernel(5, 2, 1_000_000),
-            SETSIM_VERIFY_SCHEMA,
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("ta", "tb")).cast("long")
+        )
+        .withColumn("n_union", F.col("sa") + F.col("sb") - F.col("n_inter"))
+        .filter(F.lit(5) * F.col("n_inter") >= F.lit(2) * F.col("n_union"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_union",
+            F.expr("(n_inter * 1000000) div n_union").alias("jaccard_micro"),
         )
     )

@@ -51,10 +51,6 @@ PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, cos double"
 FIRST_NEIGHBOR_SCHEMA = "vec_id bigint, dup_of bigint, cosv double"
 BAND_HAMMING_SCHEMA = "doc_a bigint, doc_b bigint, hamming int"
 SIMHASH_SIG_SCHEMA = "doc_id bigint, simhash bigint"
-SETSIM_VERIFY_SCHEMA = (
-    "doc_a bigint, doc_b bigint, n_inter bigint, n_union bigint,"
-    " jaccard_micro bigint"
-)
 
 
 def _make_tiles(row_blk: int, col_blk: int):
@@ -185,94 +181,6 @@ def make_group_pair_kernel(
 
 
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-
-
-def make_setsim_verify_kernel(
-    num: int = 5, den: int = 2, scale: int = 1_000_000
-):
-    """Build a ``mapInPandas`` kernel over candidate-pair rows
-    (doc_a bigint, doc_b bigint, ta array<bigint>, sa bigint,
-    tb array<bigint>, sb bigint) where ta/tb are SORTED arrays of
-    UNIQUE token ranks — q_join_setsim's verify stage. Emits one row
-    per pair passing the exact-Jaccard threshold
-    num*|∩| >= den*|∪|, with the same integer outputs as the SQL
-    spelling: n_inter, n_union = sa+sb-n_inter, and
-    jaccard_micro = (n_inter*scale) div n_union (floor — both engines
-    floor the same exact rational; everything stays int64).
-
-    Replaces the per-row ``array_intersect`` expression (an O(n+m)
-    hash-set build PER PAIR in the JVM, ~2 s of the key's sf0.1 wall)
-    with one vectorized merge: each side's (pair_idx, rank) stream is
-    encoded as pair_idx*M + rank — globally SORTED because ranks are
-    sorted within a pair and pair_idx is monotone — and matches are
-    found with a single np.searchsorted over the whole batch
-    (guide §4.2: hand whole batches to vectorized native code).
-
-    PICKLING CONTRACT (see _make_tiles): no module-level references.
-    """
-
-    def kernel(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            n = len(pdf)
-            if not n:
-                continue
-            la = np.fromiter(
-                (len(v) for v in pdf["ta"]), dtype=np.int64, count=n
-            )
-            lb = np.fromiter(
-                (len(v) for v in pdf["tb"]), dtype=np.int64, count=n
-            )
-            va = (
-                np.concatenate([np.asarray(v) for v in pdf["ta"]])
-                if la.sum()
-                else np.empty(0, dtype=np.int64)
-            ).astype(np.int64)
-            vb = (
-                np.concatenate([np.asarray(v) for v in pdf["tb"]])
-                if lb.sum()
-                else np.empty(0, dtype=np.int64)
-            ).astype(np.int64)
-            # batch-local encoding base: > every rank in the batch
-            m = int(
-                max(
-                    va.max(initial=0),
-                    vb.max(initial=0),
-                )
-            ) + 1
-            ia = np.repeat(np.arange(n, dtype=np.int64), la)
-            ib = np.repeat(np.arange(n, dtype=np.int64), lb)
-            ka = ia * m + va
-            kb = ib * m + vb
-            if len(kb):
-                pos = np.searchsorted(kb, ka)
-                pos_c = np.minimum(pos, len(kb) - 1)
-                match = kb[pos_c] == ka
-                n_inter = np.bincount(
-                    ia[match], minlength=n
-                ).astype(np.int64)
-            else:
-                n_inter = np.zeros(n, dtype=np.int64)
-            sa = pdf["sa"].to_numpy().astype(np.int64)
-            sb = pdf["sb"].to_numpy().astype(np.int64)
-            n_union = sa + sb - n_inter
-            keep = num * n_inter >= den * n_union
-            if not keep.any():
-                continue
-            yield pd.DataFrame(
-                {
-                    "doc_a": pdf["doc_a"].to_numpy()[keep],
-                    "doc_b": pdf["doc_b"].to_numpy()[keep],
-                    "n_inter": n_inter[keep],
-                    "n_union": n_union[keep],
-                    "jaccard_micro": (n_inter[keep] * scale)
-                    // n_union[keep],
-                }
-            )
-
-    return kernel
 
 
 def make_simhash_signature_kernel(n_bits: int = 60):

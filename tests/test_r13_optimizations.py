@@ -5,11 +5,9 @@ pin the mechanisms against the pre-r13 spellings they replaced:
 
 - the simhash signature kernel must equal the 60-column JVM bit-vote
   aggregate it replaced, doc for doc;
-- the setsim verify kernel must equal the SQL
-  array_intersect/threshold/floor-div spelling, pair for pair;
-- (the r13 pair-count kernel for pair_support_salted was tried,
-  measured SLOWER at sf0.1, and reverted — see the helper's docstring;
-  its row-identity coverage lives in tests/test_scale_guards.py.)
+- (the r13 setsim verify kernel and the pair-count kernel were both
+  tried, measured SLOWER at the larger SF, and reverted — see the
+  docstrings at q_join_setsim and pair_support_salted;)
 """
 
 from __future__ import annotations
@@ -65,57 +63,6 @@ def test_simhash_signature_kernel_equals_jvm(spark):
         .collect()
     }
     assert got == ref
-
-
-def test_setsim_verify_kernel_equals_sql(spark):
-    """The sorted-intersect verify kernel == the SQL spelling
-    (array_intersect size, union, threshold filter, floor-div), on
-    pairs engineered to sit on and around the 5|∩| >= 2|∪| boundary."""
-    from flink_rc_spark.llm.pairkern import (
-        SETSIM_VERIFY_SCHEMA,
-        make_setsim_verify_kernel,
-    )
-
-    rows = []
-    for i in range(200):
-        # deterministic, varied overlap; arrays sorted unique
-        ta = sorted({(i * 7 + j * 3) % 97 + 1 for j in range(5 + i % 13)})
-        tb = sorted({(i * 5 + j * 4) % 89 + 1 for j in range(3 + i % 17)})
-        rows.append((2 * i, 2 * i + 1, ta, len(ta), tb, len(tb)))
-    # edge cases: identical sets, disjoint sets, exact-threshold pair
-    rows.append((1000, 1001, [1, 2, 3], 3, [1, 2, 3], 3))
-    rows.append((1002, 1003, [1, 2], 2, [8, 9], 2))
-    rows.append((1004, 1005, [1, 2, 3, 4], 4, [3, 4, 5, 6], 4))  # J=1/3
-    rows.append((1006, 1007, [1, 2, 3], 3, [2, 3, 4], 3))  # J=0.5 pass
-    df = spark.createDataFrame(
-        rows,
-        "doc_a long, doc_b long, ta array<long>, sa long,"
-        " tb array<long>, sb long",
-    )
-    ref = {
-        (r.doc_a, r.doc_b, r.n_inter, r.n_union, r.jaccard_micro)
-        for r in df.withColumn(
-            "n_inter", F.size(F.array_intersect("ta", "tb")).cast("long")
-        )
-        .withColumn("n_union", F.col("sa") + F.col("sb") - F.col("n_inter"))
-        .filter(F.lit(5) * F.col("n_inter") >= F.lit(2) * F.col("n_union"))
-        .selectExpr(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            "n_union",
-            "(n_inter * 1000000) div n_union AS jaccard_micro",
-        )
-        .collect()
-    }
-    got = {
-        (r.doc_a, r.doc_b, r.n_inter, r.n_union, r.jaccard_micro)
-        for r in df.mapInPandas(
-            make_setsim_verify_kernel(5, 2, 1_000_000), SETSIM_VERIFY_SCHEMA
-        ).collect()
-    }
-    assert got == ref
-    assert any(r[4] == 500_000 for r in got)  # the J=0.5 pair survived
 
 
 def test_components_driver_union_equals_fixpoint(spark, monkeypatch):
