@@ -650,6 +650,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components_from_pairs(docs, pairs)
 
 
+def _dense_edge_index(rows):
+    """(doc_a, doc_b, ...) collected pair rows -> (ids: sorted unique
+    vertex ids, ea, eb: dense int64 index arrays). Shared by every
+    bounded-subgraph driver solver (components, pagerank, bfs, sssp,
+    kcore)."""
+    import numpy as np
+
+    ea = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    eb = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
+    ids = np.unique(np.concatenate([ea, eb]))
+    return ids, np.searchsorted(ids, ea), np.searchsorted(ids, eb)
+
+
 def _min_label_components(ea, eb):
     """Vectorized min-label union over dense edge index arrays:
     returns lbl with lbl[i] = index of the minimum vertex in i's
@@ -704,21 +717,10 @@ def dedup_components_from_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     spark = docs.sparkSession
     n_pairs = pairs.count()  # pairs is checkpointed: a cheap job
     if n_pairs <= _COMPONENTS_DRIVER_MAX_EDGES:
-        import numpy as np
-
         rows = pairs.select("doc_a", "doc_b").collect()
         if rows:
-            ea_ids = np.fromiter(
-                (r[0] for r in rows), dtype=np.int64, count=len(rows)
-            )
-            eb_ids = np.fromiter(
-                (r[1] for r in rows), dtype=np.int64, count=len(rows)
-            )
-            ids = np.unique(np.concatenate([ea_ids, eb_ids]))
-            lbl = _min_label_components(
-                np.searchsorted(ids, ea_ids),
-                np.searchsorted(ids, eb_ids),
-            )
+            ids, ea, eb = _dense_edge_index(rows)
+            lbl = _min_label_components(ea, eb)
             labels = spark.createDataFrame(
                 [
                     (int(v), int(ids[li]))
@@ -1144,30 +1146,76 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .transform(checkpoint, eager=True)
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
-    degs = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ew = edges.join(degs, "src").transform(checkpoint, eager=True)
-
     verts = docs.select(F.col("doc_id").alias("v"))
-    rank = verts.select("v", F.lit(_PR_SCALE).cast("bigint").alias("r"))
-    for _ in range(_PR_ITERS):
-        inflow = (
-            ew.join(rank, ew.src == rank.v)
-            .select(F.col("dst").alias("v"), F.expr("r div deg").alias("c"))
-            .groupBy("v")
-            .agg(F.sum("c").cast("bigint").alias("m"))
-        )
-        rank = verts.join(inflow, "v", "left").select(
-            "v",
-            (
-                F.lit(_PR_TELEPORT)
-                + F.expr("85 * coalesce(m, 0L) div 100")
+    # r13 (the q_dedup_components collect-and-solve gate, same bound,
+    # same rationale): the 5 fixed-point rounds are exact int64
+    # arithmetic over ONLY the dup-graph vertices — a vertex with no
+    # candidate edge receives no inflow and settles at the teleport
+    # constant after round 1 (and contributes nothing, having no
+    # out-edges), so the whole iterate runs in numpy on the collected
+    # bounded pair frame, bit-identically (int64 `div` == `//` on
+    # positive operands; Java and numpy share two's-complement
+    # semantics). The distributed Pregel loop below stays the at-scale
+    # path. Equivalence pinned by a forced-distributed test + the
+    # oracle hash.
+    if pairs.count() <= _COMPONENTS_DRIVER_MAX_EDGES:
+        import numpy as np
+
+        rows = pairs.collect()
+        if rows:
+            ids, ea, eb = _dense_edge_index(rows)
+            src = np.concatenate([ea, eb])
+            dst = np.concatenate([eb, ea])
+            deg = np.bincount(src, minlength=len(ids))
+            r = np.full(len(ids), _PR_SCALE, dtype=np.int64)
+            for _ in range(_PR_ITERS):
+                c = r[src] // deg[src]
+                m = np.zeros(len(ids), dtype=np.int64)
+                np.add.at(m, dst, c)
+                r = _PR_TELEPORT + (85 * m) // 100
+            graph_rank = spark.createDataFrame(
+                [
+                    (int(v), int(rv))
+                    for v, rv in zip(ids.tolist(), r.tolist())
+                ],
+                "v long, r long",
             )
+        else:
+            graph_rank = spark.createDataFrame([], "v long, r long")
+        rank = verts.join(F.broadcast(graph_rank), "v", "left").select(
+            "v",
+            F.coalesce(F.col("r"), F.lit(_PR_TELEPORT))
             .cast("bigint")
             .alias("r"),
         )
+    else:
+        edges = pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        ).toDF("src", "dst")
+        degs = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        ew = edges.join(degs, "src").transform(checkpoint, eager=True)
+
+        rank = verts.select("v", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+        for _ in range(_PR_ITERS):
+            inflow = (
+                ew.join(rank, ew.src == rank.v)
+                .select(
+                    F.col("dst").alias("v"), F.expr("r div deg").alias("c")
+                )
+                .groupBy("v")
+                .agg(F.sum("c").cast("bigint").alias("m"))
+            )
+            rank = verts.join(inflow, "v", "left").select(
+                "v",
+                (
+                    F.lit(_PR_TELEPORT)
+                    + F.expr("85 * coalesce(m, 0L) div 100")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
     # global rank WITHOUT a node-scale single-partition window: count
     # per distinct fixed-point score, two-phase exclusive cumulative
     # count over the descending score order (rank() = strictly-greater

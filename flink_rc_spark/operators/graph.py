@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_rc_spark.llm.dedup import _MINHASH_PAIRS_CTE, minhash_candidate_pairs
+from flink_rc_spark.llm.dedup import (
+    _COMPONENTS_DRIVER_MAX_EDGES as _DRIVER_MAX_EDGES,
+    _MINHASH_PAIRS_CTE,
+    _dense_edge_index,
+    minhash_candidate_pairs,
+)
 from flink_rc_spark.plans.inspect import checkpoint
 from flink_rc_spark.registry import register
 from flink_rc_spark.sources.tables import load
@@ -93,6 +98,16 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .transform(checkpoint, eager=True)
     )
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("v"), F.lit(0).cast("bigint").alias("dist")
+    )
+    # r13 tried-and-REVERTED: the q_dedup_components collect-and-solve
+    # gate (kept for pagerank/kcore) measured SLOWER here — 2.75 ->
+    # 3.82 s min-of-3 at sf0.1 — because the frontier loop below
+    # empties in ~2 rounds on the near-dup graph (isEmpty early-break)
+    # while the driver path pays two createDataFrames + an anti-join +
+    # a union of fixed machinery. Rounds must be both FIXED and MANY
+    # for the collect gate to win (pagerank: 5, kcore: 10).
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -102,11 +117,7 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(checkpoint, eager=True)  # computed once, probed every round
     )
 
-    dist = (
-        docs.filter(F.col("doc_id") % 97 == 0)
-        .select(F.col("doc_id").alias("v"), F.lit(0).cast("bigint").alias("dist"))
-        .transform(checkpoint, eager=True)
-    )
+    dist = seeds.transform(checkpoint, eager=True)
     frontier = dist
     for i in range(1, _BFS_MAX_HOPS + 1):
         reached = (
@@ -320,6 +331,13 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs materialized before the symmetrize union (guide §2.4, the
     # q_graph_bfs note).
     pairs = minhash_candidate_pairs(docs).transform(checkpoint, eager=True)
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("v"), F.lit(0).cast("bigint").alias("d")
+    )
+    # r13 tried-and-REVERTED: the collect-and-solve gate measured
+    # SLOWER here too (2.97 -> 4.02 s min-of-3 at sf0.1) — see the
+    # q_graph_bfs note: only 3 relaxation rounds to replace, and the
+    # driver path's fixed machinery costs more than they do.
     w = (F.lit(10000) - F.round(F.col("est_jaccard") * 10000)).cast("bigint")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), w.alias("w"))
@@ -330,11 +348,7 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .transform(checkpoint, eager=True)
     )
-    dist = (
-        docs.filter(F.col("doc_id") % 97 == 0)
-        .select(F.col("doc_id").alias("v"), F.lit(0).cast("bigint").alias("d"))
-        .transform(checkpoint, eager=True)
-    )
+    dist = seeds.transform(checkpoint, eager=True)
     for _ in range(_SSSP_MAX_HOPS):
         msgs = edges.join(dist, edges.src == dist.v).select(
             F.col("dst").alias("v"), (F.col("d") + F.col("w")).alias("d")
@@ -565,6 +579,37 @@ def q_graph_kcore(spark, sf_dir):
         .distinct()
         .transform(checkpoint, eager=True)
     )
+    # r13 (the q_dedup_components collect-and-solve gate): the k-core
+    # peel is integer counting over dup-graph vertices only; each
+    # synchronous round is one masked bincount in numpy instead of a
+    # checkpointed two-semi-join round trip (10 rounds x ~0.3 s of
+    # job dispatch). The distributed peel below stays the at-scale
+    # path; equivalence pinned by a forced-distributed test + oracle.
+    if upairs.count() <= _DRIVER_MAX_EDGES:
+        import numpy as np
+
+        rows = upairs.collect()
+        out_rows = []
+        if rows:
+            ids, ea, eb = _dense_edge_index(rows)
+            src = np.concatenate([ea, eb])
+            dst = np.concatenate([eb, ea])
+            act = np.ones(len(ids), dtype=bool)
+            for _ in range(_KCORE_ROUNDS):
+                live = act[src] & act[dst]
+                deg = np.bincount(src[live], minlength=len(ids))
+                act = deg >= _KCORE_K
+            live = act[src] & act[dst]
+            deg = np.bincount(src[live], minlength=len(ids))
+            sel = np.nonzero(act & (deg > 0))[0]
+            out_rows = [
+                (int(ids[i]), int(deg[i])) for i in sel.tolist()
+            ]
+        return (
+            spark.createDataFrame(out_rows, "doc_id long, core_deg long")
+            .orderBy("doc_id")
+        )
+
     edges = upairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(

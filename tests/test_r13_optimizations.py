@@ -88,3 +88,31 @@ def test_components_driver_union_equals_fixpoint(spark, monkeypatch):
         for r in _d.dedup_components_from_pairs(docs, pairs).collect()
     }
     assert got == ref and len(got) == docs.count()
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "key,module,gate",
+    [
+        ("q_graph_pagerank", "flink_rc_spark.llm.dedup",
+         "_COMPONENTS_DRIVER_MAX_EDGES"),
+        ("q_graph_kcore", "flink_rc_spark.operators.graph",
+         "_DRIVER_MAX_EDGES"),
+    ],
+)
+def test_graph_driver_solver_equals_distributed(
+    spark, monkeypatch, key, module, gate
+):
+    """Each bounded-subgraph driver solver == the distributed fixpoint
+    it short-circuits (forced by zeroing the gate), row for row."""
+    import importlib
+
+    from flink_rc_spark.registry import REGISTRY, load_all
+
+    load_all()
+    got = {tuple(r) for r in REGISTRY[key].builder(spark, SF_DIR).collect()}
+    monkeypatch.setattr(importlib.import_module(module), gate, -1)
+    ref = {tuple(r) for r in REGISTRY[key].builder(spark, SF_DIR).collect()}
+    assert got == ref and len(got) > 0
