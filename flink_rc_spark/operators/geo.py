@@ -646,6 +646,12 @@ def q_dbscan(spark, sf_dir):
         .select("u", "v")
         .transform(checkpoint, eager=True)
     )
+    # r13 tried-and-REVERTED: the q_dedup_components collect-and-solve
+    # gate on this fixpoint measured SLOWER (4.01 -> 4.53 s min-of-4
+    # at sf0.1) — like q_graph_bfs/q_graph_sssp, the loop converges in
+    # ~1-2 rounds on the shipped data, less than the gate's fixed
+    # count + collect + createDataFrame machinery. The gate only wins
+    # where rounds are FIXED and MANY (pagerank: 5, kcore: 10).
     labels = core.select(F.col("id").alias("nv"), F.col("id").alias("lbl"))
     labels = labels.transform(checkpoint, eager=True)
     for _ in range(20):
